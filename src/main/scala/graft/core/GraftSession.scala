@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for the local[N] test harness but with every knob chosen so the
+  * same plan shape survives on a multi-executor cluster: AQE handles
+  * runtime coalescing + skew-join splitting, shuffle partitions sized to
+  * the parallelism (the driver harness uses 32 cores), UTC session time
+  * zone for deterministic date semantics (the reference's MySQL ran in
+  * local TZ — we pin UTC; cf. /root/reference/tasks/tushare/tushare_stock_daily/stock.py:125-155
+  * `hour(now())<16` cutoff, parameterized in [[graft.core.TradeCalendar]]).
+  */
+object GraftSession {
+
+  /** Apply graft's standard configs to a builder. */
+  def configure(b: SparkSession.Builder, cores: Int = defaultCores): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata `events.ts` is parquet TIMESTAMP(NANOS); read as long
+      // nanos (Tables.events converts to TimestampType micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.ui.explainMode", "formatted")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Local session for tests / tools. */
+  def local(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName), cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

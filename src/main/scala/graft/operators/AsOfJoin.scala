@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of / point-in-time / interval joins (SURVEY §2.4 J8–J12) — the
+  * reference's report→daily expansion pattern
+  * (/root/reference/tasks/jqdata/stock/finance_report/__init__.py:456-565,
+  * /root/reference/tasks/merge/stock.py:255-361).
+  *
+  * Spark has no built-in as-of join. A naive `t_r <= t_l` non-equi join
+  * explodes to O(|L|·|R|) per key before the dedup window, which dies at
+  * scale. The scalable formulation used here is union-and-carry: tag both
+  * sides, sort each key group once by time, and carry the latest right
+  * values forward with `last(..., ignoreNulls)` — one shuffle on the key,
+  * O((|L|+|R|) log) per key, no intermediate blowup, and AQE-friendly.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join: each left row receives `valueCols` from the
+    * latest right row whose `rightTime` ≤ the left row's `leftTime`,
+    * matching on `keys`. Right columns keep their names (callers alias
+    * beforehand on collision).
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(left.columns.map(col) ++ Seq(col("__t"), col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(keys.map(col) ++
+        left.columns.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__t"), col("__side")) ++ valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // At equal timestamps the right (state) row sorts first, so a report
+    // published on day T is visible to day T itself — the reference's
+    // `pub_date <= trade_date` inclusive semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+      .select(
+        (lTagged.columns.filterNot(c => c.startsWith("__v_")).map(col) ++
+          valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Interval membership join (J10): flag left rows whose `dateCol` falls
+    * in any [startCol, endCol] interval of the same key — suspension
+    * ranges (/root/reference/tasks/merge/tushare.py:190-221). Intervals
+    * per key are few, so the interval side broadcasts.
+    */
+  def flagInIntervals(
+      left: DataFrame, intervals: DataFrame, keys: Seq[String],
+      dateCol: String, startCol: String, endCol: String, flagName: String): DataFrame = {
+    val iv = intervals.select(keys.map(col) :+ col(startCol) :+ col(endCol): _*)
+    val cond = keys.map(k => left(k) === iv(k)).reduce(_ && _) &&
+      left(dateCol) >= iv(startCol) && left(dateCol) <= iv(endCol)
+    val joined = left.join(broadcast(iv), cond, "left_outer")
+      .withColumn(flagName, when(iv(startCol).isNotNull, 1).otherwise(0))
+      .drop(iv(startCol)).drop(iv(endCol))
+    keys.foldLeft(joined)((d, k) => d.drop(iv(k)))
+      .dropDuplicates(left.columns.toIndexedSeq :+ flagName) // overlapping intervals must not dup rows
+  }
+
+  /** J12 — expand interval rows to one row per calendar date in
+    * [startCol, endCol): the reference's row-loop
+    * (finance_report/__init__.py:525-560) done set-based against the
+    * trade calendar.
+    */
+  def expandToCalendar(
+      intervals: DataFrame, calendar: DataFrame, calDateCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val cal = broadcast(calendar.select(col(calDateCol)))
+    intervals.join(cal,
+      cal(calDateCol) >= intervals(startCol) && cal(calDateCol) < intervals(endCol),
+      "inner")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-vendor reconciliation (SURVEY §2.9 F1–F6, §2.10 D9).
+  *
+  * The reference merges two vendors' tables with a full-outer join and
+  * then runs a per-row Python dispatch over column-rule dicts
+  * (/root/reference/tasks/merge/__init__.py:21-95, rule tables
+  * /root/reference/tasks/merge/stock.py:121-169). Here each rule is a
+  * `Column` expression, so the whole per-row loop collapses into one
+  * codegen'd projection — and the tolerance *warnings* the reference
+  * logged become a queryable side-output DataFrame of conflicts.
+  */
+object MergeOps {
+
+  /** F1 — null-aware source preference. */
+  def preferLeft(l: Column, r: Column): Column = coalesce(l, r)
+  def preferRight(l: Column, r: Column): Column = coalesce(r, l)
+
+  /** F2 — mean of the sources present (avg when both, the survivor when
+    * one-sided, null when neither). `scale` implements F3's unit-rescaled
+    * variants (×10000 share counts, ×100 percents:
+    * /root/reference/tasks/merge/future.py:252-253).
+    */
+  def meanValue(l: Column, r: Column, scale: Double = 1.0): Column = {
+    val ls = l * lit(scale)
+    val cnt = when(ls.isNotNull, 1).otherwise(0) + when(r.isNotNull, 1).otherwise(0)
+    when(cnt === 0, lit(null))
+      .otherwise((coalesce(ls, lit(0.0)) + coalesce(r, lit(0.0))) / cnt)
+  }
+
+  /** F2's tolerance check as a predicate: both present and relative gap
+    * beyond ε (/root/reference/tasks/merge/__init__.py:58-69). */
+  def conflictFlag(l: Column, r: Column, tol: Double = 0.01, scale: Double = 1.0): Column = {
+    val ls = l * lit(scale)
+    ls.isNotNull && r.isNotNull && r =!= 0 && abs(ls - r) / abs(r) >= lit(tol)
+  }
+
+  /** F4 — null-safe passthrough with default. */
+  def getValue(c: Column, default: Any): Column = coalesce(c, lit(default))
+
+  /** Provenance marker for a full-outer merge (pandas `indicator=True`,
+    * /root/reference/tasks/merge/stock.py:116-120). */
+  def provenance(l: Column, r: Column): Column =
+    when(l.isNotNull && r.isNotNull, "both")
+      .when(l.isNotNull, "left_only")
+      .otherwise("right_only")
+
+  /** D9 driver — outer-join two vendor tables on `keys` and apply a
+    * declarative column→rule map in one `select`. Key columns may be
+    * named differently per vendor (`leftKeys`/`rightKeys` are aligned
+    * positionally and surfaced under `outKeys`).
+    */
+  def reconcile(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], outKeys: Seq[String],
+      rules: Seq[(String, (Column, Column) => Column)],
+      leftCols: String => Column, rightCols: String => Column): DataFrame = {
+    val cond = leftKeys.zip(rightKeys).map { case (lk, rk) => left(lk) <=> right(rk) }
+      .reduce(_ && _)
+    val joined = left.join(right, cond, "full_outer")
+    val keyCols = leftKeys.zip(rightKeys).zip(outKeys).map { case ((lk, rk), ok) =>
+      coalesce(left(lk), right(rk)).as(ok)
+    }
+    val valueCols = rules.map { case (name, rule) => rule(leftCols(name), rightCols(name)).as(name) }
+    joined.select(keyCols ++ valueCols: _*)
+  }
+}

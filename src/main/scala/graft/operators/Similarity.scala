@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one shuffle-free map
+  * + a top-k window); the scale path buckets vectors with
+  * sign-random-projection LSH (or an IVF-style coarse quantizer) so the
+  * candidate set per query is a bucket, not the corpus.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for every query vector against the
+    * corpus. Corpus side is broadcast when small; for corpus ≫ memory,
+    * swap the broadcast for an LSH/IVF variant below.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String, k: Int,
+      broadcastCorpus: Boolean = true): DataFrame = {
+    val c0 = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val c = if (broadcastCorpus) broadcast(c0) else c0
+    val scored = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-style coarse partitioning: assign each vector to its nearest of
+    * `centroids` (a small broadcast list of (centroid_id, vec)), then
+    * search only within the probe cell(s). Recall<1, linear scale-out.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centId: String, centVec: String): DataFrame = {
+    val c = broadcast(centroids.select(col(centId).as("__cid"), col(centVec).as("__cv")))
+    val scored = vectors.join(c)
+      .withColumn("__d", VectorFunctions.l2Distance(col(vecCol), col("__cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("__cid").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(vectors.columns.map(col) :+ col("__cid").as("cell"): _*)
+  }
+
+  /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP
+    * bucket are candidates; exact cosine verifies. One shuffle on the
+    * bucket id.
+    */
+  def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, minCosine: Double): DataFrame = {
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      VectorFunctions.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
+  }
+}

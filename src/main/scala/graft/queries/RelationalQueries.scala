@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.core.{IncrementalPlanner, Tables}
+import graft.operators.{AsOfJoin, MergeOps, Resample}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 relational operator inventory exercised on the driver
+  * testdata, each with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Numeric policy for oracle hash-matching: money sums run on
+  * `decimal(18,2)` (exact in both engines) and are cast back to double
+  * for a stable output schema; pure divisions of deterministic doubles
+  * are IEEE-identical and shipped unrounded; anything else is rounded.
+  */
+object RelationalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val dec = "decimal(18,2)"
+
+  val queries: Map[String, Q] = Map(
+    // ── A-family: aggregations ────────────────────────────────────────
+    "a1_pricing_summary" -> ((s, d) => {
+      // TPC-H Q1 shape: the reference's daily-aggregate workhorse.
+      val li = Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("decimal(28,6)"))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "a1_watermark_per_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("max_ship_date"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    "a2_global_watermark" -> ((s, d) => {
+      Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("wm"), count(lit(1)).as("n_rows"))
+    }),
+
+    "a8_median_by_group" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(median(col("c_acctbal")).as("median_acctbal"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "a12_bucket_counts" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(max(col("n")).as("max_daily_events"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── J-family: joins ───────────────────────────────────────────────
+    "j3_fetch_ranges" -> ((s, d) => {
+      // The signature incremental-watermark plan (SURVEY J3) via
+      // IncrementalPlanner: per-customer next order-date fetch window.
+      val keys = Tables.customer(s, d).select(col("c_custkey"))
+      val existing = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), to_date(col("o_orderdate")).as("od"))
+      IncrementalPlanner.fetchRanges(keys, existing, Seq("c_custkey"), "od",
+        defaultStart = lit("1992-01-01").cast("date"),
+        dateTo = lit("2002-12-31").cast("date"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j4_anti_new_keys" -> ((s, d) => {
+      IncrementalPlanner.newKeys(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "j1_vendor_merge" -> ((s, d) => {
+      // D9 cross-vendor reconciliation shape: two overlapping "vendor"
+      // views of the same series, full-outer merged with F1/F2 rules
+      // and a provenance marker.
+      def vendor(maxLine: Int, minLine: Int) = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= maxLine && col("l_linenumber") >= minLine)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("px"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+      val va = vendor(3, 1)
+      val vb = vendor(7, 2)
+      val srcCol = (n: String) => if (n == "provenance") "px" else n
+      MergeOps.reconcile(
+        va, vb,
+        leftKeys = Seq("l_suppkey", "ship_date"), rightKeys = Seq("l_suppkey", "ship_date"),
+        outKeys = Seq("l_suppkey", "ship_date"),
+        rules = Seq(
+          "px" -> ((l, r) => MergeOps.preferLeft(l, r)),
+          "qty" -> ((l, r) => round(MergeOps.meanValue(l, r), 6)),
+          "provenance" -> ((l, r) => MergeOps.provenance(l, r))),
+        leftCols = n => va(srcCol(n)), rightCols = n => vb(srcCol(n)))
+        .orderBy(col("l_suppkey"), col("ship_date"))
+    }),
+
+    "j8_asof_join" -> ((s, d) => {
+      // Report→daily as-of shape on events: every event sees the value
+      // of the user's latest purchase at-or-before its timestamp.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("last_purchase_value"))
+      AsOfJoin.asofBackward(ev, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "p_ts", valueCols = Seq("last_purchase_value"))
+        .select("event_id", "user_id", "ts", "event_type", "last_purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
+    "j10_interval_flag" -> ((s, d) => {
+      // Suspension-interval membership: an order is "suspended" if its
+      // date falls within 30 days after any F-status order of the same
+      // customer.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("s_start"),
+          date_add(to_date(col("o_orderdate")), 30).as("s_end"))
+      AsOfJoin.flagInIntervals(o, intervals, Seq("o_custkey"), "od", "s_start", "s_end", "suspended")
+        .select("o_orderkey", "o_custkey", "od", "suspended")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── A3/A4: tick→bar and roll-up ──────────────────────────────────
+    "a3_tick_bars" -> ((s, d) => {
+      val ticks = Tables.events(s, d).withColumn("one", lit(1.0))
+      Resample.ticksToBars(ticks, Seq("user_id"), "ts", "event_id", "value", "one", "1 hour")
+        .withColumn("amount", round(col("amount"), 4))
+        .orderBy(col("user_id"), col("bar_start"))
+    }),
+
+    "a4_bar_rollup" -> ((s, d) => {
+      val ticks = Tables.events(s, d).withColumn("one", lit(1.0))
+      val bars1h = Resample.ticksToBars(ticks, Seq("user_id"), "ts", "event_id", "value", "one", "1 hour")
+        .select(col("user_id"), col("bar_start"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+      Resample.rollUpBars(bars1h, Seq("user_id"), "bar_start", 240)
+        .orderBy(col("user_id"), col("bar_start"))
+    }),
+
+    "d8_big_order_flow" -> ((s, d) => {
+      val ticks = Tables.events(s, d).withColumn("one", lit(1.0))
+      Resample.bigOrderFlow(ticks, Seq("user_id"), "value", "one",
+        buyFlag = col("event_type").isin("purchase", "signup"), threshold = 100.0)
+        .select(col("user_id"),
+          round(col("big_buy_amount"), 4).as("big_buy_amount"),
+          round(col("big_sell_amount"), 4).as("big_sell_amount"),
+          round(col("big_buy_vol"), 4).as("big_buy_vol"),
+          round(col("big_sell_vol"), 4).as("big_sell_vol"),
+          round(col("net_big_buy_amount"), 4).as("net_big_buy_amount"),
+          round(col("big_ratio"), 6).as("big_ratio"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── W-family: windows ─────────────────────────────────────────────
+    "w1_lead_lag" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+      o.withColumn("prev_od", lag(col("od"), 1).over(w))
+        .withColumn("next_od", lead(col("od"), 1).over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("pct_chg",
+          when(lag(col("o_totalprice"), 1).over(w) =!= 0,
+            round((col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)) /
+              lag(col("o_totalprice"), 1).over(w), 6)))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "w3_running_windows" -> ((s, d) => {
+      // W3 cumprod (back-adjust factor chains) + W4 cumsum + W5 ffill.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      // Partition by (supplier, year) so the factor chain stays short and
+      // the ratio near 1 — the shape of real back-adjust chains.
+      val w = Window.partitionBy(col("l_suppkey"), year(col("ship_date")))
+        .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      li.withColumn("run_qty", sum(col("l_quantity").cast(dec)).over(w).cast("double"))
+        .withColumn("run_price", sum(col("l_extendedprice").cast(dec)).over(w).cast("double"))
+        .withColumn("cum_ratio",
+          round(graft.functions.ProductAgg.productOf(lit(1.0) + col("l_discount") / 100.0).over(w), 8))
+        .withColumn("last_r_price",
+          last(when(col("l_returnflag") === "R", col("l_extendedprice")), ignoreNulls = true).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_date",
+          "run_qty", "run_price", "cum_ratio", "last_r_price")
+        .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "w6_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    "w7_argmax_per_group" -> ((s, d) => {
+      // idxmax on the long format (SURVEY W7): top order-priority per
+      // month by order count, ties broken by priority name.
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("month"), col("o_orderpriority").as("top_priority"), col("n"))
+        .orderBy(col("month"))
+    }),
+
+    // ── O-family: set ops / dedup / distinct ─────────────────────────
+    "o4_set_algebra" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custs(st: String) = o.filter(col("o_orderstatus") === st)
+        .select(col("o_custkey")).distinct()
+      val both = custs("O").intersect(custs("F")).withColumn("tag", lit("o_and_f"))
+      val onlyO = custs("O").except(custs("F")).withColumn("tag", lit("o_not_f"))
+      val either = custs("O").union(custs("F")).distinct().withColumn("tag", lit("o_or_f"))
+      both.unionByName(onlyO).unionByName(either)
+        .select(col("tag"), col("o_custkey"))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    "o5_distinct_pairs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .dropDuplicates("o_orderstatus", "o_orderpriority")
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ── F-family: scalar functions ───────────────────────────────────
+    "f7_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        upper(col("p_name")).as("name_upper"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("name_first_word"),
+        substring(col("p_type"), 1, 5).as("type_prefix"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "f10_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        date_add(to_date(col("o_orderdate")), 7).as("od_plus7"),
+        last_day(to_date(col("o_orderdate"))).as("od_eom"),
+        year(col("o_orderdate")).as("od_year"),
+        quarter(col("o_orderdate")).as("od_quarter"),
+        least(to_date(col("o_orderdate")), lit("1998-01-01").cast("date")).as("od_clamped"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_2002"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f12_code_norm" -> ((s, d) => {
+      // Vendor code normalization (XSHG→.SH family) as when-chains +
+      // a literal map lookup (F14).
+      val exch = typedlit(Map(0 -> "SH", 1 -> "SZ", 2 -> "HK"))
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_mktsegment"), lit("."),
+          element_at(exch, pmod(col("c_nationkey"), lit(3)).cast("int"))).as("norm_code"),
+        when(col("c_mktsegment") === "BUILDING", "BLD")
+          .when(col("c_mktsegment") === "AUTOMOBILE", "AUT")
+          .otherwise(substring(col("c_mktsegment"), 1, 3)).as("seg_code"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── R1: pivot ────────────────────────────────────────────────────
+    "r1_pivot_monthly" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double"))
+        .withColumnRenamed("1-URGENT", "p_urgent")
+        .withColumnRenamed("2-HIGH", "p_high")
+        .withColumnRenamed("3-MEDIUM", "p_medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "p_notspec")
+        .withColumnRenamed("5-LOW", "p_low")
+        .orderBy(col("month"))
+    }),
+
+    // ── TPC-H-style multi-join (P-family pushdown showcase) ──────────
+    "p3_pushdown_join" -> ((s, d) => {
+      // Filter + projection pushdown through a 4-table join; broadcast
+      // dims (nation/region), shuffle join facts.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(to_date(col("o_orderdate")) >= lit("1997-01-01"))
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }))
+}
