@@ -17,8 +17,8 @@ object SparkEntry {
     queries("a1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ DomainQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOracles.oracleSql
+    RelationalOracles.oracleSql ++ TextQueries.oracleSql ++ DomainQueries.oracleSql
 }

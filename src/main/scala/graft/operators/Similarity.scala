@@ -20,12 +20,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String, k: Int,
-      broadcastCorpus: Boolean = true): DataFrame = {
+      broadcastCorpus: Boolean = true, rankRound: Option[Int] = None): DataFrame = {
     val c0 = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
     val c = if (broadcastCorpus) broadcast(c0) else c0
+    val rawCos = VectorFunctions.cosine(col("__qv"), col("__cv"))
+    // rankRound quantizes the score before ranking — determinism across
+    // engines/run-configs at the cost of arbitrary order inside a tie.
+    val cosCol = rankRound.map(n => round(rawCos, n)).getOrElse(rawCos)
     val scored = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
       .join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.analytics.{ContinuousFutures, FinanceReports}
+import graft.core.{TableSpec, TableStore, Tables}
+import graft.streaming.TickBarStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain algorithms (SURVEY §2.10) + the upsert/streaming primitives,
+  * exercised on the driver testdata. Derivations map the TPC-H-ish
+  * tables onto the reference's entity shapes (orders→quarterly reports,
+  * lineitem→futures bars, events→ticks).
+  */
+object DomainQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val dec = "decimal(18,2)"
+
+  /** lineitem reinterpreted as futures bars: contract = supplier,
+    * instrument type = supplier mod 5, maturity = contract's last ship
+    * date. `switch_by` is the contract's *monthly* quantity (constant
+    * within a month) so dominance shifts at realistic roll cadence
+    * instead of flapping on daily noise. */
+  private def futuresBars(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("trade_date"))
+      .agg((sum(col("l_extendedprice").cast(dec)) / sum(col("l_quantity").cast(dec)))
+        .cast("double").as("close"))
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("mk"), date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("switch_by"))
+    val maturity = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_trade_date"))
+    daily.join(maturity, "l_suppkey")
+      .join(monthly, col("mk") === col("l_suppkey") &&
+        col("m") === date_trunc("month", col("trade_date")).cast("date"))
+      .select(
+        concat(lit("T"), pmod(col("l_suppkey"), lit(5))).as("instrument_type"),
+        concat(lit("S"), col("l_suppkey")).as("instrument_id"),
+        col("trade_date"), col("close"), col("switch_by"), col("last_trade_date"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ── D4: YTD→quarterly (flatMapGroups state machine) ──────────────
+    "d4_ytd_quarterly" -> ((s, d) => {
+      // Build an exactly-known YTD series (running quarterly revenue per
+      // customer-year, complete years only) and de-cumulate it; the
+      // oracle is the plain quarterly sum the series was built from.
+      val q = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("qdec"))
+      val full = q.groupBy(col("o_custkey"), col("y"))
+        .agg(count(lit(1)).as("nq")).filter(col("nq") === 4)
+        .select(col("o_custkey").as("ck"), col("y").as("yy"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("y")).orderBy(col("q"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val reports = q.join(full, col("o_custkey") === col("ck") && col("y") === col("yy"))
+        .withColumn("ytd", sum(col("qdec")).over(wcum).cast("double"))
+        .select(col("o_custkey").cast("string").as("code"),
+          make_date(col("y"), col("q") * 3, lit(1)).as("report_date"), col("ytd"))
+      FinanceReports.ytdToQuarterly(s, reports)
+        .select(col("code"), col("report_date"), round(col("season"), 4).as("season"))
+        .orderBy(col("code"), col("report_date"))
+    }),
+
+    // ── D6: report→daily as-of expansion ─────────────────────────────
+    "d6_report_expansion" -> ((s, d) => {
+      val reports = Tables.orders(s, d)
+        .filter(col("o_custkey") % 50 === 0)
+        .groupBy(col("o_custkey").as("code"), to_date(col("o_orderdate")).as("pub_date"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("val"))
+        .withColumn("report_date", date_sub(col("pub_date"), 90))
+      val calendar = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("cal_date"))
+        .distinct()
+      FinanceReports.reportToDaily(reports, calendar,
+        codeCol = "code", pubDateCol = "pub_date", reportDateCol = "report_date",
+        calDateCol = "cal_date", valueCols = Seq("val"),
+        horizon = java.sql.Date.valueOf("2002-12-31"))
+        .orderBy(col("code"), col("cal_date"), col("pub_date"))
+    }),
+
+    // ── D1–D3: continuous futures (rows-only; golden-tested in specs) ─
+    "d1_dominant_contract" -> ((s, d) =>
+      ContinuousFutures.dailySelection(s, futuresBars(s, d))
+        .orderBy(col("instrument_type"), col("trade_date"))),
+
+    "d2_adj_factors" -> ((s, d) =>
+      // Diff-method factors on the derived scenario: cross-contract price
+      // gaps sum (bounded); Division is golden-tested on the controlled
+      // fixture in ContinuousFuturesSpec.
+      ContinuousFutures.adjFactors(s, futuresBars(s, d), ContinuousFutures.Diff)
+        .withColumn("adj_factor_main", round(col("adj_factor_main"), 6))
+        .withColumn("adj_factor_secondary", round(col("adj_factor_secondary"), 6))
+        .orderBy(col("instrument_type"), col("trade_date"))),
+
+    "d3_continuous_series" -> ((s, d) =>
+      ContinuousFutures.continuousSeries(s, futuresBars(s, d), ContinuousFutures.Diff)
+        .withColumn("close", round(col("close"), 6))
+        .withColumn("close_adj", round(col("close_adj"), 6))
+        .withColumn("adj_factor_main", round(col("adj_factor_main"), 6))
+        .orderBy(col("instrument_type"), col("trade_date"))),
+
+    // ── K1: keyed upsert end-to-end (the #1 sink primitive) ──────────
+    "k1_upsert_readback" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_flat"
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_upsert", Seq("o_orderkey"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val batch1 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"), to_date(col("o_orderdate")).as("od"))
+      store.upsert(spec, batch1)
+      val batch2 = batch1.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("X"))
+      store.upsert(spec, batch2)
+      store.read(spec).orderBy(col("o_orderkey"))
+    }),
+
+    "k1_upsert_partitioned" -> ((s, d) => {
+      // Partitioned upsert: the second batch must rewrite only the
+      // partitions it touches (1997), leaving the rest byte-identical.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_part"
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_part", Seq("o_orderkey"), partitionBy = Seq("od_year"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val batch1 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"), year(col("o_orderdate")).as("od_year"))
+      store.upsert(spec, batch1)
+      val batch2 = batch1.filter(col("od_year") === 1997 && col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      store.upsert(spec, batch2)
+      store.read(spec)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("od_year").cast("int").as("od_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "k2_insert_ignore" -> ((s, d) => {
+      // INSERT IGNORE: conflicting second batch must NOT win.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_ignore"
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_ignore", Seq("o_orderkey"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val batch1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      store.upsert(spec, batch1)
+      val batch2 = batch1.withColumn("o_totalprice", lit(-1.0))
+      store.insertIgnore(spec, batch2)
+      store.read(spec).orderBy(col("o_orderkey"))
+    }),
+
+    "k3_overwrite_partitions" -> ((s, d) => {
+      // Delete-then-insert of one partition slice (dynamic overwrite).
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_overwrite_part"
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_ow", Seq("o_orderkey"), partitionBy = Seq("od_year"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val batch1 = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("od_year"))
+      store.upsert(spec, batch1)
+      val replacement = batch1.filter(col("od_year") === 1998)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 0.5, 4))
+      store.overwritePartitions(spec, replacement)
+      store.read(spec)
+        .select(col("o_orderkey"), col("o_totalprice"), col("od_year").cast("int").as("od_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── Streaming: watermarked tick→bar replay (parity with a3) ──────
+    "stream_tick_bars" -> ((s, d) => {
+      // File streaming sources need a directory: stage the events file
+      // into a scratch dir and replay it from there.
+      val streamDir = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val raw = s.readStream.schema(
+        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+      val ticks =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val bars = TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
+        windowDuration = "1 hour", watermark = "10 minutes")
+      val q = bars.writeStream.outputMode("complete").format("memory")
+        .queryName("graft_stream_bars").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_bars").orderBy(col("user_id"), col("bar_start"))
+    }),
+
+    // ── Multimodal: partition-wise feature extraction over binary ────
+    "mm_media_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.streaming.MultimodalPipeline.extractFeatures(s, docs, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "d4_ytd_quarterly" ->
+      """WITH q AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS code, year(o_orderdate) AS y,
+        |    quarter(o_orderdate) AS q,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qval
+        |  FROM orders GROUP BY 1, 2, 3),
+        |full4 AS (SELECT code, y FROM q GROUP BY code, y HAVING count(*) = 4)
+        |SELECT q.code, make_date(q.y, q.q * 3, 1) AS report_date,
+        |  round(qval, 4) AS season
+        |FROM q JOIN full4 USING (code, y)
+        |ORDER BY code, report_date""".stripMargin,
+
+    "d6_report_expansion" ->
+      """WITH reports AS (
+        |  SELECT o_custkey AS code, CAST(o_orderdate AS DATE) AS pub_date,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+        |  FROM orders WHERE o_custkey % 50 = 0 GROUP BY 1, 2),
+        |wnd AS (
+        |  SELECT code, pub_date, pub_date - 90 AS report_date, val,
+        |    coalesce(lead(pub_date) OVER (PARTITION BY code ORDER BY pub_date),
+        |             DATE '2002-12-31') AS until_d
+        |  FROM reports),
+        |cal AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS cal_date FROM orders)
+        |SELECT code, cal_date, pub_date, report_date, val
+        |FROM wnd JOIN cal ON cal.cal_date >= wnd.pub_date AND cal.cal_date < wnd.until_d
+        |ORDER BY code, cal_date, pub_date""".stripMargin,
+
+    "k1_upsert_readback" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k1_upsert_partitioned" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 3 = 0
+        |       THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus, year(o_orderdate) AS od_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k2_insert_ignore" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k3_overwrite_partitions" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1998 THEN round(o_totalprice * 0.5, 4)
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  year(o_orderdate) AS od_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "stream_tick_bars" ->
+      """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+        |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, event_id) AS close, count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    "mm_media_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
+        |  CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INT) AS fake_width,
+        |  CAST((octet_length(encode(text)) * 13) % 768 + 1 AS INT) AS fake_height,
+        |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS fake_n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data operators over the `documents` / `embeddings`
+  * tables: text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard), and embedding similarity search. Hash-based signatures
+  * (xxhash64) have no DuckDB equivalent, so those queries get the
+  * driver's rows-only check; everything else carries an oracle.
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        punctRatio(col("text")).as("punct_ratio"),
+        meanTokenLength(col("text")).as("mean_token_len"),
+        stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "t_quality_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "t_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "dd_exact_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    "dd_ngram_jaccard_pairs" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id").as("id_a"), col("source"), col("text").as("text_a"))
+      val b = Tables.documents(s, d)
+        .select(col("doc_id").as("id_b"), col("source"), col("text").as("text_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_b") > col("id_a") && col("id_b") - col("id_a") <= 25)
+        .withColumn("jaccard1", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6))
+        .withColumn("jaccard3", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
+        .filter(col("jaccard1") >= 0.5)
+        .select("id_a", "id_b", "jaccard1", "jaccard3")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // xxhash64 signatures — no DuckDB twin → rows-only checks.
+    "dd_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "v_knn_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e,
+        qId = "vec_id", qVec = "v", cId = "vec_id", cVec = "v",
+        k = 3, rankRound = Some(6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "v_lsh_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshNeighborPairs(e, "vec_id", "v", dim = 64, nBits = 6, minCosine = 0.3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  private val toksExpr =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"""
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+  // single-quote doubled for embedding in SQL string literals
+  private val punctClass = """[.,!?;:''"()\[\]{}-]"""
+  private val enStops =
+    englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks, w -> CAST(ceil(len(w) / 4.0) AS INT))) AS BIGINT) AS n_subwords,
+         |  CASE WHEN len(text) > 0 THEN
+         |    CAST(len(text) - len(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE) / len(text)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)
+         |  ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN len(ltoks) > 0 THEN
+         |    CAST(len(list_filter(ltoks, x -> list_contains($enStops, x))) AS DOUBLE) / len(ltoks)
+         |  ELSE 0.0 END AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_quality_langid" -> {
+      val hitExprs = langProfiles.map { case (lang, markers) =>
+        val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(ltoks, x -> list_contains($arr, x))) AS h_$lang"
+      }.mkString(",\n  ")
+      val langs = langProfiles.map(_._1)
+      val gmax = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val langCase = langs.map(l => s"WHEN h_$l = $gmax THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents),
+         |h AS (SELECT doc_id, text, toks, ltoks,
+         |  $hitExprs
+         |FROM t),
+         |parts AS (SELECT doc_id,
+         |  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score,
+         |  1.0 - least((CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+         |  CASE WHEN (CASE WHEN len(toks) > 0 THEN
+         |        CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) ELSE 0.0 END)
+         |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+         |  least((CASE WHEN len(ltoks) > 0 THEN
+         |      CAST(len(list_filter(ltoks, x -> list_contains($enStops, x))) AS DOUBLE) / len(ltoks)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS sw_score,
+         |  CASE WHEN $gmax > 0 THEN CASE $langCase END ELSE 'und' END AS lang_pred
+         |FROM h)
+         |SELECT doc_id,
+         |  round(length_score * 0.4 + punct_score * 0.2 + word_score * 0.2 + sw_score * 0.2, 6) AS quality,
+         |  lang_pred
+         |FROM parts ORDER BY doc_id""".stripMargin
+    },
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($toksLower, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_exact_groups" ->
+      s"""SELECT md5(array_to_string($toksLower, ' ')) AS fp,
+         |  count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "dd_ngram_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    list_distinct($toksLower) AS w1,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len($toksLower) - 3, 0) + 1),
+         |      i -> array_to_string(($toksLower)[i + 1:i + 3], ' '))) AS w3
+         |  FROM documents)
+         |SELECT id_a, id_b, jaccard1, jaccard3 FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CASE WHEN len(list_distinct(list_concat(a.w1, b.w1))) > 0 THEN
+         |      CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.w1, b.w1))) ELSE 0.0 END, 6) AS jaccard1,
+         |    round(CASE WHEN len(list_distinct(list_concat(a.w3, b.w3))) > 0 THEN
+         |      CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.w3, b.w3))) ELSE 0.0 END, 6) AS jaccard3
+         |  FROM t a JOIN t b ON a.source = b.source
+         |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
+         |WHERE jaccard1 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "v_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos_raw
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q
+        |  JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
+        |  FROM s) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, MergeOps, Resample}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SharedSpark {
+  import java.sql.Date.{valueOf => d}
+
+  test("F1/F2 merge combinators: null/conflict matrix") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(10.0), Some(12.0)), // both
+      (Some(10.0), None), // left only
+      (None, Some(12.0)), // right only
+      (Option.empty[Double], Option.empty[Double])) // neither
+      .toDF("l", "r")
+    val got = df.select(
+      MergeOps.preferLeft($"l", $"r").as("pl"),
+      MergeOps.preferRight($"l", $"r").as("pr"),
+      MergeOps.meanValue($"l", $"r").as("mv"),
+      MergeOps.conflictFlag($"l", $"r", tol = 0.01).as("cf"),
+      MergeOps.provenance($"l", $"r").as("prov")).collect()
+    assert(got(0).getDouble(0) == 10.0 && got(0).getDouble(1) == 12.0)
+    assert(got(0).getDouble(2) == 11.0 && got(0).getBoolean(3))
+    assert(got(0).getString(4) == "both")
+    assert(got(1).getDouble(2) == 10.0 && !got(1).getBoolean(3))
+    assert(got(1).getString(4) == "left_only")
+    assert(got(2).getDouble(2) == 12.0 && got(2).getString(4) == "right_only")
+    assert(got(3).isNullAt(2))
+  }
+
+  test("mean_value tolerance: within-epsilon pair is not a conflict") {
+    import spark.implicits._
+    val got = Seq((Some(100.0), Some(100.5)), (Some(100.0), Some(102.0)))
+      .toDF("l", "r")
+      .select(MergeOps.conflictFlag($"l", $"r", tol = 0.01).as("cf"))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(false, true))
+  }
+
+  test("as-of backward join picks latest state at-or-before each row") {
+    import spark.implicits._
+    val left = Seq(("k", 5), ("k", 10), ("k", 20), ("x", 7))
+      .toDF("key", "t")
+    val right = Seq(("k", 5, "r5"), ("k", 9, "r9"), ("k", 15, "r15"))
+      .toDF("key", "rt", "v")
+    val got = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "rt", Seq("v"))
+      .orderBy("key", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      ("k", 5, Some("r5")), // equal timestamp: state visible same day
+      ("k", 10, Some("r9")),
+      ("k", 20, Some("r15")),
+      ("x", 7, None))) // no state for this key
+  }
+
+  test("interval flag marks rows inside any [start,end] of their key") {
+    import spark.implicits._
+    val rows = Seq(("a", d("2021-01-05")), ("a", d("2021-02-01")), ("b", d("2021-01-05")))
+      .toDF("k", "dt")
+    val iv = Seq(("a", d("2021-01-01"), d("2021-01-10")),
+      ("a", d("2021-01-04"), d("2021-01-06"))) // overlapping — no dup rows
+      .toDF("k", "s", "e")
+    val got = AsOfJoin.flagInIntervals(rows, iv, Seq("k"), "dt", "s", "e", "flag")
+      .orderBy("k", "dt").collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 1), ("a", 0), ("b", 0)))
+  }
+
+  test("tick→bar OHLCV: open/close by sequence, not by price") {
+    import spark.implicits._
+    val ticks = Seq(
+      // out-of-order sequence within the minute
+      ("s1", "2021-01-01 09:30:05", 3, 101.0, 5.0),
+      ("s1", "2021-01-01 09:30:10", 1, 99.0, 10.0),
+      ("s1", "2021-01-01 09:30:20", 2, 105.0, 2.0),
+      ("s1", "2021-01-01 09:31:02", 4, 98.0, 1.0))
+      .toDF("code", "ts_s", "seq", "price", "vol")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val got = Resample.ticksToBars(ticks, Seq("code"), "ts", "seq", "price", "vol", "1 minute")
+      .orderBy("bar_start").collect()
+    val b0 = got(0)
+    assert(b0.getDouble(2) == 99.0) // open = price at min seq
+    assert(b0.getDouble(3) == 105.0) // high
+    assert(b0.getDouble(4) == 99.0) // low
+    assert(b0.getDouble(5) == 101.0) // close = price at max seq
+    assert(b0.getDouble(6) == 17.0) // volume
+    assert(got.length == 2)
+  }
+
+  test("exact dedup keeps the lowest id per normalized content") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 3L)) // 2 is a near-exact dup of 1
+  }
+
+  test("minhash LSH surfaces planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    val docs = (Seq((1L, base), (2L, nearDup)) ++
+      (3L to 30L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+      shingleLen = 4, numHashes = 16, bands = 8, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.length < 10) // and not everything pairs with everything
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simHash(docs, "text").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("simhash"))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0), h(1)) < hamming(h(0), h(2)))
+  }
+
+  test("language id picks the profile with most marker hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of to is"),
+      (2L, "el perro y la casa de que los"),
+      (3L, "xyzzy plugh qwerty"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextFunctions.langId($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+}

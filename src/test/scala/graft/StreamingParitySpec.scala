@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Resample
+import graft.streaming.TickBarStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2(5): the streaming tick→bar pipeline must produce exactly
+  * the bars the batch aggregation produces when the whole fixture is
+  * replayed (late rows within watermark included).
+  */
+class StreamingParitySpec extends AnyFunSuite with SharedSpark {
+
+  test("streaming bars ≡ batch bars on the sf0.001 events fixture") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batchTicks = Tables.events(spark, sfDir)
+    val batch = Resample
+      .ticksToBars(batchTicks.withColumn("one", lit(1.0)),
+        Seq("user_id"), "ts", "event_id", "value", "one", "1 hour")
+      .select("user_id", "bar_start", "open", "high", "low", "close", "n_ticks")
+
+    // stage into a directory for the file stream source
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_parity_stream"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet"), fs,
+      new org.apache.hadoop.fs.Path(dir, "events.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema).parquet(dir)
+    val ticks =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val streamed = TickBarStream.replayParquet(spark, dir,
+      spark.read.parquet(s"$sfDir/events.parquet").schema,
+      _ => TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
+        "1 hour", watermark = "10 minutes"),
+      queryName = "parity_bars")
+      .select("user_id", "bar_start", "open", "high", "low", "close", "n_ticks")
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.{TableSpec, TableStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableStoreSpec extends AnyFunSuite with SharedSpark {
+
+  private def freshStore(name: String): TableStore = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_test_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    new TableStore(spark, dir)
+  }
+
+  test("upsert: new rows win on PK conflict (ON DUPLICATE KEY UPDATE)") {
+    import spark.implicits._
+    val store = freshStore("upsert")
+    val spec = TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "s", "v"))
+    store.upsert(spec, Seq((2, "B", 21.0), (3, "c", 30.0)).toDF("k", "s", "v"))
+    val got = store.read(spec).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1, "a", 10.0), (2, "B", 21.0), (3, "c", 30.0)))
+  }
+
+  test("insertIgnore: existing rows survive conflict") {
+    import spark.implicits._
+    val store = freshStore("ignore")
+    val spec = TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1, 10.0)).toDF("k", "v"))
+    store.insertIgnore(spec, Seq((1, -1.0), (2, 20.0)).toDF("k", "v"))
+    val got = store.read(spec).orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1, 10.0), (2, 20.0)))
+  }
+
+  test("upsert is idempotent (upsert ∘ upsert = upsert)") {
+    import spark.implicits._
+    val store = freshStore("idem")
+    val spec = TableSpec("t", Seq("k"))
+    val batch = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("k", "v")
+    store.upsert(spec, batch)
+    val first = store.read(spec).orderBy("k").collect().toSeq
+    store.upsert(spec, batch)
+    val second = store.read(spec).orderBy("k").collect().toSeq
+    assert(first == second)
+  }
+
+  test("partitioned upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val store = freshStore("part")
+    val spec = TableSpec("t", Seq("k"), partitionBy = Seq("y"))
+    store.upsert(spec, Seq((1, 2020, 1.0), (2, 2020, 2.0), (3, 2021, 3.0)).toDF("k", "y", "v"))
+    // touch only 2021
+    store.upsert(spec, Seq((3, 2021, 30.0), (4, 2021, 4.0)).toDF("k", "y", "v"))
+    val got = store.read(spec).orderBy("k").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+    assert(got.toSeq == Seq((1, 1.0), (2, 2.0), (3, 30.0), (4, 4.0)))
+  }
+
+  test("overwritePartitions replaces only the slice present in the batch") {
+    import spark.implicits._
+    val store = freshStore("ow")
+    val spec = TableSpec("t", Seq("k"), partitionBy = Seq("y"))
+    store.upsert(spec, Seq((1, 2020, 1.0), (2, 2021, 2.0), (3, 2021, 3.0)).toDF("k", "y", "v"))
+    store.overwritePartitions(spec, Seq((9, 2021, 9.0)).toDF("k", "y", "v"))
+    val got = store.read(spec).orderBy("k").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+    assert(got.toSeq == Seq((1, 1.0), (9, 9.0)))
+  }
+
+  test("in-batch duplicates keep the new-wins row deterministically") {
+    import spark.implicits._
+    val store = freshStore("dup")
+    val spec = TableSpec("t", Seq("k"))
+    // duplicate PK inside one batch — one survivor, table stays unique
+    store.upsert(spec, Seq((1, 1.0), (1, 99.0)).toDF("k", "v"))
+    assert(store.read(spec).count() == 1)
+  }
+}
