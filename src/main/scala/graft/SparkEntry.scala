@@ -17,8 +17,10 @@ object SparkEntry {
     queries("a1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ DomainQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ DomainQueries.queries ++
+      MoreQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOracles.oracleSql ++ TextQueries.oracleSql ++ DomainQueries.oracleSql
+    RelationalOracles.oracleSql ++ TextQueries.oracleSql ++ DomainQueries.oracleSql ++
+      MoreQueries.oracleSql
 }

@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.core.{IncrementalPlanner, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 operator families: 3-way merge (J6), point-in-time
+  * lookup (J9), incremental append (K4), per-key export (K5), CSV
+  * round-trip (K6), rolling mean (A9), describe stats (A11), limit (O2),
+  * predicate family (P4-P8), messy-string parse (F9), epoch conversion
+  * (F11), snapshot regression diff (D10).
+  */
+object MoreQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val dec = "decimal(18,2)"
+
+  val queries: Map[String, Q] = Map(
+    "j6_three_way_merge" -> ((s, d) => {
+      // Financial-statement 3-way full-outer chain
+      // (/root/reference/tasks/merge/tushare.py:59-126) as two chained
+      // full_outer joins + coalesced keys.
+      def slice(ln: Int) = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === ln)
+        .groupBy(col("l_orderkey").as(s"k$ln"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as(s"v$ln"))
+      val ab = slice(1).join(slice(2), col("k1") === col("k2"), "full_outer")
+        .withColumn("kab", coalesce(col("k1"), col("k2")))
+      val abc = ab.join(slice(3), col("kab") === col("k3"), "full_outer")
+        .select(coalesce(col("kab"), col("k3")).as("l_orderkey"),
+          col("v1"), col("v2"), col("v3"))
+      abc.withColumn("n_present",
+        col("v1").isNotNull.cast("int") + col("v2").isNotNull.cast("int") +
+          col("v3").isNotNull.cast("int"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "j9_pit_lookup" -> ((s, d) => {
+      // Point-in-time: each customer's last order at-or-before a date
+      // (/root/reference/tasks/report/fund/worst_fund.py:26-43) via max_by.
+      Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) <= lit("1999-06-30"))
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("asof_date"),
+          max_by(col("o_totalprice"), struct(to_date(col("o_orderdate")), col("o_orderkey")))
+            .as("asof_price"),
+          max_by(col("o_orderkey"), struct(to_date(col("o_orderdate")), col("o_orderkey")))
+            .as("asof_orderkey"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "k4_incremental_append" -> ((s, d) => {
+      // vnpy-append shape: only rows strictly newer than the sink's
+      // watermark (/root/reference/tasks/rqdatac/future.py:374-381).
+      val sink = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) < lit("1999-01-01"))
+        .select(to_date(col("o_orderdate")).as("od"))
+      val source = Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      IncrementalPlanner.newerThanSink(source, sink, "od")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "k5_export_per_key" -> ((s, d) => {
+      // Per-key partitioned export layout (SQLite-per-instrument analog,
+      // /root/reference/tasks/utils/to_sqlite.py:334-430): write
+      // partitioned by (source, lang), read back through partition
+      // discovery.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_export_per_key"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables.documents(s, d).write.partitionBy("source", "lang").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    "k6_csv_roundtrip" -> ((s, d) => {
+      // CSV export + re-read (K6) with an explicit schema.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_export"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables.nation(s, d).write.option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(dir)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "a9_rolling_mean" -> ((s, d) => {
+      // Trailing 4-row mean (rowsBetween(-3,0)) — the secondary-contract
+      // smoother (/root/reference/tasks/tushare/tushare_future/continuse_contract_md.py:195-201).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
+        .rowsBetween(-3, 0)
+      Tables.orders(s, d)
+        .withColumn("rolling_sum", sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .withColumn("rolling_mean", col("rolling_sum") / col("rolling_n"))
+        .select(col("o_orderkey"), col("o_custkey"), col("rolling_sum"),
+          col("rolling_n"), col("rolling_mean"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "a11_describe_stats" -> ((s, d) => {
+      // describe()/summary() shape (A11) with deterministic arithmetic.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          (sum(col("o_totalprice").cast(dec)).cast("double") / count(lit(1))).as("mean"),
+          min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"),
+          round(stddev_samp(col("o_totalprice")), 4).as("std"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "o2_limit_latest" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), to_date(col("o_orderdate")).as("od"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(5)),
+
+    "p4_p8_predicates" -> ((s, d) => {
+      // Predicate family: regexp (P4), IN-list (P5), null/zero (P6),
+      // LIKE / NOT LIKE (P8) — all pushdown-friendly.
+      Tables.part(s, d)
+        .filter(col("p_type").rlike("^[a-z]+ [a-z]+") &&
+          col("p_name").like("%a%") && !col("p_name").like("%zz%") &&
+          col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20, 25) &&
+          col("p_retailprice").isNotNull && col("p_retailprice") =!= 0)
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "f9_parse_price" -> ((s, d) =>
+      // Messy-string price parse (mfprice,
+      // /root/reference/tasks/wind/future.py:47-54).
+      Tables.part(s, d)
+        .withColumn("messy", concat(col("p_retailprice").cast("string"), lit("元/吨(est)")))
+        .select(col("p_partkey"), col("messy"),
+          regexp_extract(col("messy"), "^[0-9]+\\.?[0-9]*", 0).cast("double").as("parsed"))
+        .orderBy(col("p_partkey"))),
+
+    "f11_excel_epoch" -> ((s, d) =>
+      // Excel 1899-12-30 serial-date conversion
+      // (/root/reference/tasks/wind/handle_csv/merge_2_n_bar.py:16-44).
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_size") * 1000 + col("p_partkey") % 500).as("serial"))
+        .withColumn("as_date",
+          date_add(lit("1899-12-30").cast("date"), floor(col("serial") / lit(100.0)).cast("int")))
+        .orderBy(col("p_partkey"))),
+
+    "d10_snapshot_diff" -> ((s, d) => {
+      // Data-quality regression (D10,
+      // /root/reference/tasks/jqdata/stock/available_check/__init__.py:23-109):
+      // join prev/current snapshots on PK, count per-column mismatches
+      // and membership changes — one summary row.
+      val prev = Tables.orders(s, d)
+        .select(col("o_orderkey").as("pk"), col("o_totalprice").as("price_prev"),
+          col("o_orderstatus").as("status_prev"))
+      val curr = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 =!= 0) // dropped rows
+        .select(col("o_orderkey").as("ck"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 5.0)
+            .otherwise(col("o_totalprice")).as("price_curr"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status_curr"))
+      val joined = prev.join(curr, col("pk") === col("ck"), "full_outer")
+      joined.agg(
+        sum((col("pk").isNotNull && col("ck").isNull).cast("int")).as("n_dropped"),
+        sum((col("pk").isNull && col("ck").isNotNull).cast("int")).as("n_new"),
+        sum((col("pk").isNotNull && col("ck").isNotNull &&
+          !(col("price_prev") <=> col("price_curr"))).cast("int")).as("n_price_diff"),
+        sum((col("pk").isNotNull && col("ck").isNotNull &&
+          !(col("status_prev") <=> col("status_curr"))).cast("int")).as("n_status_diff"),
+        count(lit(1)).as("n_total"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "j6_three_way_merge" ->
+      """WITH s1 AS (SELECT l_orderkey AS k1, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v1
+        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1),
+        |s2 AS (SELECT l_orderkey AS k2, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v2
+        |  FROM lineitem WHERE l_linenumber = 2 GROUP BY 1),
+        |s3 AS (SELECT l_orderkey AS k3, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v3
+        |  FROM lineitem WHERE l_linenumber = 3 GROUP BY 1),
+        |ab AS (SELECT coalesce(k1, k2) AS kab, v1, v2 FROM s1 FULL OUTER JOIN s2 ON k1 = k2)
+        |SELECT coalesce(kab, k3) AS l_orderkey, v1, v2, v3,
+        |  CAST(v1 IS NOT NULL AS INT) + CAST(v2 IS NOT NULL AS INT) + CAST(v3 IS NOT NULL AS INT) AS n_present
+        |FROM ab FULL OUTER JOIN s3 ON kab = k3
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "j9_pit_lookup" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS asof_date,
+        |  o_totalprice AS asof_price, o_orderkey AS asof_orderkey
+        |FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '1999-06-30'
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "k4_incremental_append" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >
+        |  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders
+        |   WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "k5_export_per_key" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    "k6_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
+        |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+
+    "a9_rolling_mean" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum,
+        |  count(*) OVER w AS rolling_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS rolling_mean
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a11_describe_stats" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+        |  round(stddev_samp(o_totalprice), 4) AS std
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "o2_limit_latest" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5""".stripMargin,
+
+    "p4_p8_predicates" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE regexp_matches(p_type, '^[a-z]+ [a-z]+')
+        |  AND p_name LIKE '%a%' AND p_name NOT LIKE '%zz%'
+        |  AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20, 25)
+        |  AND p_retailprice IS NOT NULL AND p_retailprice <> 0
+        |ORDER BY p_partkey""".stripMargin,
+
+    "f9_parse_price" ->
+      """SELECT p_partkey, CAST(p_retailprice AS VARCHAR) || '元/吨(est)' AS messy,
+        |  CAST(regexp_extract(CAST(p_retailprice AS VARCHAR) || '元/吨(est)',
+        |    '^[0-9]+\.?[0-9]*', 0) AS DOUBLE) AS parsed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f11_excel_epoch" ->
+      """SELECT p_partkey, p_size * 1000 + p_partkey % 500 AS serial,
+        |  DATE '1899-12-30' + CAST(floor((p_size * 1000 + p_partkey % 500) / 100.0) AS INT) AS as_date
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "d10_snapshot_diff" ->
+      """WITH prev AS (SELECT o_orderkey AS pk, o_totalprice AS price_prev, o_orderstatus AS status_prev FROM orders),
+        |curr AS (SELECT o_orderkey AS ck,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS price_curr,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status_curr
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT * FROM prev FULL OUTER JOIN curr ON pk = ck)
+        |SELECT
+        |  CAST(sum(CAST(pk IS NOT NULL AND ck IS NULL AS INT)) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CAST(pk IS NULL AND ck IS NOT NULL AS INT)) AS BIGINT) AS n_new,
+        |  CAST(sum(CAST(pk IS NOT NULL AND ck IS NOT NULL AND price_prev IS DISTINCT FROM price_curr AS INT)) AS BIGINT) AS n_price_diff,
+        |  CAST(sum(CAST(pk IS NOT NULL AND ck IS NOT NULL AND status_prev IS DISTINCT FROM status_curr AS INT)) AS BIGINT) AS n_status_diff,
+        |  count(*) AS n_total
+        |FROM j""".stripMargin)
+}

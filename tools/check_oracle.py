@@ -60,7 +60,10 @@ def canon(tbl):
         t = arr.type
         if pa.types.is_timestamp(t):
             arr = arr.cast(pa.timestamp("us"))
-        elif pa.types.is_decimal(t) or pa.types.is_floating(t):
+        elif pa.types.is_decimal(t):
+            # DuckDB hugeint/decimal sums of integers: keep exactness
+            arr = arr.cast(pa.int64()) if t.scale == 0 else arr.cast(pa.float64())
+        elif pa.types.is_floating(t):
             arr = arr.cast(pa.float64())
         elif pa.types.is_integer(t):
             arr = arr.cast(pa.int64())
