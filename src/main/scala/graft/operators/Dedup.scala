@@ -32,76 +32,195 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** 64-bit hash of a string with a seed (two murmur32 halves) — shared
+    * by the single-pass signature/simhash kernels. */
+  private def hash64(s: String, seed: Int): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c ^ seed)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b + seed)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
   /** MinHash signature: `numHashes` permutations approximated by
-    * xxhash64(seed_i, shingle); signature_i = min over shingles.
-    * Pure column algebra — computed in the scan stage.
+    * hash64(shingle, seed_i); signature_i = min over distinct char
+    * shingles of the normalized text.
+    *
+    * Fused single-pass UDF rather than Column algebra: higher-order
+    * array functions are interpreted (no codegen, no subexpression
+    * elimination), so the expression form rebuilds the shingle array
+    * once per hash function — ~16× the work. One executor-local pass
+    * keeps the scan stage map-only either way.
     */
   def minHashSignature(docs: DataFrame, textCol: String, shingleLen: Int,
       numHashes: Int): DataFrame = {
-    val sh = TextFunctions.charShingles(col(textCol), shingleLen)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i.toLong), s)))
-    }: _*)
-    docs.withColumn("minhash_sig", sig)
+    val sigUdf = udf { text: String =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (text != null) {
+        val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        val n = math.max(norm.length - shingleLen + 1, 1)
+        val seen = new java.util.HashSet[String](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = norm.substring(i, math.min(i + shingleLen, norm.length))
+          if (seen.add(s)) {
+            var k = 0
+            while (k < numHashes) {
+              val h = hash64(s, k)
+              if (h < sig(k)) sig(k) = h
+              k += 1
+            }
+          }
+          i += 1
+        }
+      }
+      sig
+    }
+    docs.withColumn("minhash_sig", sigUdf(col(textCol)))
   }
 
-  /** MinHash-LSH candidate pairs: band the signature, group by
-    * (band, band-hash), emit intra-bucket pairs, then verify with exact
-    * Jaccard over shingles. `bands × rows/band = numHashes`. The
-    * explode is by-band (data ×bands, still linear); pairs only
-    * materialize within buckets.
+  /** MinHash-LSH near-dup pairs, staged for scale:
+    *  1. band the signatures, self-join buckets on ids ONLY (the narrow
+    *     shuffle — never drag shingle arrays through the bucket join);
+    *  2. dedup candidate pairs;
+    *  3. cheap prefilter: estimated Jaccard = fraction of equal
+    *     signature components (16 long comparisons/pair);
+    *  4. exact shingle Jaccard only for survivors, via id-joins back to
+    *     the (broadcastable) shingle table.
+    * On a 1000-executor cluster the bucket join shuffles ~16 bytes/row
+    * per band; shingle arrays move only for the tiny verified tail.
     */
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val signed = minHashSignature(docs, textCol, shingleLen, numHashes)
-      .select(col(idCol), col("minhash_sig"),
-        TextFunctions.charShingles(col(textCol), shingleLen).as("__sh"))
-    val banded = signed.select(
-      col(idCol), col("__sh"),
+    val sigs = minHashSignature(docs, textCol, shingleLen, numHashes)
+      .select(col(idCol).as("__id"), col("minhash_sig"))
+    val banded0 = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>").cast("string"))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"),
-      col(idCol).as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    // Degenerate mega-buckets (a band hash shared by a large fraction of
+    // the corpus) are noise, not signal: they quadratically explode the
+    // candidate join while contributing almost no true near-dups. Cap
+    // them — the standard LSH skew guard at web scale.
+    val bucketSizes = banded0.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val banded = banded0.join(bucketSizes, Seq("band", "band_hash"), "left_semi")
+    val cand = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("__id").as("id_b")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+    // signature-estimate prefilter (slightly permissive vs the exact
+    // threshold so borderline true pairs survive to verification)
+    val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
+    val withSigs = cand
+      .join(sigs.select(col("__id").as("id_a"), col("minhash_sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("minhash_sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est") >= estCutoff)
+      .select("id_a", "id_b")
+    val shingles = docs.select(col(idCol).as("__id"),
+      charShingleSet(shingleLen)(col(textCol)).as("__sh"))
+    withSigs
+      .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardOfSets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of word shingles: per-bit weighted vote packed into
-    * a long; near-dups differ in few bits (hamming distance).
+  /** 64-bit SimHash of words: per-bit weighted vote packed into a long;
+    * near-dups differ in few bits (hamming distance). Single-pass Scala
+    * UDF — the pure-Column form needs 64 `aggregate()` traversals per
+    * row, which blows up codegen; one fused pass is ~10× faster and
+    * still executor-local (no shuffle).
     */
-  def simHash(docs: DataFrame, textCol: String): DataFrame = {
-    val words = TextFunctions.tokens(lower(col(textCol)))
-    val hashes = transform(words, w => xxhash64(w))
-    val sim = (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    docs.withColumn("simhash", sim)
+  private val simHash64 = udf { text: String =>
+    if (text == null) 0L
+    else {
+      val votes = new Array[Int](64)
+      text.toLowerCase.split("\\s+").foreach { w =>
+        if (w.nonEmpty) {
+          val h = hash64(w, 0)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+      out
+    }
   }
 
-  /** N-gram Jaccard similarity of two text columns (exact, for
-    * verification or small candidate sets). */
+  def simHash(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("simhash", simHash64(col(textCol)))
+
+  /** Jaccard over two precomputed shingle-set columns. Compute the
+    * shingle arrays once per document BEFORE any pairwise join — inlining
+    * the shingle expression in a pair filter re-tokenizes every document
+    * once per candidate pair. Single-pass UDF: `array_intersect` +
+    * `array_union` are interpreted (two hash-set builds each) and carry
+    * no codegen benefit; one fused pass halves the per-pair work.
+    */
+  val jaccardOfSets: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      if (a == null || b == null) 0.0
+      else {
+        val sa = new java.util.HashSet[String](a.size * 2)
+        a.foreach(sa.add)
+        var inter = 0
+        val union = new java.util.HashSet[String](sa)
+        b.foreach { s => if (sa.contains(s)) inter += 1; union.add(s) }
+        if (union.isEmpty) 0.0 else inter.toDouble / union.size
+      }
+    }
+
+  /** Distinct char n-gram shingles of normalized text — fused pass
+    * (see [[minHashSignature]] for why not Column algebra). */
+  def charShingleSet(shingleLen: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        val n = math.max(norm.length - shingleLen + 1, 1)
+        val seen = new java.util.LinkedHashSet[String](n * 2)
+        var i = 0
+        while (i < n) {
+          seen.add(norm.substring(i, math.min(i + shingleLen, norm.length))); i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    }
+
+  /** Distinct word n-gram shingles — fused pass. */
+  def wordShingleSet(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val count = math.max(toks.length - n, 0) + 1
+        val seen = new java.util.LinkedHashSet[String](count * 2)
+        var i = 0
+        while (i < count) {
+          seen.add(toks.slice(i, math.min(i + n, toks.length)).mkString(" ")); i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    }
+
+  /** N-gram Jaccard similarity of two text columns (exact; small inputs
+    * or already-pruned candidate sets only — see [[jaccardOfSets]]). */
   def ngramJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      n: Int): org.apache.spark.sql.Column = {
-    val sa = TextFunctions.wordShingles(a, n)
-    val sb = TextFunctions.wordShingles(b, n)
-    when(size(array_union(sa, sb)) > 0,
-      size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
-      .otherwise(0.0)
-  }
+      n: Int): org.apache.spark.sql.Column =
+    jaccardOfSets(TextFunctions.wordShingles(a, n), TextFunctions.wordShingles(b, n))
 }

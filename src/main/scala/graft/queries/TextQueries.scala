@@ -44,14 +44,23 @@ object TextQueries {
         .orderBy(col("fp"))),
 
     "dd_ngram_jaccard_pairs" -> ((s, d) => {
-      val a = Tables.documents(s, d)
-        .select(col("doc_id").as("id_a"), col("source"), col("text").as("text_a"))
-      val b = Tables.documents(s, d)
-        .select(col("doc_id").as("id_b"), col("source"), col("text").as("text_b"))
-      a.join(b, Seq("source"))
+      // Shingle sets are materialized once per document before the
+      // pairwise join, and the |id_a−id_b|≤25 band is folded into the
+      // join key (id bucket) — without it the source-equi-join builds
+      // every same-source pair before filtering, which is quadratic in
+      // docs-per-source.
+      def base(ia: String, w1: String, w3: String) = Tables.documents(s, d)
+        .select(col("doc_id").as(ia), col("source"),
+          Dedup.wordShingleSet(1)(col("text")).as(w1),
+          Dedup.wordShingleSet(3)(col("text")).as(w3))
+      val a = base("id_a", "w1_a", "w3_a")
+        .withColumn("bk", floor(col("id_a") / 25))
+      val b = base("id_b", "w1_b", "w3_b")
+        .withColumn("bk", explode(array(floor(col("id_b") / 25), floor(col("id_b") / 25) - 1)))
+      a.join(b, Seq("source", "bk"))
         .filter(col("id_b") > col("id_a") && col("id_b") - col("id_a") <= 25)
-        .withColumn("jaccard1", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6))
-        .withColumn("jaccard3", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
+        .withColumn("jaccard1", round(Dedup.jaccardOfSets(col("w1_a"), col("w1_b")), 6))
+        .withColumn("jaccard3", round(Dedup.jaccardOfSets(col("w3_a"), col("w3_b")), 6))
         .filter(col("jaccard1") >= 0.5)
         .select("id_a", "id_b", "jaccard1", "jaccard3")
         .orderBy(col("id_a"), col("id_b"))
