@@ -59,9 +59,15 @@ final class TableStore(spark: SparkSession, root: String) {
   def upsert(spec: TableSpec, batch: DataFrame, newWins: Boolean = true): Unit = {
     require(spec.primaryKey.nonEmpty, s"${spec.name}: upsert needs a primary key")
     val pk = spec.primaryKey.map(col)
-    // Dedup within the batch first (last occurrence wins, matching the
-    // reference's sequential INSERT..ON DUPLICATE loop order).
-    val newDeduped = dedupByPk(batch.withColumn("__prio", lit(if (newWins) 0 else 1)), spec)
+    // Dedup within the batch first, honouring batch row order like the
+    // reference's sequential INSERT..ON DUPLICATE loop: last occurrence
+    // wins for upsert, first for INSERT IGNORE. monotonically_increasing_id
+    // encodes (partition, position) and is monotone in row order within
+    // each partition — the strongest order a distributed batch has.
+    val seq = if (newWins) -monotonically_increasing_id() else monotonically_increasing_id()
+    val newDeduped = dedupByPk(
+      batch.withColumn("__prio", lit(if (newWins) 0 else 1)).withColumn("__seq", seq),
+      spec).drop("__seq")
     if (!exists(spec)) {
       writeSwap(spec, newDeduped.drop("__prio"), replaceAll = true, Nil)
       return
@@ -99,7 +105,10 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   private def dedupByPk(df: DataFrame, spec: TableSpec): DataFrame = {
-    val w = Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(col("__prio").asc)
+    val ord =
+      if (df.columns.contains("__seq")) Seq(col("__prio").asc, col("__seq").asc)
+      else Seq(col("__prio").asc)
+    val w = Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(ord: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

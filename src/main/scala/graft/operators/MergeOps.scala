@@ -48,6 +48,37 @@ object MergeOps {
       .when(l.isNotNull, "left_only")
       .otherwise("right_only")
 
+  /** D9 with the tolerance *warnings* turned into data: returns
+    * (merged, conflicts) where `conflicts` is one row per (key, column)
+    * whose two sources disagree beyond `tol` — the queryable side-output
+    * replacing the reference's log lines
+    * (/root/reference/tasks/merge/__init__.py:58-69). Both outputs share
+    * the single full-outer join; Spark computes the join once per
+    * action, and the conflicts table is tiny (write it to a `_conflicts`
+    * table for audit).
+    */
+  def reconcileWithConflicts(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String],
+      rules: Seq[(String, (Column, Column) => Column)],
+      numericCols: Seq[String],
+      tol: Double = 0.01): (DataFrame, DataFrame) = {
+    val merged = reconcile(left, right, keys, keys, keys, rules,
+      n => left(n), n => right(n))
+    val cond = keys.map(k => left(k) <=> right(k)).reduce(_ && _)
+    val joined = left.join(right, cond, "inner")
+    val conflictStructs = array(numericCols.map { c =>
+      struct(lit(c).as("col"), left(c).as("left_value"), right(c).as("right_value"),
+        conflictFlag(left(c), right(c), tol).as("isConflict"))
+    }: _*)
+    val conflicts = joined
+      .select(keys.map(k => left(k).as(k)) :+
+        explode(filter(conflictStructs, s => s.getField("isConflict"))).as("c"): _*)
+      .select(keys.map(col) ++ Seq(col("c.col").as("column"),
+        col("c.left_value"), col("c.right_value")): _*)
+    (merged, conflicts)
+  }
+
   /** D9 driver — outer-join two vendor tables on `keys` and apply a
     * declarative column→rule map in one `select`. Key columns may be
     * named differently per vendor (`leftKeys`/`rightKeys` are aligned

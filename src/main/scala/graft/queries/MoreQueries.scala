@@ -155,6 +155,33 @@ object MoreQueries {
           date_add(lit("1899-12-30").cast("date"), floor(col("serial") / lit(100.0)).cast("int")))
         .orderBy(col("p_partkey"))),
 
+    "cal_next_open" -> ((s, d) => {
+      // Trade-calendar clamping (F10/J3 support): each order date → the
+      // next open (weekday) session.
+      val cal = new graft.core.TradeCalendar(
+        graft.core.TradeCalendar.weekdays(s, "1995-01-01", "2002-12-31"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      cal.nextOpen(o, col("od"), "next_open")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "d9_conflict_sideout" -> ((s, d) => {
+      // Cross-vendor tolerance conflicts as a queryable side-output
+      // (replaces the reference's log warnings).
+      def vendor(maxLine: Int, minLine: Int) = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") <= maxLine && col("l_linenumber") >= minLine)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_date"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("px"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+      val (_, conflicts) = graft.operators.MergeOps.reconcileWithConflicts(
+        vendor(3, 1), vendor(7, 2), Seq("l_suppkey", "ship_date"),
+        rules = Seq("px" -> graft.operators.MergeOps.preferLeft,
+          "qty" -> ((l, r) => graft.operators.MergeOps.meanValue(l, r))),
+        numericCols = Seq("px", "qty"), tol = 0.5)
+      conflicts.orderBy(col("l_suppkey"), col("ship_date"), col("column"))
+    }),
+
     "d10_snapshot_diff" -> ((s, d) => {
       // Data-quality regression (D10,
       // /root/reference/tasks/jqdata/stock/available_check/__init__.py:23-109):
@@ -259,6 +286,38 @@ object MoreQueries {
       """SELECT p_partkey, p_size * 1000 + p_partkey % 500 AS serial,
         |  DATE '1899-12-30' + CAST(floor((p_size * 1000 + p_partkey % 500) / 100.0) AS INT) AS as_date
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "cal_next_open" ->
+      """WITH cal AS (
+        |  SELECT CAST(d AS DATE) AS open_date
+        |  FROM generate_series(DATE '1995-01-01', DATE '2002-12-31', INTERVAL 1 DAY) t(d)
+        |  WHERE dayofweek(CAST(d AS DATE)) BETWEEN 1 AND 5)
+        |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  (SELECT min(open_date) FROM cal WHERE open_date >= CAST(o_orderdate AS DATE)) AS next_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "d9_conflict_sideout" ->
+      """WITH va AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS px,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3 GROUP BY 1, 2),
+        |vb AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS px,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_linenumber BETWEEN 2 AND 7 GROUP BY 1, 2),
+        |j AS (SELECT va.l_suppkey, va.ship_date,
+        |    va.px AS px_a, vb.px AS px_b, va.qty AS qty_a, vb.qty AS qty_b
+        |  FROM va JOIN vb USING (l_suppkey, ship_date))
+        |SELECT l_suppkey, ship_date, 'px' AS "column", px_a AS left_value, px_b AS right_value
+        |FROM j WHERE px_a IS NOT NULL AND px_b IS NOT NULL AND px_b <> 0
+        |  AND abs(px_a - px_b) / abs(px_b) >= 0.5
+        |UNION ALL
+        |SELECT l_suppkey, ship_date, 'qty' AS "column", qty_a AS left_value, qty_b AS right_value
+        |FROM j WHERE qty_a IS NOT NULL AND qty_b IS NOT NULL AND qty_b <> 0
+        |  AND abs(qty_a - qty_b) / abs(qty_b) >= 0.5
+        |ORDER BY l_suppkey, ship_date, "column"""".stripMargin,
 
     "d10_snapshot_diff" ->
       """WITH prev AS (SELECT o_orderkey AS pk, o_totalprice AS price_prev, o_orderstatus AS status_prev FROM orders),
