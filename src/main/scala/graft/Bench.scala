@@ -13,9 +13,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
-    ).getOrCreate()
+    val spark = graft.core.GraftSession.registerFunctions(
+      graft.core.GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
+      ).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not JIT.

@@ -35,12 +35,18 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
+  /** Register graft's native Catalyst functions in a session. */
+  def registerFunctions(s: SparkSession): SparkSession = {
+    graft.plans.CosineSimilarity.register(s)
+    s
+  }
+
   /** Local session for tests / tools. */
   def local(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
     val s = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName), cores
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    registerFunctions(s)
   }
 }

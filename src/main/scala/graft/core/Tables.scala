@@ -15,8 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Idempotent: guarantees graft's native functions resolve in any
+    // session a query runs in, not just our own entry points.
+    GraftSession.registerFunctions(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

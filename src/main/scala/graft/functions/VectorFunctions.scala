@@ -15,7 +15,18 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — native codegen'd expression
+    * ([[graft.plans.CosineSimilarity]]): one fused loop instead of five
+    * interpreted higher-order passes. Requires
+    * `CosineSimilarity.register(spark)` (done by GraftSession/Verify/
+    * Bench entry points).
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function(graft.plans.CosineSimilarity.name, a, b)
+
+  /** Higher-order-function formulation (reference implementation for
+    * parity tests; interpreted). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn > 0, d / nn).otherwise(0.0)
@@ -31,22 +42,33 @@ object VectorFunctions {
   }
 
   /** Sign-random-projection bucket (LSH for cosine): `nBits` hyperplanes
-    * derived deterministically from `xxhash64(seed, dim)`; the bucket id
-    * packs the sign bits. Vectors in the same bucket are candidate
-    * near-neighbors — the scale path that avoids the O(n²) cross join.
+    * drawn deterministically from the seed; the bucket id packs the sign
+    * bits. Vectors in the same bucket are candidate near-neighbors — the
+    * scale path that avoids the O(n²) cross join.
+    *
+    * The hyperplane matrix is materialized once on the driver and ships
+    * in the UDF closure; the per-row work is one fused dim×nBits loop
+    * (the expression-tree formulation was a 384-node interpreted plan).
     */
   def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    // Deterministic pseudo-random hyperplane component h(bit, i) in [-1,1):
-    // xxhash64 of (seed, bit, i) scaled. Computed as a literal-free
-    // expression tree so Catalyst constant-folds per (bit, i).
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map { i =>
-        val h = xxhash64(lit(seed), lit(b), lit(i))
-        val coeff = (h % 1000001L).cast("double") / 1000000.0d
-        element_at(vec, i + 1) * coeff
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(rnd.nextGaussian())
     }
-    bits.reduce(_ + _)
+    val bucketUdf = udf { v: Seq[Double] =>
+      var out = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = planes(b)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { acc += v(i) * p(i); i += 1 }
+        if (acc >= 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    bucketUdf(vec)
   }
 }
