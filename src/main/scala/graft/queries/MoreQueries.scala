@@ -155,6 +155,102 @@ object MoreQueries {
           date_add(lit("1899-12-30").cast("date"), floor(col("serial") / lit(100.0)).cast("int")))
         .orderBy(col("p_partkey"))),
 
+    "skew_salted_agg" -> ((s, d) => {
+      // Two-stage salted aggregation for few-huge-group skew: identical
+      // result to the direct groupBy, but the first stage spreads each
+      // hot key over 16 reducers.
+      graft.operators.Skew.saltedAggregate(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        saltBy = col("l_orderkey"), saltFactor = 16,
+        partials = Seq(
+          "sum_qty" -> sum(col("l_quantity").cast(dec)),
+          "n_rows" -> count(lit(1))),
+        finals = Seq(
+          "sum_qty" -> (n => sum(col(n))),
+          "n_rows" -> (n => sum(col(n)))))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("n_rows").cast("long").as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "skew_salted_join" -> ((s, d) => {
+      // Salted equi-join: hot orderkeys spread across 8 salt buckets,
+      // dim side replicated 8x. Result must equal the plain join.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
+        saltBy = col("l_quantity"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "p9_bucketed_join" -> ((s, d) => {
+      // Bucketed co-located join: both sides bucketed+sorted on the key
+      // at write time -> the sort-merge join needs no shuffle at all
+      // (no Exchange in the plan), which is THE technique for repeated
+      // fact-fact joins at 100 TB.
+      s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      s.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+      // In-memory catalog forgets tables across sessions but the
+      // warehouse dirs persist — remove them or CREATE fails with
+      // LOCATION_ALREADY_EXISTS on the next run.
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("graft_orders_bkt", "graft_customer_bkt").foreach(t =>
+        whFs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bkt")
+      // "merge" hint: at test SF the dim would broadcast, which bypasses
+      // the co-located path this query exists to exercise. On real data
+      // both sides are facts and SMJ is what Catalyst picks anyway.
+      s.table("graft_orders_bkt").hint("merge")
+        .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "stream_upsert_tick_bars" -> ((s, d) => {
+      // Streaming bars -> keyed upsert sink (foreachBatch): final table
+      // state equals the batch aggregation — replay/late-data idempotent.
+      val streamDir = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert_src")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$d/events.parquet"), fs,
+        new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_store"
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("bars", Seq("user_id", "bar_start"))
+      val raw = s.readStream.schema(
+        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+      val ticks =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val bars = graft.streaming.TickBarStream.bars(ticks, Seq("user_id"),
+        "ts", "event_id", "value", "1 hour", "10 minutes")
+      val q = graft.streaming.TickBarStream
+        .upsertingSink(bars, store, spec, "graft_stream_upsert").start()
+      try q.processAllAvailable() finally q.stop()
+      store.read(spec).orderBy(col("user_id"), col("bar_start"))
+    }),
+
     "cal_next_open" -> ((s, d) => {
       // Trade-calendar clamping (F10/J3 support): each order date → the
       // next open (weekday) session.
@@ -286,6 +382,32 @@ object MoreQueries {
       """SELECT p_partkey, p_size * 1000 + p_partkey % 500 AS serial,
         |  DATE '1899-12-30' + CAST(floor((p_size * 1000 + p_partkey % 500) / 100.0) AS INT) AS as_date
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "p9_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "stream_upsert_tick_bars" ->
+      """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+        |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, event_id) AS close, count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
 
     "cal_next_open" ->
       """WITH cal AS (

@@ -30,6 +30,23 @@ object TickBarStream {
       .select(keys.map(col) ++ Seq(col("w.start").as("bar_start"), col("open"),
         col("high"), col("low"), col("close"), col("n_ticks")): _*)
 
+  /** Continuous sink: watermarked update-mode bars upserted into the
+    * keyed table store per micro-batch — the reference's
+    * INSERT..ON DUPLICATE grounding made streaming
+    * (tasks/pytdx/stock_tick_2_bar.py + SURVEY §2.11). Late ticks within
+    * the watermark re-emit their bar; the PK upsert makes the re-emit
+    * (and any replay after failure) idempotent.
+    */
+  def upsertingSink(bars: DataFrame, store: graft.core.TableStore,
+      spec: graft.core.TableSpec, queryName: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    bars.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) store.upsert(spec, batch.toDF())
+      }
+
   /** Replay a parquet file through the streaming pipeline synchronously
     * and return the materialized bars (memory sink, complete mode so the
     * final in-watermark windows are emitted too).
