@@ -13,34 +13,60 @@ import org.apache.spark.sql.functions._
   * always broadcast, never shuffled.
   */
 final class TradeCalendar(calendar: DataFrame, dateCol: String = "cal_date",
-    openCol: String = "is_open") {
+    openCol: String = "is_open") extends Serializable {
 
   def openDates: DataFrame =
     calendar.filter(col(openCol) === 1).select(col(dateCol).as("open_date"))
 
+  /** The open-date set, collected once (a calendar is decades ×
+    * exchanges ≈ 10⁴ rows) and shipped in task closures — every lookup
+    * is then an executor-local binary search instead of a non-equi
+    * range join that explodes to rows×future-dates before aggregating.
+    */
+  private lazy val openEpochs: Array[Long] = openDates
+    .select(col("open_date").cast("date")).distinct()
+    .collect().map(_.getDate(0).toLocalDate.toEpochDay).sorted
+
+  private def lookupUdf(pick: (Array[Long], Long) => Option[Long]) = {
+    val days = openEpochs
+    udf { d: java.sql.Date =>
+      if (d == null) None
+      else pick(days, d.toLocalDate.toEpochDay)
+        .map(e => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(e)))
+    }
+  }
+
+  private def ceilSearch(days: Array[Long], e: Long): Option[Long] = {
+    var lo = 0; var hi = days.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (days(m) < e) lo = m + 1 else hi = m }
+    if (lo < days.length) Some(days(lo)) else None
+  }
+
+  private def floorSearch(days: Array[Long], e: Long): Option[Long] = {
+    var lo = 0; var hi = days.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (days(m) <= e) lo = m + 1 else hi = m }
+    if (lo > 0) Some(days(lo - 1)) else None
+  }
+
   /** For each input row, the first open date ≥ (or > if strict) `d`. */
   def nextOpen(df: DataFrame, d: Column, as: String, strict: Boolean = false): DataFrame = {
-    val cal = broadcast(openDates)
-    val cond = if (strict) col("open_date") > d else col("open_date") >= d
-    df.join(cal, cond, "left_outer")
-      .groupBy(df.columns.map(df(_)): _*)
-      .agg(min(col("open_date")).as(as))
+    val u =
+      if (strict) lookupUdf((days, e) => ceilSearch(days, e + 1))
+      else lookupUdf(ceilSearch)
+    df.withColumn(as, u(d.cast("date")))
   }
 
   /** Clamp a date column down to the latest open date ≤ it. */
-  def clampToOpen(df: DataFrame, d: Column, as: String): DataFrame = {
-    val cal = broadcast(openDates)
-    df.join(cal, col("open_date") <= d, "left_outer")
-      .groupBy(df.columns.map(df(_)): _*)
-      .agg(max(col("open_date")).as(as))
-  }
+  def clampToOpen(df: DataFrame, d: Column, as: String): DataFrame =
+    df.withColumn(as, lookupUdf(floorSearch)(d.cast("date")))
 
   /** Membership test: is `d` an open date? */
   def isOpen(df: DataFrame, d: Column, as: String): DataFrame = {
-    val cal = broadcast(openDates)
-    df.join(cal, col("open_date") === d, "left_outer")
-      .withColumn(as, col("open_date").isNotNull)
-      .drop("open_date")
+    val days = openEpochs
+    val u = udf { dd: java.sql.Date =>
+      dd != null && java.util.Arrays.binarySearch(days, dd.toLocalDate.toEpochDay) >= 0
+    }
+    df.withColumn(as, u(d.cast("date")))
   }
 }
 

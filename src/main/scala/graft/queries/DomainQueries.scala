@@ -82,6 +82,34 @@ object DomainQueries {
         .orderBy(col("code"), col("cal_date"), col("pub_date"))
     }),
 
+    // ── D5: cumulative-column profiler over derived report columns ───
+    "d5_accum_profile" -> ((s, d) => {
+      import s.implicits._
+      // Two derived report columns per customer-quarter: one genuinely
+      // YTD-cumulative, one plain quarterly. The profiler must flag
+      // exactly the cumulative one.
+      val q = Tables.orders(s, d)
+        .filter(col("o_custkey") % 20 === 0)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("qdec"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("y")).orderBy(col("q"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val reports = q
+        .withColumn("ytd_rev", sum(col("qdec")).over(wcum).cast("double"))
+        .withColumn("q_rev", col("qdec").cast("double"))
+        .select(col("o_custkey").cast("string").as("code"),
+          make_date(col("y"), col("q") * 3, lit(1)).as("report_date"),
+          col("ytd_rev"), col("q_rev"))
+      val detected = graft.analytics.FinanceReports
+        .detectAccumulationCols(reports, "code", "report_date", Seq("ytd_rev", "q_rev"))
+      Seq("ytd_rev", "q_rev")
+        .map(c => (c, detected.contains(c)))
+        .toDF("column", "is_accumulation")
+        .orderBy(col("column"))
+    }),
+
     // ── D1–D3: continuous futures (rows-only; golden-tested in specs) ─
     "d1_dominant_contract" -> ((s, d) =>
       ContinuousFutures.dailySelection(s, futuresBars(s, d))
@@ -208,6 +236,13 @@ object DomainQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // The profiler's verdict on this deterministic corpus is fixed:
+    // the cumulative column is detected, the quarterly one is not.
+    "d5_accum_profile" ->
+      """SELECT 'q_rev' AS "column", false AS is_accumulation
+        |UNION ALL SELECT 'ytd_rev', true
+        |ORDER BY "column"""".stripMargin,
+
     "d4_ytd_quarterly" ->
       """WITH q AS (
         |  SELECT CAST(o_custkey AS VARCHAR) AS code, year(o_orderdate) AS y,
