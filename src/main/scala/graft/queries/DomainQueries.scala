@@ -233,6 +233,22 @@ object DomainQueries {
         .withColumn("payload", col("text").cast("binary"))
       graft.streaming.MultimodalPipeline.extractFeatures(s, docs, "doc_id", "payload")
         .orderBy(col("doc_id"))
+    }),
+
+    "mm_frame_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.streaming.MultimodalPipeline.sampleFrames(s, docs, "doc_id", "payload", maxFrames = 8)
+        .select("doc_id", "frame_idx", "frame_ts_ms", "frame_width", "frame_height")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "mm_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.streaming.MultimodalPipeline.resize(s, docs, "doc_id", "payload", 224, 224)
+        .select("doc_id", "width", "height", "n_bytes")
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -299,6 +315,24 @@ object DomainQueries {
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
         |  arg_max(value, event_id) AS close, count(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n % 32 + 1 AS nf, least(8, n % 32 + 1) AS take,
+        |    (n * 7) % 1024 + 1 AS w, (n * 13) % 768 + 1 AS h
+        |  FROM m),
+        |e AS (SELECT doc_id, nf, take, w, h, unnest(range(take)) AS i FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST((CASE WHEN take = 1 THEN 0 ELSE (i * (nf - 1)) // (take - 1) END) * 40 AS BIGINT) AS frame_ts_ms,
+        |  CAST(w AS INT) AS frame_width, CAST(h AS INT) AS frame_height
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+        |  CAST(greatest(1, least(octet_length(encode(text)), 224 * 224 // 64)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5,

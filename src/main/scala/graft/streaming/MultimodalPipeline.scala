@@ -48,4 +48,54 @@ object MultimodalPipeline {
       }
     }(Encoders.product[MediaFeature]).toDF()
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      frame_bytes: Array[Byte], frame_width: Int, frame_height: Int)
+
+  /** Frame sampling: each media payload explodes into ≤`maxFrames`
+    * evenly-spaced frames. Real pipelines bound output size this way
+    * before feature extraction; the per-frame payload here is the
+    * deterministic fake a real decoder would replace. Partition-wise —
+    * output scales with input × maxFrames, never collected.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+      idCol: String, payloadCol: String, maxFrames: Int): DataFrame = {
+    val ds = docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, nFrames) = FakeCodec.decode(bytes)
+        val take = math.min(maxFrames, nFrames)
+        (0 until take).iterator.map { i =>
+          // evenly spaced sample positions over the fake frame count
+          val srcIdx = if (take == 1) 0 else i * (nFrames - 1) / (take - 1)
+          val fb = Array.tabulate[Byte](8)(k =>
+            bytes((srcIdx * 7 + k) % math.max(bytes.length, 1)))
+          FrameRow(id, i, srcIdx * 40L, fb, w, h)
+        }
+      }
+    }(Encoders.product[FrameRow]).toDF()
+  }
+
+  /** Resize plumbing: payload → payload with target dims recorded. The
+    * byte transform is the stub; schema/partitioning are the contract.
+    */
+  def resize(spark: SparkSession, docs: DataFrame, idCol: String,
+      payloadCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val ds = docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // stub "resample": stride-sampled bytes proportional to area ratio
+        val outLen = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+        val out = Array.tabulate[Byte](outLen)(k =>
+          bytes(k * math.max(bytes.length / outLen, 1) % math.max(bytes.length, 1)))
+        (id, out, targetW, targetH, outLen.toLong)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("doc_id", "payload", "width", "height", "n_bytes")
+  }
 }
