@@ -88,18 +88,20 @@ object DomainQueries {
       // Two derived report columns per customer-quarter: one genuinely
       // YTD-cumulative, one plain quarterly. The profiler must flag
       // exactly the cumulative one.
+      // Bucket customers into 5 pseudo-codes so every (code, quarter)
+      // cell is dense at every scale factor — per-customer series are
+      // too sparse at sf0.001 for the ≥3-boundary requirement.
       val q = Tables.orders(s, d)
-        .filter(col("o_custkey") % 20 === 0)
-        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"),
-          quarter(col("o_orderdate")).as("q"))
+        .groupBy(pmod(col("o_custkey"), lit(5)).as("code_b"),
+          year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
         .agg(sum(col("o_totalprice").cast(dec)).as("qdec"))
       val wcum = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"), col("y")).orderBy(col("q"))
+        .partitionBy(col("code_b"), col("y")).orderBy(col("q"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val reports = q
         .withColumn("ytd_rev", sum(col("qdec")).over(wcum).cast("double"))
         .withColumn("q_rev", col("qdec").cast("double"))
-        .select(col("o_custkey").cast("string").as("code"),
+        .select(col("code_b").cast("string").as("code"),
           make_date(col("y"), col("q") * 3, lit(1)).as("report_date"),
           col("ytd_rev"), col("q_rev"))
       val detected = graft.analytics.FinanceReports

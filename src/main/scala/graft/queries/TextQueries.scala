@@ -88,6 +88,20 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v_ivf_assign" -> ((s, d) => {
+      // IVF coarse quantization: assign every vector to its nearest of 8
+      // deterministic centroids (vec_id < 8); per-cell population stats.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      Similarity.ivfAssign(e, "vec_id", "v", centroids, "cent_id", "cv")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("cell"))
+    }),
+
     "v_lsh_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -181,6 +195,22 @@ object TextQueries {
          |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
          |WHERE jaccard1 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "v_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS dist
+        |  FROM e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        |    FROM d) t WHERE rn = 1)
+        |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM best GROUP BY cell ORDER BY cell""".stripMargin,
 
     "v_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
