@@ -104,6 +104,35 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(path(spec.name))
   }
 
+  /** Small-file compaction: incremental upserts leave one file set per
+    * batch; periodically rewrite each partition into
+    * ceil(bytes/targetFileSize) files. The reference's analog was MySQL
+    * REPAIR TABLE + partition maintenance
+    * (/root/reference/tasks/backend/repair_table.py:15-22); on an
+    * immutable columnar store the concern becomes file-count hygiene —
+    * at 100 TB, scan parallelism and NameNode/listing pressure are set
+    * by this. Same swap-write path as upsert, so readers never see a
+    * half-compacted table.
+    */
+  def compact(spec: TableSpec, targetFileSizeBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(exists(spec), s"${spec.name}: nothing to compact")
+    val f = fs
+    val totalBytes = {
+      val it = f.listFiles(new Path(path(spec.name)), true)
+      var n = 0L
+      while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".parquet")) n += s.getLen }
+      n
+    }
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val df = read(spec)
+    val compacted =
+      if (spec.partitionBy.nonEmpty)
+        // spread within partitions; dynamic repartition per partition key
+        df.repartition(files, spec.partitionBy.map(col): _*)
+      else df.repartition(files)
+    writeSwap(spec, compacted, replaceAll = true, Nil)
+  }
+
   private def dedupByPk(df: DataFrame, spec: TableSpec): DataFrame = {
     val ord =
       if (df.columns.contains("__seq")) Seq(col("__prio").asc, col("__seq").asc)

@@ -147,6 +147,7 @@ object DomainQueries {
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .withColumn("o_orderstatus", lit("X"))
       store.upsert(spec, batch2)
+      store.compact(spec) // file-count hygiene; content must be unchanged
       store.read(spec).orderBy(col("o_orderkey"))
     }),
 

@@ -69,6 +69,25 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == Seq((1, 1.0), (9, 9.0)))
   }
 
+  test("compact preserves content and reduces file count") {
+    import spark.implicits._
+    val store = freshStore("compact")
+    val spec = TableSpec("t", Seq("k"))
+    // many tiny upserts → many small files
+    (1 to 5).foreach(i => store.upsert(spec, Seq((i, i * 1.0)).toDF("k", "v")))
+    val before = store.read(spec).orderBy("k").collect().toSeq
+    def nFiles = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("t")), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    store.compact(spec)
+    assert(nFiles == 1)
+    assert(store.read(spec).orderBy("k").collect().toSeq == before)
+  }
+
   test("in-batch duplicates keep the new-wins row deterministically") {
     import spark.implicits._
     val store = freshStore("dup")
