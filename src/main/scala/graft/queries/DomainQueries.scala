@@ -300,7 +300,7 @@ object DomainQueries {
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 3 = 0
         |       THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
-        |  o_orderstatus, year(o_orderdate) AS od_year
+        |  o_orderstatus, CAST(year(o_orderdate) AS INT) AS od_year
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "k2_insert_ignore" ->
@@ -310,7 +310,7 @@ object DomainQueries {
       """SELECT o_orderkey,
         |  CASE WHEN year(o_orderdate) = 1998 THEN round(o_totalprice * 0.5, 4)
         |       ELSE o_totalprice END AS o_totalprice,
-        |  year(o_orderdate) AS od_year
+        |  CAST(year(o_orderdate) AS INT) AS od_year
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "stream_tick_bars" ->

@@ -150,7 +150,7 @@ object MoreQueries {
       // (/root/reference/tasks/wind/handle_csv/merge_2_n_bar.py:16-44).
       Tables.part(s, d)
         .select(col("p_partkey"),
-          (col("p_size") * 1000 + col("p_partkey") % 500).as("serial"))
+          (col("p_size") * 1000 + col("p_partkey") % 500).cast("long").as("serial"))
         .withColumn("as_date",
           date_add(lit("1899-12-30").cast("date"), floor(col("serial") / lit(100.0)).cast("int")))
         .orderBy(col("p_partkey"))),
@@ -379,7 +379,7 @@ object MoreQueries {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "f11_excel_epoch" ->
-      """SELECT p_partkey, p_size * 1000 + p_partkey % 500 AS serial,
+      """SELECT p_partkey, CAST(p_size * 1000 + p_partkey % 500 AS BIGINT) AS serial,
         |  DATE '1899-12-30' + CAST(floor((p_size * 1000 + p_partkey % 500) / 100.0) AS INT) AS as_date
         |FROM part ORDER BY p_partkey""".stripMargin,
 

@@ -96,7 +96,7 @@ object RelationalOracles {
     "a3_tick_bars" ->
       """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
-        |  arg_max(value, event_id) AS close, sum(1.0) AS volume,
+        |  arg_max(value, event_id) AS close, sum(CAST(1.0 AS DOUBLE)) AS volume,
         |  round(sum(value * 1.0), 4) AS amount, count(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
 
@@ -104,7 +104,7 @@ object RelationalOracles {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
         |    arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
-        |    arg_max(value, event_id) AS close, sum(1.0) AS volume
+        |    arg_max(value, event_id) AS close, sum(CAST(1.0 AS DOUBLE)) AS volume
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, b4 AS bar_start, open, high, low, close, volume FROM (
         |  SELECT user_id, time_bucket(INTERVAL '240 minutes', bar_start) AS b4,
@@ -115,7 +115,7 @@ object RelationalOracles {
 
     "d8_big_order_flow" ->
       """WITH t AS (
-        |  SELECT user_id, value * 1.0 AS notional, 1.0 AS one,
+        |  SELECT user_id, value * 1.0 AS notional, CAST(1.0 AS DOUBLE) AS one,
         |    event_type IN ('purchase', 'signup') AS buy,
         |    value * 1.0 >= 100.0 AS big
         |  FROM events)

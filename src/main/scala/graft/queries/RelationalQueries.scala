@@ -213,7 +213,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long")) // DuckDB row_number is BIGINT
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rnk"))
@@ -272,10 +272,10 @@ object RelationalQueries {
         to_date(col("o_orderdate")).as("od"),
         date_add(to_date(col("o_orderdate")), 7).as("od_plus7"),
         last_day(to_date(col("o_orderdate"))).as("od_eom"),
-        year(col("o_orderdate")).as("od_year"),
-        quarter(col("o_orderdate")).as("od_quarter"),
+        year(col("o_orderdate")).cast("long").as("od_year"), // DuckDB year() is BIGINT
+        quarter(col("o_orderdate")).cast("long").as("od_quarter"),
         least(to_date(col("o_orderdate")), lit("1998-01-01").cast("date")).as("od_clamped"),
-        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).as("days_to_2002"))
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))).cast("long").as("days_to_2002"))
         .orderBy(col("o_orderkey"))
     }),
 

@@ -85,6 +85,7 @@ object TextQueries {
         e.filter(col("vec_id") < 20), e,
         qId = "vec_id", qVec = "v", cId = "vec_id", cVec = "v",
         k = 3, rankRound = Some(6))
+        .withColumn("rank", col("rank").cast("long")) // DuckDB row_number is BIGINT
         .orderBy(col("query_id"), col("rank"))
     }),
 
