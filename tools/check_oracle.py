@@ -29,15 +29,23 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetch_arrow_table()
             want = con.execute(sql).fetch_arrow_table()
+            # strict schema check first (raw arrow types, no lax compare)
+            gs = {f.name: str(f.type) for f in got.schema}
+            ws = {f.name: str(f.type) for f in want.schema}
+            sdiff = {k: (gs.get(k), ws.get(k))
+                     for k in set(gs) | set(ws) if gs.get(k) != ws.get(k)}
             g = canon(got)
             w = canon(want)
-            if g.equals(w):
+            if g.equals(w) and not sdiff:
                 print(f"PASS {name} rows={g.num_rows}")
                 n_pass += 1
             else:
                 n_fail += 1
-                print(f"FAIL {name}: rows {g.num_rows} vs {w.num_rows}")
-                diff(g, w)
+                if sdiff:
+                    print(f"FAIL {name}: schema mismatch {sdiff}")
+                else:
+                    print(f"FAIL {name}: rows {g.num_rows} vs {w.num_rows}")
+                    diff(g, w)
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {e}")
