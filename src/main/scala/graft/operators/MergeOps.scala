@@ -41,6 +41,28 @@ object MergeOps {
   /** F4 — null-safe passthrough with default. */
   def getValue(c: Column, default: Any): Column = coalesce(c, lit(default))
 
+  /** F5 — `max_up_or_down`: reconcile THS's categorical limit-state
+    * strings with Wind's numeric flag into {−3,−2,−1,0,1}
+    * (/root/reference/tasks/merge/stock.py:187-227): −1 跌停 (limit
+    * down), 1 涨停 (limit up), 0 非涨跌停/停牌, −2 both unknown,
+    * −3 sources conflict. Implements the *intended* membership test for
+    * the neutral states — the reference compares against a tuple, which
+    * is always false (SURVEY §7.4 documented divergence).
+    */
+  def maxUpOrDown(thsVal: Column, windVal: Column): Column = {
+    val ths = when(thsVal === "跌停", -1)
+      .when(thsVal === "涨停", 1)
+      .when(thsVal.isin("非涨跌停", "停牌"), 0)
+      .otherwise(lit(null).cast("int"))
+    val wind = when(windVal.isin(1, -1, 0), windVal.cast("int"))
+      .otherwise(lit(null).cast("int"))
+    when(ths.isNull && wind.isNull, -2)
+      .when(ths.isNull, wind)
+      .when(wind.isNull, ths)
+      .when(ths === wind, wind)
+      .otherwise(-3)
+  }
+
   /** Provenance marker for a full-outer merge (pandas `indicator=True`,
     * /root/reference/tasks/merge/stock.py:116-120). */
   def provenance(l: Column, r: Column): Column =

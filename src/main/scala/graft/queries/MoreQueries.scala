@@ -136,6 +136,26 @@ object MoreQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    "f5_limit_flag_merge" -> ((s, d) => {
+      // F5 conflict-coded limit-state reconciliation over derived
+      // vendor flags (covers every branch: agree, one-sided, unknown,
+      // conflict).
+      val flags = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_custkey") % 5 === 0, "涨停")
+          .when(col("o_custkey") % 5 === 1, "跌停")
+          .when(col("o_custkey") % 5 === 2, "停牌")
+          .when(col("o_custkey") % 5 === 3, "非涨跌停")
+          .otherwise("??").as("ths_flag"),
+        when(col("o_orderkey") % 4 === 0, 1)
+          .when(col("o_orderkey") % 4 === 1, -1)
+          .when(col("o_orderkey") % 4 === 2, 0)
+          .otherwise(7).as("wind_flag"))
+      flags.withColumn("max_up_or_down",
+        graft.operators.MergeOps.maxUpOrDown(col("ths_flag"), col("wind_flag")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "f9_parse_price" -> ((s, d) =>
       // Messy-string price parse (mfprice,
       // /root/reference/tasks/wind/future.py:47-54).
@@ -371,6 +391,28 @@ object MoreQueries {
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20, 25)
         |  AND p_retailprice IS NOT NULL AND p_retailprice <> 0
         |ORDER BY p_partkey""".stripMargin,
+
+    "f5_limit_flag_merge" ->
+      """WITH flags AS (
+        |  SELECT o_orderkey,
+        |    CASE o_custkey % 5 WHEN 0 THEN '涨停' WHEN 1 THEN '跌停'
+        |      WHEN 2 THEN '停牌' WHEN 3 THEN '非涨跌停' ELSE '??' END AS ths_flag,
+        |    CASE o_orderkey % 4 WHEN 0 THEN 1 WHEN 1 THEN -1 WHEN 2 THEN 0 ELSE 7 END AS wind_flag
+        |  FROM orders),
+        |coded AS (
+        |  SELECT o_orderkey, ths_flag, wind_flag,
+        |    CASE ths_flag WHEN '跌停' THEN -1 WHEN '涨停' THEN 1
+        |      WHEN '非涨跌停' THEN 0 WHEN '停牌' THEN 0 END AS ths_c,
+        |    CASE WHEN wind_flag IN (1, -1, 0) THEN wind_flag END AS wind_c
+        |  FROM flags)
+        |SELECT o_orderkey, ths_flag, CAST(wind_flag AS INT) AS wind_flag,
+        |  CAST(CASE
+        |    WHEN ths_c IS NULL AND wind_c IS NULL THEN -2
+        |    WHEN ths_c IS NULL THEN wind_c
+        |    WHEN wind_c IS NULL THEN ths_c
+        |    WHEN ths_c = wind_c THEN wind_c
+        |    ELSE -3 END AS INT) AS max_up_or_down
+        |FROM coded ORDER BY o_orderkey""".stripMargin,
 
     "f9_parse_price" ->
       """SELECT p_partkey, CAST(p_retailprice AS VARCHAR) || '元/吨(est)' AS messy,

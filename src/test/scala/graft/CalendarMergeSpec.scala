@@ -37,6 +37,27 @@ class CalendarMergeSpec extends AnyFunSuite with SharedSpark {
     assert(TradeCalendar.effectiveAsOf(after, 16, zone).toString == "2021-06-15")
   }
 
+  test("F5 max_up_or_down: full reconciliation matrix") {
+    import spark.implicits._
+    val cases = Seq(
+      ("涨停", Some(1), 1), // agree
+      ("跌停", Some(-1), -1), // agree
+      ("停牌", Some(0), 0), // neutral states map to 0
+      ("非涨跌停", Some(0), 0),
+      ("涨停", Some(7), 1), // wind invalid → ths wins
+      ("??", Some(-1), -1), // ths unknown → wind wins
+      ("??", Some(9), -2), // both unknown
+      ("涨停", Some(-1), -3), // conflict
+      ("停牌", Some(1), -3)) // neutral vs limit-up conflict
+    val df = cases.zipWithIndex
+      .map { case ((t, w, want), i) => (i, t, w.get, want) }
+      .toDF("i", "ths", "wind", "want")
+    val got = df.withColumn("got",
+      MergeOps.maxUpOrDown(col("ths"), col("wind")))
+      .filter(col("got") =!= col("want"))
+    assert(got.count() == 0)
+  }
+
   test("reconcileWithConflicts emits one row per out-of-tolerance cell") {
     import spark.implicits._
     val va = Seq((1, 100.0, 5.0), (2, 200.0, 6.0), (3, 300.0, 7.0))
