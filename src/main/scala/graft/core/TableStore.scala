@@ -1,5 +1,7 @@
 package graft.core
 
+import java.io.IOException
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -12,6 +14,11 @@ import org.apache.spark.sql.functions._
   * @param partitionBy storage partition columns (coarse date buckets or
   *                    instrument type) — at 100 TB these drive partition
   *                    pruning and bound the rewrite set of an upsert.
+  *                    Partition values must be simple scalars whose
+  *                    `CAST(v AS STRING)` matches the directory name Spark
+  *                    writes (ints, longs, dates, plain strings) — i.e. no
+  *                    characters needing Hive path escaping and no
+  *                    timestamps. All driver tables satisfy this.
   */
 final case class TableSpec(
     name: String,
@@ -30,13 +37,43 @@ final case class TableSpec(
   *  - `overwritePartitions` = delete-then-insert of a partition slice
   *                   (/root/reference/tasks/wind/future_reorg/reorg_md_2_db.py:176-193)
   *
-  * Scale design: for a partitioned table the merge only reads + rewrites
-  * the partitions present in the incoming batch (computed with one small
-  * distinct over the batch), so an incremental daily load against a
-  * 100 TB history touches one date partition, not the table. The merge
-  * itself is a single shuffle on the primary key (row_number keep-latest);
-  * writes go to a temp directory and are swapped in with filesystem
-  * renames so a failed job never leaves a half-written table.
+  * == Commit protocol (manifest, not rename-swap) ==
+  *
+  * Layout under `root/<table>/`:
+  * {{{
+  *   _manifests/m-000000042        one text line per (batchDir, partitionDir)
+  *   b-000000042-1a2b3c4d/         immutable parquet tree written by one job
+  * }}}
+  * A write job (1) writes a fresh `b-*` directory, (2) atomically publishes
+  * a new manifest — write to a dot-temp file, then a checked rename to its
+  * final name (file rename is atomic on HDFS and local FS; an existing
+  * destination makes the rename fail, which detects a concurrent commit) —
+  * and (3) garbage-collects batch dirs the new manifest no longer
+  * references. Readers resolve the highest committed manifest, so they
+  * never observe a missing or half-written table: a crash before (2)
+  * leaves only an unreferenced `b-*` dir (swept by the next successful
+  * write), and a crash after (2) has already committed. Every filesystem
+  * mutation on the commit path checks its return value and throws — HDFS
+  * `rename`/`delete` signal failure by returning false, not by throwing.
+  * This is also the only shape that stays correct on object stores, where
+  * directory renames are neither atomic nor cheap; one writer per table at
+  * a time (the reference serialized writes through MySQL the same way).
+  *
+  * == Scale design ==
+  *
+  * For a partitioned table the merge only reads + rewrites the partitions
+  * present in the incoming batch (computed with one small distinct over
+  * the batch), so an incremental daily load against a 100 TB history
+  * touches one date partition, not the table. The merge itself is a single
+  * shuffle on the primary key (row_number keep-latest). When the partition
+  * columns are a subset of the primary key, a changed partition value
+  * implies a different key, so pruning is provably safe; otherwise a row's
+  * partition value may move between batches, and `upsert` additionally
+  * semi-joins incoming keys against the untouched partitions to pull the
+  * stale home of any moved key into the rewrite set (one broadcast
+  * semi-join scan — set `evictMovedKeys = false` to skip it when the
+  * pipeline guarantees partition values are immutable per key, as every
+  * reference table does).
   */
 final class TableStore(spark: SparkSession, root: String) {
 
@@ -45,20 +82,160 @@ final class TableStore(spark: SparkSession, root: String) {
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(spec: TableSpec): Boolean = fs.exists(new Path(path(spec.name)))
+  // ── manifest machinery ────────────────────────────────────────────────
 
-  def read(spec: TableSpec): DataFrame = spark.read.parquet(path(spec.name))
+  /** `pairs` are (batchDir, partitionDir) with partitionDir == "" meaning
+    * the whole batch dir (unpartitioned tables), or "." for a pre-manifest
+    * plain parquet directory adopted in place.
+    */
+  private case class Manifest(version: Long, pairs: Seq[(String, String)])
 
-  def append(spec: TableSpec, batch: DataFrame): Unit = {
-    val w = batch.write.mode(SaveMode.Append)
-    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
-      .parquet(path(spec.name))
+  private def manifestDir(name: String) = new Path(path(name), "_manifests")
+
+  private def must(ok: Boolean, what: String): Unit =
+    if (!ok) throw new IOException(s"TableStore: $what failed")
+
+  private def latestManifest(f: FileSystem, name: String): Option[Manifest] = {
+    val dir = manifestDir(name)
+    if (!f.exists(dir)) return None
+    val names = f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m-") && !n.startsWith(".")).toSeq
+    if (names.isEmpty) return None
+    val latest = names.maxBy(n => n.stripPrefix("m-").toLong)
+    val in = f.open(new Path(dir, latest))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val pairs = text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+    Some(Manifest(latest.stripPrefix("m-").toLong, pairs))
   }
 
-  /** Keep-latest-per-PK merge. `newWins=false` gives INSERT IGNORE. */
-  def upsert(spec: TableSpec, batch: DataFrame, newWins: Boolean = true): Unit = {
+  private def commit(f: FileSystem, name: String, version: Long,
+      pairs: Seq[(String, String)]): Unit = {
+    val dir = manifestDir(name)
+    if (!f.exists(dir)) must(f.mkdirs(dir), s"mkdirs $dir")
+    val fin = new Path(dir, f"m-$version%09d")
+    val tmp = new Path(dir, f".tmp-m-$version%09d-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(pairs.map { case (d, p) => s"$d\t$p" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, fin)) {
+      f.delete(tmp, false)
+      throw new IOException(
+        s"TableStore: commit of ${name} v$version failed (concurrent writer?)")
+    }
+  }
+
+  /** Delete batch dirs the manifest no longer references and old manifest
+    * files. Best-effort: leftovers are unreferenced and thus harmless.
+    */
+  private def gc(f: FileSystem, name: String, live: Manifest): Unit = {
+    val keep = live.pairs.map(_._1).toSet
+    val tableDir = new Path(path(name))
+    f.listStatus(tableDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("b-") && !keep.contains(n))
+        f.delete(st.getPath, true)
+    }
+    val mdir = manifestDir(name)
+    f.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("m-") && n.stripPrefix("m-").toLong < live.version - 2)
+        f.delete(st.getPath, false)
+      if (n.startsWith(".tmp-m-")) f.delete(st.getPath, false)
+    }
+  }
+
+  /** Write `df` as a fresh immutable batch dir; return its name and the
+    * partition dirs it contains (listed from disk, so the names are
+    * exactly what Spark's writer produced).
+    */
+  private def writeBatch(f: FileSystem, spec: TableSpec, df: DataFrame,
+      version: Long): (String, Seq[String]) = {
+    val dirName = f"b-$version%09d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dest = new Path(path(spec.name), dirName)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
+      .parquet(dest.toString)
+    val parts =
+      if (spec.partitionBy.isEmpty) Seq("")
+      else listPartDirs(f, dest, spec.partitionBy.size)
+    (dirName, parts)
+  }
+
+  private def listPartDirs(f: FileSystem, base: Path, levels: Int): Seq[String] = {
+    def rec(p: Path, level: Int, rel: String): Seq[String] =
+      if (level == levels) Seq(rel)
+      else f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => rec(st.getPath, level + 1,
+          if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"))
+    rec(base, 0, "")
+  }
+
+  private def readPairs(spec: TableSpec, pairs: Seq[(String, String)]): DataFrame = {
+    val byDir = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+    val dfs = byDir.map { case (dir, ps) =>
+      val abs = if (dir == ".") path(spec.name) else s"${path(spec.name)}/$dir"
+      val parts = ps.map(_._2)
+      if (parts == Seq("")) spark.read.parquet(abs)
+      else spark.read.option("basePath", abs).parquet(parts.map(p => s"$abs/$p"): _*)
+    }
+    dfs.reduce(_.unionByName(_))
+  }
+
+  /** Adopt a pre-manifest plain parquet directory (no `_manifests`) as
+    * version 0 so reads and merges treat it uniformly.
+    */
+  private def adoptLegacy(f: FileSystem, spec: TableSpec): Option[Manifest] = {
+    val p = new Path(path(spec.name))
+    if (!f.exists(p)) return None
+    val parts =
+      if (spec.partitionBy.isEmpty) Seq("")
+      else listPartDirs(f, p, spec.partitionBy.size)
+    Some(Manifest(0L, parts.map("." -> _)))
+  }
+
+  private def current(f: FileSystem, spec: TableSpec): Option[Manifest] =
+    latestManifest(f, spec.name).orElse(adoptLegacy(f, spec))
+
+  // ── public API ────────────────────────────────────────────────────────
+
+  def exists(spec: TableSpec): Boolean = current(fs, spec).nonEmpty
+
+  def read(spec: TableSpec): DataFrame = {
+    val m = current(fs, spec).getOrElse(
+      throw new IOException(s"TableStore: table ${spec.name} does not exist"))
+    readPairs(spec, m.pairs)
+  }
+
+  /** Append rows without merging (K4 watermark-append path). */
+  def append(spec: TableSpec, batch: DataFrame): Unit = {
+    val f = fs
+    val cur = current(f, spec)
+    val version = cur.map(_.version).getOrElse(0L) + 1
+    val (dir, parts) = writeBatch(f, spec, batch, version)
+    val next = Manifest(version, cur.map(_.pairs).getOrElse(Nil) ++ parts.map(dir -> _))
+    commit(f, spec.name, version, next.pairs)
+    gc(f, spec.name, next)
+  }
+
+  /** Keep-latest-per-PK merge. `newWins=false` gives INSERT IGNORE.
+    *
+    * @param evictMovedKeys when the partition columns are NOT all part of
+    *        the primary key, an incoming row may have moved to a new
+    *        partition, leaving a stale duplicate of its key in the old
+    *        one. True (default) spends one semi-join scan of the untouched
+    *        partitions to find and rewrite those homes; false skips the
+    *        scan and requires the caller to guarantee partition values are
+    *        immutable per key. Irrelevant (never scans) when partitionBy
+    *        ⊆ primaryKey, where a moved value is by definition a new key.
+    */
+  def upsert(spec: TableSpec, batch: DataFrame, newWins: Boolean = true,
+      evictMovedKeys: Boolean = true): Unit = {
     require(spec.primaryKey.nonEmpty, s"${spec.name}: upsert needs a primary key")
-    val pk = spec.primaryKey.map(col)
+    val f = fs
     // Dedup within the batch first, honouring batch row order like the
     // reference's sequential INSERT..ON DUPLICATE loop: last occurrence
     // wins for upsert, first for INSERT IGNORE. monotonically_increasing_id
@@ -68,17 +245,37 @@ final class TableStore(spark: SparkSession, root: String) {
     val newDeduped = dedupByPk(
       batch.withColumn("__prio", lit(if (newWins) 0 else 1)).withColumn("__seq", seq),
       spec).drop("__seq")
-    if (!exists(spec)) {
-      writeSwap(spec, newDeduped.drop("__prio"), replaceAll = true, Nil)
+    val cur = current(f, spec)
+    if (cur.isEmpty) {
+      val (dir, parts) = writeBatch(f, spec, newDeduped.drop("__prio"), 1L)
+      val next = Manifest(1L, parts.map(dir -> _))
+      commit(f, spec.name, 1L, next.pairs)
+      gc(f, spec.name, next)
       return
     }
-    val existing0 = read(spec).withColumn("__prio", lit(if (newWins) 1 else 0))
+    val existing0 = readPairs(spec, cur.get.pairs)
+      .withColumn("__prio", lit(if (newWins) 1 else 0))
     // Partition pruning: only merge against partitions the batch touches.
-    val affected: Seq[Map[String, Any]] =
+    val batchParts: Seq[Map[String, Any]] =
       if (spec.partitionBy.isEmpty) Nil
       else batch.select(spec.partitionBy.map(col): _*).distinct()
         .collect().toSeq
         .map(r => spec.partitionBy.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    // Moved-key eviction (see scaladoc): partitions that still hold an old
+    // home of an incoming key join the rewrite set, so the keep-latest
+    // merge drops the stale row when the partition is rewritten.
+    val movedParts: Seq[Map[String, Any]] =
+      if (batchParts.isEmpty || !evictMovedKeys ||
+          spec.partitionBy.forall(spec.primaryKey.contains)) Nil
+      else {
+        val incomingKeys = newDeduped.select(spec.primaryKey.map(col): _*).distinct()
+        existing0.filter(!partitionPredicate(batchParts))
+          .join(broadcast(incomingKeys), spec.primaryKey, "left_semi")
+          .select(spec.partitionBy.map(col): _*).distinct()
+          .collect().toSeq
+          .map(r => spec.partitionBy.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+      }
+    val affected = batchParts ++ movedParts
     val existing =
       if (affected.isEmpty) existing0
       else existing0.filter(partitionPredicate(affected))
@@ -88,7 +285,15 @@ final class TableStore(spark: SparkSession, root: String) {
         .unionByName(existing.select((cols :+ "__prio").map(col): _*)),
       spec
     ).drop("__prio")
-    writeSwap(spec, merged, replaceAll = spec.partitionBy.isEmpty, affected)
+    val version = cur.get.version + 1
+    val (dir, newParts) = writeBatch(f, spec, merged, version)
+    val removed: Set[String] =
+      if (spec.partitionBy.isEmpty) cur.get.pairs.map(_._2).toSet
+      else newParts.toSet ++ affected.map(partRelPath(spec, _)).toSet
+    val next = Manifest(version,
+      cur.get.pairs.filterNot { case (_, p) => removed.contains(p) } ++ newParts.map(dir -> _))
+    commit(f, spec.name, version, next.pairs)
+    gc(f, spec.name, next)
   }
 
   /** K2 — keep the first-seen row on PK conflict. */
@@ -98,39 +303,73 @@ final class TableStore(spark: SparkSession, root: String) {
   /** K3 — wipe the partition slice(s) present in `batch`, then load it. */
   def overwritePartitions(spec: TableSpec, batch: DataFrame): Unit = {
     require(spec.partitionBy.nonEmpty, s"${spec.name}: no partition columns")
-    batch.write.mode(SaveMode.Overwrite)
-      .partitionBy(spec.partitionBy: _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(path(spec.name))
+    val f = fs
+    val cur = current(f, spec)
+    val version = cur.map(_.version).getOrElse(0L) + 1
+    val (dir, parts) = writeBatch(f, spec, batch, version)
+    val removed = parts.toSet
+    val next = Manifest(version,
+      cur.map(_.pairs).getOrElse(Nil).filterNot { case (_, p) => removed.contains(p) } ++
+        parts.map(dir -> _))
+    commit(f, spec.name, version, next.pairs)
+    gc(f, spec.name, next)
   }
 
-  /** Small-file compaction: incremental upserts leave one file set per
-    * batch; periodically rewrite each partition into
-    * ceil(bytes/targetFileSize) files. The reference's analog was MySQL
-    * REPAIR TABLE + partition maintenance
+  /** Small-file compaction: incremental upserts leave one batch dir per
+    * write; periodically rewrite the table into ~targetFileSize files.
+    * The reference's analog was MySQL REPAIR TABLE + partition maintenance
     * (/root/reference/tasks/backend/repair_table.py:15-22); on an
     * immutable columnar store the concern becomes file-count hygiene —
-    * at 100 TB, scan parallelism and NameNode/listing pressure are set
-    * by this. Same swap-write path as upsert, so readers never see a
+    * at 100 TB, scan parallelism and NameNode/listing pressure are set by
+    * this. Partitioned tables size each partition independently: a
+    * partition of B bytes is salted into ceil(B/target) writer tasks, so
+    * an oversized partition splits instead of collapsing to one huge file
+    * (the salt is a hash of the primary key — deterministic output).
+    * Same manifest-commit path as upsert, so readers never see a
     * half-compacted table.
     */
   def compact(spec: TableSpec, targetFileSizeBytes: Long = 128L * 1024 * 1024): Unit = {
-    require(exists(spec), s"${spec.name}: nothing to compact")
     val f = fs
-    val totalBytes = {
-      val it = f.listFiles(new Path(path(spec.name)), true)
+    val cur = current(f, spec).getOrElse(
+      throw new IOException(s"TableStore: nothing to compact for ${spec.name}"))
+    // bytes per partition dir (or whole table when unpartitioned)
+    def bytesUnder(p: Path): Long = {
+      val it = f.listFiles(p, true)
       var n = 0L
       while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".parquet")) n += s.getLen }
       n
     }
-    val files = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val df = read(spec)
+    val df = readPairs(spec, cur.pairs)
+    val version = cur.version + 1
     val compacted =
-      if (spec.partitionBy.nonEmpty)
-        // spread within partitions; dynamic repartition per partition key
-        df.repartition(files, spec.partitionBy.map(col): _*)
-      else df.repartition(files)
-    writeSwap(spec, compacted, replaceAll = true, Nil)
+      if (spec.partitionBy.isEmpty) {
+        val total = bytesUnder(new Path(path(spec.name)))
+        df.repartition(math.max(1, math.ceil(total.toDouble / targetFileSizeBytes).toInt))
+      } else {
+        val perPart: Map[String, Long] = cur.pairs
+          .map { case (d, p) =>
+            val abs = if (d == ".") new Path(path(spec.name), p)
+                      else new Path(new Path(path(spec.name), d), p)
+            p -> bytesUnder(abs)
+          }
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+        val nFiles: Map[String, Int] = perPart.map { case (p, b) =>
+          p -> math.max(1, math.ceil(b.toDouble / targetFileSizeBytes).toInt)
+        }
+        val totalFiles = math.max(1, nFiles.values.sum)
+        val partName = concat_ws("/", spec.partitionBy.map(c =>
+          concat(lit(s"$c="), coalesce(col(c).cast("string"),
+            lit("__HIVE_DEFAULT_PARTITION__")))): _*)
+        val salt = pmod(xxhash64(spec.primaryKey.map(col): _*),
+          coalesce(element_at(typedLit(nFiles), partName), lit(1)))
+        df.withColumn("__salt", salt)
+          .repartition(totalFiles, (spec.partitionBy.map(col) :+ col("__salt")): _*)
+          .drop("__salt")
+      }
+    val (dir, parts) = writeBatch(f, spec, compacted, version)
+    val next = Manifest(version, parts.map(dir -> _))
+    commit(f, spec.name, version, next.pairs)
+    gc(f, spec.name, next)
   }
 
   private def dedupByPk(df: DataFrame, spec: TableSpec): DataFrame = {
@@ -146,40 +385,8 @@ final class TableStore(spark: SparkSession, root: String) {
       m.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
     }.reduce(_ || _)
 
-  /** Write `df` to a temp dir then swap: whole table, or just the
-    * affected partition directories. Rename-based, so the visible table
-    * is never half-written.
-    */
-  private def writeSwap(spec: TableSpec, df: DataFrame, replaceAll: Boolean,
-      affected: Seq[Map[String, Any]]): Unit = {
-    val main = new Path(path(spec.name))
-    val tmp = new Path(path(spec.name) + "__tmp")
-    val f = fs
-    if (f.exists(tmp)) f.delete(tmp, true)
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
-      .parquet(tmp.toString)
-    if (replaceAll) {
-      val bak = new Path(path(spec.name) + "__old")
-      if (f.exists(bak)) f.delete(bak, true)
-      if (f.exists(main)) f.rename(main, bak)
-      f.rename(tmp, main)
-      f.delete(bak, true)
-    } else {
-      // Swap only the partition directories the batch touched.
-      affected.foreach { m =>
-        val rel = spec.partitionBy.map(c => s"$c=${partDirValue(m(c))}").mkString("/")
-        val src = new Path(tmp, rel)
-        val dst = new Path(main, rel)
-        if (f.exists(dst)) f.delete(dst, true)
-        if (f.exists(src)) {
-          f.mkdirs(dst.getParent)
-          f.rename(src, dst)
-        }
-      }
-      f.delete(tmp, true)
-    }
-  }
+  private def partRelPath(spec: TableSpec, m: Map[String, Any]): String =
+    spec.partitionBy.map(c => s"$c=${partDirValue(m(c))}").mkString("/")
 
   private def partDirValue(v: Any): String = v match {
     case null => "__HIVE_DEFAULT_PARTITION__"

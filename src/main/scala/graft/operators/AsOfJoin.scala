@@ -22,32 +22,40 @@ object AsOfJoin {
     * latest right row whose `rightTime` ≤ the left row's `leftTime`,
     * matching on `keys`. Right columns keep their names (callers alias
     * beforehand on collision).
+    *
+    * All value columns are carried together in ONE struct, so every left
+    * row sees a row-consistent snapshot of the latest right row — carrying
+    * each column with its own `last(ignoreNulls)` would stitch values from
+    * different right rows whenever the latest right row holds a null in
+    * one of them, diverging from row-level as-of semantics.
     */
   def asofBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val vType = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select(left.columns.map(col) ++ Seq(col("__t"), col("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+      .withColumn("__v", lit(null).cast(vType))
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(keys.map(col) ++
         left.columns.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("__t"), col("__side")) ++ valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        Seq(col("__t"), col("__side"), struct(valueCols.map(col): _*).as("__v")): _*)
     // At equal timestamps the right (state) row sorts first, so a report
     // published on day T is visible to day T itself — the reference's
-    // `pub_date <= trade_date` inclusive semantics.
+    // `pub_date <= trade_date` inclusive semantics. The struct of a right
+    // row is never null (the row exists), so last(ignoreNulls) lands on
+    // the latest right row even when its individual fields are null.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
-      .select(
-        (lTagged.columns.filterNot(c => c.startsWith("__v_")).map(col) ++
-          valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c))): _*)
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col("__v").getField(c).as(c)): _*)
   }
 
   /** Interval membership join (J10): flag left rows whose `dateCol` falls

@@ -32,6 +32,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Embedding-cosine near-dup pairs: two documents are near-duplicates
+    * when their embedding cosine ≥ `minCosine`. Pairs are only formed
+    * inside a blocking key (a cluster / language / coarse-quantizer cell
+    * column) — the standard trick that keeps embedding dedup at
+    * O(Σ block²) instead of O(n²); at 100 TB the block column comes from
+    * an IVF assignment ([[Similarity.ivfAssign]]) or SRP bucket so block
+    * sizes are bounded. One shuffle on the block key.
+    */
+  def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val a = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** 64-bit hash of a string with a seed (two murmur32 halves) — shared
     * by the single-pass signature/simhash kernels. */
   private def hash64(s: String, seed: Int): Long = {

@@ -78,6 +78,16 @@ object TextQueries {
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
+    "dd_embed_cosine" -> ((s, d) => {
+      // Embedding-cosine near-dup: same-label blocking (at scale the
+      // block is an IVF cell), exact cosine verify, keep lower id.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      Dedup.embeddingCosinePairs(e, "vec_id", "v", "label", minCosine = 0.3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "v_knn_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -196,6 +206,20 @@ object TextQueries {
          |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
          |WHERE jaccard1 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) AS cosine,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos_raw
+        |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id > a.vec_id) p
+        |WHERE cos_raw >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "v_ivf_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

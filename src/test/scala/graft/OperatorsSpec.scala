@@ -56,6 +56,18 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       ("x", 7, None))) // no state for this key
   }
 
+  test("as-of join carries a row-consistent snapshot when the latest right row has nulls") {
+    import spark.implicits._
+    val left = Seq(("k", 10)).toDF("key", "t")
+    // latest matching right row (rt=9) has a null in `b`: the join must
+    // NOT backfill b from the older rt=5 row — all values from one row.
+    val right = Seq(("k", 5, Some("a5"), Some("b5")), ("k", 9, Some("a9"), None))
+      .toDF("key", "rt", "a", "b")
+    val got = AsOfJoin.asofBackward(left, right, Seq("key"), "t", "rt", Seq("a", "b"))
+      .collect().map(r => (Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq == Seq((Some("a9"), None)))
+  }
+
   test("interval flag marks rows inside any [start,end] of their key") {
     import spark.implicits._
     val rows = Seq(("a", d("2021-01-05")), ("a", d("2021-02-01")), ("b", d("2021-01-05")))

@@ -96,4 +96,81 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     store.upsert(spec, Seq((1, 1.0), (1, 99.0)).toDF("k", "v"))
     assert(store.read(spec).count() == 1)
   }
+
+  test("upsert evicts the stale home of a key whose partition value moved") {
+    import spark.implicits._
+    val store = freshStore("moved")
+    // partition column NOT part of the PK → values may move between batches
+    val spec = TableSpec("t", Seq("k"), partitionBy = Seq("y"))
+    store.upsert(spec, Seq((1, 2020, 1.0), (2, 2021, 2.0)).toDF("k", "y", "v"))
+    // key 1 corrects its year 2020 → 2021: old 2020 row must disappear
+    store.upsert(spec, Seq((1, 2021, 10.0)).toDF("k", "y", "v"))
+    val got = store.read(spec).orderBy("k").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("y"), r.getAs[Double]("v")))
+    assert(got.toSeq == Seq((1, 2021, 10.0), (2, 2021, 2.0)))
+    assert(store.read(spec).groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("evictMovedKeys=false keeps the documented fast path semantics") {
+    import spark.implicits._
+    val store = freshStore("movedoff")
+    val spec = TableSpec("t", Seq("k"), partitionBy = Seq("y"))
+    store.upsert(spec, Seq((1, 2020, 1.0)).toDF("k", "y", "v"))
+    store.upsert(spec, Seq((1, 2021, 10.0)).toDF("k", "y", "v"), evictMovedKeys = false)
+    // without eviction the stale 2020 home survives — caller opted out
+    assert(store.read(spec).count() == 2)
+  }
+
+  test("uncommitted batch dirs are invisible to readers and swept by the next write") {
+    import spark.implicits._
+    val store = freshStore("orphan")
+    val spec = TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1, 1.0)).toDF("k", "v"))
+    // simulate a crashed writer: a b-* dir exists but no manifest points at it
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(store.path("t"), "b-000000099-deadbeef")
+    Seq((9, 9.0)).toDF("k", "v").write.parquet(orphan.toString)
+    assert(store.read(spec).count() == 1) // orphan not visible
+    store.upsert(spec, Seq((2, 2.0)).toDF("k", "v"))
+    assert(!fs.exists(orphan)) // swept by the successful commit's GC
+    assert(store.read(spec).orderBy("k").collect().map(_.getDouble(1)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("compact splits an oversized partition into multiple files") {
+    import spark.implicits._
+    val store = freshStore("compactsize")
+    val spec = TableSpec("t", Seq("k"), partitionBy = Seq("y"))
+    // y=2020 is ~100× larger than y=2021
+    val big = (1 to 20000).map(i => (i, 2020, i.toDouble))
+    val small = Seq((100001, 2021, 1.0))
+    store.upsert(spec, (big ++ small).toDF("k", "y", "v"))
+    val before = store.read(spec).orderBy("k").collect().toSeq
+    store.compact(spec, targetFileSizeBytes = 32 * 1024) // tiny target to force splits
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def filesUnder(glob: String) = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("t")), true)
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") && p.getParent.getName == glob) n += 1
+      }
+      n
+    }
+    assert(filesUnder("y=2020") > 1, "oversized partition must split")
+    assert(filesUnder("y=2021") == 1, "small partition stays one file")
+    assert(store.read(spec).orderBy("k").collect().toSeq == before)
+  }
+
+  test("a plain pre-manifest parquet dir is adopted and merged in place") {
+    import spark.implicits._
+    val store = freshStore("legacy")
+    val spec = TableSpec("t", Seq("k"))
+    // legacy layout: parquet written straight at the table path, no manifest
+    Seq((1, 1.0), (2, 2.0)).toDF("k", "v").write.parquet(store.path("t"))
+    assert(store.exists(spec))
+    assert(store.read(spec).count() == 2)
+    store.upsert(spec, Seq((2, 20.0), (3, 3.0)).toDF("k", "v"))
+    val got = store.read(spec).orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1, 1.0), (2, 20.0), (3, 3.0)))
+  }
 }
