@@ -59,8 +59,11 @@ object ContinuousFutures {
     val days: Array[DayData] = all.groupBy(_.trade_date).toArray
       .sortBy(_._1.toLocalDate.toEpochDay)
       .map { case (d, rs) =>
+        // (maturity, id) order: the id tie-break pins the scan order when
+        // several contracts share a last-trade date, so the selection is
+        // deterministic and mirrorable by the DuckDB oracle.
         val bySwitch = rs.filter(_.switch_by.isDefined)
-          .sortBy(r => maturity(r.instrument_id))
+          .sortBy(r => (maturity(r.instrument_id), r.instrument_id))
           .map(r => r.instrument_id -> r.switch_by.get).toSeq
         val closes = rs.flatMap(r => r.close.map(r.instrument_id -> _)).toMap
         DayData(d, bySwitch, closes)

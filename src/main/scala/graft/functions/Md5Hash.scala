@@ -1,0 +1,46 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Cross-engine-reproducible string hashes derived from MD5.
+  *
+  * The dedup/LSH kernels need hashes the DuckDB correctness oracle can
+  * recompute exactly. xxhash64/murmur have no DuckDB twin, but `md5()`
+  * does, so the shared base hashes are hex windows of the MD5 digest:
+  *
+  *  - `h1(s)` = first 15 hex chars as a long (60 bits) —
+  *    DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`
+  *  - `h2(s)` = next 14 hex chars as a long (56 bits) —
+  *    DuckDB `('0x' || substr(md5(s), 16, 14))::BIGINT`
+  *
+  * Both are non-negative, and `h1 + i*h2` stays below 2^61 for i ≤ 16,
+  * so the Kirsch–Mitzenmacher double-hashing family `g_i = h1 + i*h2`
+  * is overflow-free in 64-bit signed arithmetic on BOTH engines.
+  * Parsed straight from digest bytes — no hex-string allocation in the
+  * hot loop.
+  */
+object Md5Hash {
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** (h1, h2) of the string's MD5 — see class doc for the bit layout. */
+  def h1h2(s: String): (Long, Long) = {
+    val d = md.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    // hex chars 1..15 = bytes 0..6 + high nibble of byte 7
+    var h1 = 0L
+    var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    h1 = (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+    // hex chars 16..29 = low nibble of byte 7, bytes 8..13, high nibble of byte 14
+    var h2 = d(7) & 0x0fL
+    i = 8
+    while (i < 14) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    h2 = (h2 << 4) | ((d(14) & 0xf0L) >> 4)
+    (h1, h2)
+  }
+
+  def h1(s: String): Long = h1h2(s)._1
+}

@@ -46,15 +46,18 @@ object VectorFunctions {
     * bits. Vectors in the same bucket are candidate near-neighbors — the
     * scale path that avoids the O(n²) cross join.
     *
-    * The hyperplane matrix is materialized once on the driver and ships
-    * in the UDF closure; the per-row work is one fused dim×nBits loop
-    * (the expression-tree formulation was a 384-node interpreted plan).
+    * Hyperplane components are Rademacher ±1 (a standard SRP variant,
+    * Achlioptas-style) derived from `Md5Hash.h1("srp:seed:bit:dim")`
+    * parity — deterministic AND recomputable by the DuckDB oracle, unlike
+    * a seeded Gaussian PRNG. The matrix is materialized once on the
+    * driver and ships in the UDF closure; the per-row work is one fused
+    * dim×nBits loop (the expression-tree formulation was a 384-node
+    * interpreted plan).
     */
   def srpBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val planes: Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(nBits, dim)(rnd.nextGaussian())
-    }
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nBits, dim)((b, i) =>
+        if (Md5Hash.h1(s"srp:$seed:$b:$i") % 2 == 0) 1.0 else -1.0)
     val bucketUdf = udf { v: Seq[Double] =>
       var out = 0L
       var b = 0

@@ -54,17 +54,11 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** 64-bit hash of a string with a seed (two murmur32 halves) — shared
-    * by the single-pass signature/simhash kernels. */
-  private def hash64(s: String, seed: Int): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c ^ seed)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b + seed)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
-
-  /** MinHash signature: `numHashes` permutations approximated by
-    * hash64(shingle, seed_i); signature_i = min over distinct char
-    * shingles of the normalized text.
+  /** MinHash signature: `numHashes` permutations from the
+    * Kirsch–Mitzenmacher family `g_k(s) = h1(s) + k·h2(s)` over MD5
+    * windows ([[graft.functions.Md5Hash]] — chosen so the DuckDB oracle
+    * can recompute signatures exactly); signature_k = min over distinct
+    * char shingles of the normalized text.
     *
     * Fused single-pass UDF rather than Column algebra: higher-order
     * array functions are interpreted (no codegen, no subexpression
@@ -84,9 +78,10 @@ object Dedup {
         while (i < n) {
           val s = norm.substring(i, math.min(i + shingleLen, norm.length))
           if (seen.add(s)) {
+            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
             var k = 0
             while (k < numHashes) {
-              val h = hash64(s, k)
+              val h = h1 + k * h2
               if (h < sig(k)) sig(k) = h
               k += 1
             }
@@ -157,21 +152,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of words: per-bit weighted vote packed into a long;
-    * near-dups differ in few bits (hamming distance). Single-pass Scala
-    * UDF — the pure-Column form needs 64 `aggregate()` traversals per
-    * row, which blows up codegen; one fused pass is ~10× faster and
-    * still executor-local (no shuffle).
+  /** 60-bit SimHash of words: per-bit weighted vote packed into a long;
+    * near-dups differ in few bits (hamming distance). 60 bits because the
+    * word hash is the MD5-window `h1` ([[graft.functions.Md5Hash]]),
+    * which the DuckDB oracle recomputes exactly. Single-pass Scala UDF —
+    * the pure-Column form needs one `aggregate()` traversal per bit,
+    * which blows up codegen; one fused pass is ~10× faster and still
+    * executor-local (no shuffle).
     */
+  val simHashBits = 60
+
   private val simHash64 = udf { text: String =>
     if (text == null) 0L
     else {
-      val votes = new Array[Int](64)
+      val votes = new Array[Int](simHashBits)
       text.toLowerCase.split("\\s+").foreach { w =>
         if (w.nonEmpty) {
-          val h = hash64(w, 0)
+          val h = graft.functions.Md5Hash.h1(w)
           var bit = 0
-          while (bit < 64) {
+          while (bit < simHashBits) {
             if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
             bit += 1
           }
@@ -179,7 +178,7 @@ object Dedup {
       }
       var out = 0L
       var bit = 0
-      while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+      while (bit < simHashBits) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
       out
     }
   }

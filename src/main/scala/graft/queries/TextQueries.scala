@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** LLM-training-data operators over the `documents` / `embeddings`
   * tables: text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
-  * Jaccard), and embedding similarity search. Hash-based signatures
-  * (xxhash64) have no DuckDB equivalent, so those queries get the
-  * driver's rows-only check; everything else carries an oracle.
+  * Jaccard / embedding-cosine), and embedding similarity search. The
+  * hash-based kernels (minhash, simhash, SRP-LSH) derive their hashes
+  * from MD5 windows ([[graft.functions.Md5Hash]]) precisely so the
+  * DuckDB oracle can recompute them — every query here carries a full
+  * value-level oracle.
   */
 object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -66,7 +68,6 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // xxhash64 signatures — no DuckDB twin → rows-only checks.
     "dd_minhash_pairs" -> ((s, d) =>
       Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
         shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
@@ -206,6 +207,80 @@ object TextQueries {
          |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
          |WHERE jaccard1 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
+         |      i -> substr(norm, i + 1, 5))) AS shingles
+         |  FROM t),
+         |hs AS (SELECT doc_id, shingles,
+         |    list_transform(shingles, s ->
+         |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
+         |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, shingles,
+         |    list_transform(range(0, 16),
+         |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
+         |  FROM hs),
+         |banded AS (SELECT doc_id, b.range AS band,
+         |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
+         |  FROM sigs, range(0, 4) b),
+         |ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN ok USING (band, bh)
+         |  JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
+         |est AS (SELECT id_a, id_b
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b
+         |  WHERE CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.15)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0 THEN
+         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) ELSE 0.0 END AS jac
+         |  FROM est
+         |  JOIN sigs sa ON sa.doc_id = est.id_a
+         |  JOIN sigs sb ON sb.doc_id = est.id_b) x
+         |WHERE jac >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS ltoks FROM documents),
+         |tok AS (SELECT doc_id, unnest(ltoks) AS w FROM t),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         |votes AS (SELECT doc_id, b.range AS bit,
+         |    sum(CASE WHEN ((hv >> b.range) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, range(0, 60) b GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "v_lsh_pairs" ->
+      """WITH planes AS (SELECT b.range AS b,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN ('0x' || substr(md5('srp:42:' || b.range || ':' || i), 1, 15))::BIGINT % 2 = 0
+        |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS wl
+        |  FROM range(0, 6) b),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (SELECT e.vec_id, p.b,
+        |    CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * p.wl[i])) >= 0
+        |      THEN (1::BIGINT << p.b) ELSE 0 END AS bitval
+        |  FROM e CROSS JOIN planes p),
+        |buckets AS (SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+        |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) AS cos_raw
+        |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND b.vec_id > a.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+        |FROM pairs WHERE cos_raw >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_embed_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
