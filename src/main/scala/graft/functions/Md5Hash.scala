@@ -43,4 +43,24 @@ object Md5Hash {
   }
 
   def h1(s: String): Long = h1h2(s)._1
+
+  private val cache = new ThreadLocal[java.util.HashMap[String, (Long, Long)]] {
+    override def initialValue() = new java.util.HashMap[String, (Long, Long)](1 << 16)
+  }
+  private val CacheCap = 1 << 20
+
+  /** Memoized [[h1h2]] for hot kernels hashing highly repetitive keys
+    * (char shingles recur across documents): one MD5 per distinct string
+    * per thread. Cache is thread-local (no contention) and capped.
+    */
+  def h1h2Cached(s: String): (Long, Long) = {
+    val c = cache.get()
+    val hit = c.get(s)
+    if (hit != null) hit
+    else {
+      val v = h1h2(s)
+      if (c.size < CacheCap) c.put(s, v)
+      v
+    }
+  }
 }

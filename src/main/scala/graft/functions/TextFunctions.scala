@@ -10,19 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of a document. */
+  /** Whitespace tokens of a document.
+    *
+    * Callers evaluating several metrics per document should materialize
+    * this (and `tokens(lower(text))`) ONCE with `withColumn` and use the
+    * `*Of` variants below: higher-order Columns run interpreted with no
+    * common-subexpression elimination, so every metric that re-derives
+    * the token array re-splits the whole document.
+    */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  def tokenCountOf(toks: Column): Column = size(toks)
 
   /** BPE-ish subword count: word pieces of ≤4 chars — a deterministic
     * stand-in for a real tokenizer's token count (≈ chars/4 bounded by
     * word structure), computed from the same split.
     */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
+  def subwordCount(text: Column): Column = subwordCountOf(tokens(text))
+
+  def subwordCountOf(toks: Column): Column =
+    aggregate(toks, lit(0),
       (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int"))
 
   /** Ratio of punctuation chars to total chars. */
@@ -33,20 +44,23 @@ object TextFunctions {
   }
 
   /** Mean token length. */
-  def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
+  def meanTokenLength(text: Column): Column = meanTokenLengthOf(tokens(text))
+
+  def meanTokenLengthOf(ts: Column): Column =
     when(size(ts) > 0,
       aggregate(ts, lit(0), (acc, w) => acc + length(w)).cast("double") / size(ts))
       .otherwise(0.0)
-  }
 
   val englishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
 
   /** Fraction of tokens that are (lowercased) stopwords. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val ts = tokens(lower(text))
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    stopwordRatioOf(tokens(lower(text)), stopwords)
+
+  /** Over pre-lowercased tokens (`tokens(lower(text))`). */
+  def stopwordRatioOf(ts: Column, stopwords: Seq[String] = englishStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
     when(size(ts) > 0,
       size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
@@ -57,13 +71,17 @@ object TextFunctions {
     * punctuation, non-degenerate mean word length, some stopword mass —
     * the classic cheap pre-filter for LLM training corpora.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text), tokens(lower(text)))
+
+  /** Over pre-materialized `tokens(text)` / `tokens(lower(text))`. */
+  def qualityScoreOf(text: Column, toks: Column, ltoks: Column): Column = {
+    val nTok = tokenCountOf(toks).cast("double")
     val lengthScore = least(nTok / lit(50.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val mtl = meanTokenLength(text)
+    val mtl = meanTokenLengthOf(toks)
     val wordScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
-    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatioOf(ltoks) * 5.0, lit(1.0))
     round((lengthScore * 0.4 + punctScore * 0.2 + wordScore * 0.2 + swScore * 0.2), 6)
   }
 
@@ -77,8 +95,10 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "不"))
 
   /** Marker-hit count for one language. */
-  def langHits(text: Column, markers: Seq[String]): Column = {
-    val ts = tokens(lower(text))
+  def langHits(text: Column, markers: Seq[String]): Column =
+    langHitsOf(tokens(lower(text)), markers)
+
+  def langHitsOf(ts: Column, markers: Seq[String]): Column = {
     val mk = array(markers.map(lit): _*)
     size(filter(ts, t => array_contains(mk, t)))
   }
@@ -87,9 +107,13 @@ object TextFunctions {
     * "und" (undetermined) when nothing matches. Ties break by profile
     * order (en first) — deterministic.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOf(tokens(lower(text)))
+
+  /** Over pre-lowercased tokens — one scan per language profile instead
+    * of one tokenization + scan. */
+  def langIdOf(ltoks: Column): Column = {
     val scored = langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(langHits(text, markers).as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
+      struct(langHitsOf(ltoks, markers).as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")

@@ -78,7 +78,7 @@ object Dedup {
         while (i < n) {
           val s = norm.substring(i, math.min(i + shingleLen, norm.length))
           if (seen.add(s)) {
-            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
+            val (h1, h2) = graft.functions.Md5Hash.h1h2Cached(s)
             var k = 0
             while (k < numHashes) {
               val h = h1 + k * h2
@@ -168,7 +168,7 @@ object Dedup {
       val votes = new Array[Int](simHashBits)
       text.toLowerCase.split("\\s+").foreach { w =>
         if (w.nonEmpty) {
-          val h = graft.functions.Md5Hash.h1(w)
+          val h = graft.functions.Md5Hash.h1h2Cached(w)._1
           var bit = 0
           while (bit < simHashBits) {
             if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1

@@ -69,7 +69,11 @@ object MoreQueries {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_export_per_key"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      Tables.documents(s, d).write.partitionBy("source", "lang").parquet(dir)
+      // Pre-shuffle onto the partition keys: without it every input task
+      // opens a writer per (source, lang) — tasks × partitions small
+      // files, the classic many-writers explosion at scale.
+      Tables.documents(s, d).repartition(col("source"), col("lang"))
+        .write.partitionBy("source", "lang").parquet(dir)
       s.read.parquet(dir)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

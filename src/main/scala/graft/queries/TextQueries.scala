@@ -19,20 +19,28 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "t_token_stats" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        subwordCount(col("text")).cast("long").as("n_subwords"),
-        punctRatio(col("text")).as("punct_ratio"),
-        meanTokenLength(col("text")).as("mean_token_len"),
-        stopwordRatio(col("text")).as("stopword_ratio"))
+      // tokenize once, share across all five metrics (see TextFunctions
+      // scaladoc: interpreted higher-order Columns get no CSE)
+      Tables.documents(s, d)
+        .withColumn("__toks", tokens(col("text")))
+        .withColumn("__ltoks", tokens(lower(col("text"))))
+        .select(
+          col("doc_id"),
+          tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+          subwordCountOf(col("__toks")).cast("long").as("n_subwords"),
+          punctRatio(col("text")).as("punct_ratio"),
+          meanTokenLengthOf(col("__toks")).as("mean_token_len"),
+          stopwordRatioOf(col("__ltoks")).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     "t_quality_langid" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        qualityScore(col("text")).as("quality"),
-        langId(col("text")).as("lang_pred"))
+      Tables.documents(s, d)
+        .withColumn("__toks", tokens(col("text")))
+        .withColumn("__ltoks", tokens(lower(col("text"))))
+        .select(
+          col("doc_id"),
+          qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"),
+          langIdOf(col("__ltoks")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     "t_fingerprint" -> ((s, d) =>
