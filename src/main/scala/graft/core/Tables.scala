@@ -41,4 +41,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a compressed-small but compute-heavy table out to full cluster
+    * parallelism before a per-row kernel. A snappy-parquet text corpus
+    * can be one input split (one row group) while its per-document CPU
+    * cost is thousands of hashes — without this, the kernel runs on a
+    * single core no matter how many executors exist. One cheap
+    * round-robin shuffle of the raw rows; order-insensitive downstream.
+    */
+  def scatter(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

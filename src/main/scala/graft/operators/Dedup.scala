@@ -78,7 +78,7 @@ object Dedup {
         while (i < n) {
           val s = norm.substring(i, math.min(i + shingleLen, norm.length))
           if (seen.add(s)) {
-            val (h1, h2) = graft.functions.Md5Hash.h1h2Cached(s)
+            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
             var k = 0
             while (k < numHashes) {
               val h = h1 + k * h2
@@ -94,14 +94,83 @@ object Dedup {
     docs.withColumn("minhash_sig", sigUdf(col(textCol)))
   }
 
+  /** One fused pass producing both the MinHash signature and the sorted,
+    * distinct, MD5-h1-hashed shingle set. Shingling + MD5 dominate the
+    * whole dedup job, and the signature and verify stages need the same
+    * intermediate — computing them together (and persisting the result)
+    * means the corpus text is normalized and hashed exactly once.
+    * Shingles as sorted longs, not strings: the exact-Jaccard verify
+    * becomes a two-pointer merge over primitive arrays (~100× cheaper
+    * than per-pair string hash sets) and the verify join shuffles 8
+    * bytes per shingle instead of the shingle text.
+    */
+  private def sigAndHashedShingles(shingleLen: Int, numHashes: Int) =
+    udf { text: String =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var sh = Array.empty[Long]
+      if (text != null) {
+        val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        val n = math.max(norm.length - shingleLen + 1, 1)
+        val seen = new java.util.HashSet[String](n * 2)
+        val hs = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i < n) {
+          val s = norm.substring(i, math.min(i + shingleLen, norm.length))
+          if (seen.add(s)) {
+            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
+            hs.add(h1)
+            var k = 0
+            while (k < numHashes) {
+              val h = h1 + k * h2
+              if (h < sig(k)) sig(k) = h
+              k += 1
+            }
+          }
+          i += 1
+        }
+        sh = new Array[Long](hs.size)
+        val it = hs.iterator()
+        var j = 0
+        while (it.hasNext) { sh(j) = it.next(); j += 1 }
+      }
+      (sig, sh)
+    }
+
+  /** Jaccard of two sorted distinct long arrays via two-pointer merge.
+    * Parameters are primitive `Array[Long]`, not `Seq[Long]`: Spark
+    * converts `UnsafeArrayData` to a primitive array in one copy, and
+    * positional access stays O(1) — a `Seq` parameter can arrive as a
+    * non-indexed collection and turn this loop quadratic.
+    */
+  val jaccardOfSortedLongs: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Long], b: Array[Long]) =>
+      if (a == null || b == null || (a.isEmpty && b.isEmpty)) 0.0
+      else {
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.length && j < b.length) {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        val union = a.length + b.length - inter
+        if (union == 0) 0.0 else inter.toDouble / union
+      }
+    }
+
   /** MinHash-LSH near-dup pairs, staged for scale:
-    *  1. band the signatures, self-join buckets on ids ONLY (the narrow
+    *  1. ONE fused corpus pass → (signature, hashed shingle set),
+    *     persisted — every later stage column-prunes from this cache
+    *     instead of re-reading and re-hashing the text;
+    *  2. band the signatures, self-join buckets on ids ONLY (the narrow
     *     shuffle — never drag shingle arrays through the bucket join);
-    *  2. dedup candidate pairs;
-    *  3. cheap prefilter: estimated Jaccard = fraction of equal
-    *     signature components (16 long comparisons/pair);
-    *  4. exact shingle Jaccard only for survivors, via id-joins back to
-    *     the (broadcastable) shingle table.
+    *  3. dedup candidate pairs;
+    *  4. cheap prefilter: estimated Jaccard = fraction of equal
+    *     signature components (16 long comparisons/pair) — note a pair
+    *     sharing one of `bands` bands already has est ≥ rowsPerBand /
+    *     numHashes, so this only prunes when the threshold exceeds that;
+    *  5. exact hashed-shingle Jaccard only for survivors, via id-joins
+    *     back to the (broadcastable) per-doc table.
     * On a 1000-executor cluster the bucket join shuffles ~16 bytes/row
     * per band; shingle arrays move only for the tiny verified tail.
     */
@@ -109,8 +178,17 @@ object Dedup {
       shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignature(docs, textCol, shingleLen, numHashes)
-      .select(col(idCol).as("__id"), col("minhash_sig"))
+    // Scatter first: the corpus may arrive as a handful of input splits
+    // (small compressed parquet) while the hash kernel is the dominant
+    // CPU cost of the whole job. Persisted (MEMORY_AND_DISK) because the
+    // banding, estimate, and verify branches all reuse it — without the
+    // cache the fused UDF would re-run once per DAG branch.
+    val perDoc = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sigAndHashedShingles(shingleLen, numHashes)(col(textCol)).as("__c"))
+      .select(col("__id"), col("__c._1").as("minhash_sig"), col("__c._2").as("__sh"))
+      .persist()
+    val sigs = perDoc.select(col("__id"), col("minhash_sig"))
     val banded0 = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
@@ -142,12 +220,11 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
-    val shingles = docs.select(col(idCol).as("__id"),
-      charShingleSet(shingleLen)(col(textCol)).as("__sh"))
+    val shingles = perDoc.select(col("__id"), col("__sh"))
     withSigs
       .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardOfSets(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -185,6 +262,40 @@ object Dedup {
 
   def simHash(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("simhash", simHash64(col(textCol)))
+
+  /** SimHash near-dup pairs: split the 60-bit signature into `bands`
+    * 15-bit keys; documents sharing ANY band key are candidates
+    * (pigeonhole: hamming ≤ bands-1 guarantees at least one equal band,
+    * so recall is exact for the default maxHamming=3 / bands=4); verify
+    * with `bit_count(xor)`. The candidate join shuffles only
+    * (band, 15-bit key, id); mega-buckets (e.g. empty-text signature 0)
+    * are capped like [[minHashDupPairs]].
+    */
+  def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val bandBits = simHashBits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = simHash(graft.core.Tables.scatter(docs), textCol)
+      .select(col(idCol).as("__id"), col("simhash"))
+    val banded0 = sigs.select(col("__id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bk")))
+    val ok = banded0.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize).drop("__n")
+    val banded = banded0.join(ok, Seq("band", "bk"), "left_semi")
+    banded.select(col("band"), col("bk"), col("__id").as("id_a"))
+      .join(banded.select(col("band"), col("bk"), col("__id").as("id_b")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("__id").as("id_a"), col("simhash").as("__sa")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("simhash").as("__sb")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** Jaccard over two precomputed shingle-set columns. Compute the
     * shingle arrays once per document BEFORE any pairwise join — inlining

@@ -51,6 +51,43 @@ object Similarity {
       .select(vectors.columns.map(col) :+ col("__cid").as("cell"): _*)
   }
 
+  /** Full IVF top-k search: assign the corpus to coarse cells once
+    * (nearest centroid), probe each query's `nprobe` nearest cells, and
+    * run exact cosine top-k inside the probed cells only. At scale the
+    * corpus-cell assignment is precomputed (cell = storage bucket), so a
+    * query touches nprobe cells instead of the corpus — recall < 1 by
+    * construction, the standard IVF trade-off. Centroids are broadcast;
+    * the only wide exchange is the probe-cell join on the cell id.
+    *
+    * A corpus vector lives in exactly one cell, so probing several cells
+    * cannot duplicate a (query, neighbor) pair — no dedup needed.
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      centroids: DataFrame, centId: String, centVec: String,
+      nprobe: Int, k: Int, rankRound: Option[Int] = None): DataFrame = {
+    val cells = ivfAssign(corpus, cId, cVec, centroids, centId, centVec)
+      .select(col(cId).as("neighbor_id"), col(cVec).as("__cv"), col("cell"))
+    val cent = broadcast(centroids.select(col(centId).as("__pid"), col(centVec).as("__pv")))
+    val probeScored = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .join(cent)
+      .withColumn("__d", VectorFunctions.l2Distance(col("__qv"), col("__pv")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__pid").asc)
+    val probes = probeScored.withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__pid").as("cell"))
+    val rawCos = VectorFunctions.cosine(col("__qv"), col("__cv"))
+    val cosCol = rankRound.map(n => round(rawCos, n)).getOrElse(rawCos)
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP
     * bucket are candidates; exact cosine verifies. One shuffle on the
     * bucket id.

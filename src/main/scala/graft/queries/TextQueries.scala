@@ -20,8 +20,9 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "t_token_stats" -> ((s, d) =>
       // tokenize once, share across all five metrics (see TextFunctions
-      // scaladoc: interpreted higher-order Columns get no CSE)
-      Tables.documents(s, d)
+      // scaladoc: interpreted higher-order Columns get no CSE); scatter —
+      // the corpus parquet is one split, the tokenization is the cost
+      Tables.scatter(Tables.documents(s, d))
         .withColumn("__toks", tokens(col("text")))
         .withColumn("__ltoks", tokens(lower(col("text"))))
         .select(
@@ -34,7 +35,7 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     "t_quality_langid" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.scatter(Tables.documents(s, d))
         .withColumn("__toks", tokens(col("text")))
         .withColumn("__ltoks", tokens(lower(col("text"))))
         .select(
@@ -44,7 +45,7 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     "t_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      Tables.scatter(Tables.documents(s, d)).select(
         col("doc_id"),
         fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
@@ -59,7 +60,7 @@ object TextQueries {
       // join key (id bucket) — without it the source-equi-join builds
       // every same-source pair before filtering, which is quadratic in
       // docs-per-source.
-      def base(ia: String, w1: String, w3: String) = Tables.documents(s, d)
+      def base(ia: String, w1: String, w3: String) = Tables.scatter(Tables.documents(s, d))
         .select(col("doc_id").as(ia), col("source"),
           Dedup.wordShingleSet(1)(col("text")).as(w1),
           Dedup.wordShingleSet(3)(col("text")).as(w3))
@@ -83,9 +84,14 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     "dd_simhash" -> ((s, d) =>
-      Dedup.simHash(Tables.documents(s, d), "text")
+      Dedup.simHash(Tables.scatter(Tables.documents(s, d)), "text")
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
+
+    "dd_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 20, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
 
     "dd_embed_cosine" -> ((s, d) => {
       // Embedding-cosine near-dup: same-label blocking (at scale the
@@ -120,6 +126,22 @@ object TextQueries {
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
         .orderBy(col("cell"))
+    }),
+
+    "v_ivf_topk" -> ((s, d) => {
+      // Full IVF search: 8 deterministic centroids, probe the 2 nearest
+      // cells per query, exact top-3 inside the probed cells.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      Similarity.ivfSearch(
+        e.filter(col("vec_id") < 20), e,
+        qId = "vec_id", qVec = "v", cId = "vec_id", cVec = "v",
+        centroids, "cent_id", "cv",
+        nprobe = 2, k = 3, rankRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "v_lsh_pairs" -> ((s, d) => {
@@ -227,7 +249,8 @@ object TextQueries {
          |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
          |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
          |  FROM sh),
-         |sigs AS (SELECT doc_id, shingles,
+         |sigs AS (SELECT doc_id,
+         |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
          |    list_transform(range(0, 16),
          |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
          |  FROM hs),
@@ -245,9 +268,9 @@ object TextQueries {
          |  WHERE CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.15)
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
          |  SELECT id_a, id_b,
-         |    CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0 THEN
-         |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) ELSE 0.0 END AS jac
+         |    CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
+         |      CAST(len(list_intersect(sa.hl, sb.hl)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.hl, sb.hl))) ELSE 0.0 END AS jac
          |  FROM est
          |  JOIN sigs sa ON sa.doc_id = est.id_a
          |  JOIN sigs sb ON sb.doc_id = est.id_b) x
@@ -267,6 +290,68 @@ object TextQueries {
          |SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
          |FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS ltoks FROM documents),
+         |tok AS (SELECT doc_id, unnest(ltoks) AS w FROM t),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         |votes AS (SELECT doc_id, b.range AS bit,
+         |    sum(CASE WHEN ((hv >> b.range) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, range(0, 60) b GROUP BY 1, 2),
+         |sig0 AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY 1),
+         |sigs AS (SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+         |  FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
+         |banded AS (SELECT doc_id, b.range AS band,
+         |    (simhash >> (b.range * 15)) & 32767 AS bk
+         |  FROM sigs, range(0, 4) b),
+         |ok AS (SELECT band, bk FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN ok USING (band, bk)
+         |  JOIN banded b ON b.band = a.band AND b.bk = a.bk AND b.doc_id > a.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b) x
+         |WHERE hamming <= 20
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "v_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS dist
+        |  FROM e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        |    FROM d) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        |    FROM d WHERE vec_id < 20) t WHERE rn <= 2),
+        |s AS (
+        |  SELECT p.query_id, m.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * n.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> n.v[i] * n.v[i])))) AS cos_raw
+        |  FROM probes p
+        |  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e n ON n.vec_id = m.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
+        |  FROM s) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "v_lsh_pairs" ->
       """WITH planes AS (SELECT b.range AS b,
