@@ -230,6 +230,42 @@ object DomainQueries {
       s.table("graft_stream_bars").orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // ── Streaming: stateful exactly-once dedup (streaming twin of K2) ─
+    "stream_dedup" -> ((s, d) => {
+      // The same events file staged twice into the source dir: the
+      // second copy must be swallowed whole by dropDuplicates state —
+      // the streaming equivalent of the reference's INSERT IGNORE
+      // idempotency under at-least-once delivery.
+      // dropDuplicatesWithinWatermark bounds the key state by event
+      // time, which is what survives at 100 TB (unbounded exact dedup
+      // state does not).
+      val streamDir = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      Seq("a", "b").foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+          fs, new org.apache.hadoop.fs.Path(streamDir, s"$n.parquet"),
+          false, s.sparkContext.hadoopConfiguration)
+      }
+      val raw = s.readStream.schema(
+        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+      val ticks =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val deduped = ticks
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName("graft_stream_dedup").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_dedup").orderBy(col("event_id"))
+    }),
+
     // ── Multimodal: partition-wise feature extraction over binary ────
     "mm_media_features" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -318,6 +354,10 @@ object DomainQueries {
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
         |  arg_max(value, event_id) AS close, count(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

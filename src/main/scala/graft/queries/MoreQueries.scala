@@ -71,8 +71,11 @@ object MoreQueries {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       // Pre-shuffle onto the partition keys: without it every input task
       // opens a writer per (source, lang) — tasks × partitions small
-      // files, the classic many-writers explosion at scale.
-      Tables.documents(s, d).repartition(col("source"), col("lang"))
+      // files, the classic many-writers explosion at scale. Explicit
+      // partition count: a bare repartition(cols) lets AQE coalesce the
+      // tiny shuffle to ONE partition, serializing all 97 dir writes.
+      val par = s.sparkContext.defaultParallelism
+      Tables.documents(s, d).repartition(par, col("source"), col("lang"))
         .write.partitionBy("source", "lang").parquet(dir)
       s.read.parquet(dir)
         .groupBy(col("source"), col("lang"))

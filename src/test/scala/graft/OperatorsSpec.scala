@@ -139,6 +139,54 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(hamming(h(0), h(1)) < hamming(h(0), h(2)))
   }
 
+  test("simhash banded pairs: recall is exact when maxHamming < bands") {
+    import spark.implicits._
+    // hamming ≤ bands-1 pigeonholes at least one identical 15-bit band,
+    // so every such pair MUST be surfaced regardless of hashing luck.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa mu"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(docs, "text").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("simhash"))
+    val h12 = java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+    val pairs = Dedup.simHashDupPairs(docs, "doc_id", "text",
+      maxHamming = math.max(h12, 3), bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (h12 <= 3) // guaranteed band collision → guaranteed recall
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    // reported hamming must equal the true signature distance
+    pairs.filter(p => p._1 == 1L && p._2 == 2L)
+      .foreach(p => assert(p._3 == h12))
+    assert(!pairs.exists(p => p._2 == 3L && p._3 > 20))
+  }
+
+  test("ivf search equals brute force when every cell is probed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "v")
+    val centroids = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val queries = vecs.filter($"vec_id" < 5)
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      queries, vecs, "vec_id", "v", "vec_id", "v", k = 3, rankRound = Some(9))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val ivfAll = graft.operators.Similarity.ivfSearch(
+      queries, vecs, "vec_id", "v", "vec_id", "v",
+      centroids, "cent_id", "cv", nprobe = 4, k = 3, rankRound = Some(9))
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(ivfAll == brute) // probing all cells = exhaustive search
+    val ivf1 = graft.operators.Similarity.ivfSearch(
+      queries, vecs, "vec_id", "v", "vec_id", "v",
+      centroids, "cent_id", "cv", nprobe = 1, k = 3, rankRound = Some(9))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // nprobe=1 returns a subset universe: every neighbor lives in the
+    // query's own nearest cell
+    assert(ivf1.nonEmpty && ivf1.size <= brute.size)
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
