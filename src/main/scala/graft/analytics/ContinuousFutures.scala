@@ -29,9 +29,13 @@ import scala.collection.mutable
   */
 object ContinuousFutures {
 
+  /** Internal scan row: dates as epoch-day ints, not `java.sql.Date` —
+    * the group scan decodes every bar row on the driver of its group,
+    * and Date encoder conversions dominate that decode at 500k+ rows.
+    */
   case class Bar(instrument_type: String, instrument_id: String,
-      trade_date: java.sql.Date, close: Option[Double],
-      switch_by: Option[Double], last_trade_date: java.sql.Date)
+      trade_date: Int, close: Option[Double],
+      switch_by: Option[Double], last_trade_date: Int)
 
   case class Selection(instrument_type: String, trade_date: java.sql.Date,
       main_id: String, secondary_id: Option[String])
@@ -44,20 +48,23 @@ object ContinuousFutures {
   case object Division extends Method { val neutral = 1.0 }
   case object Diff extends Method { val neutral = 0.0 }
 
-  private case class DayData(date: java.sql.Date, // rows with switch_by, ordered by maturity
+  private case class DayData(date: Int, // rows with switch_by, ordered by maturity
       bySwitch: Seq[(String, Double)], closes: Map[String, Double])
+
+  private def toSqlDate(epochDay: Int): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay.toLong))
 
   /** Run the per-type scan producing (daily selections, factor rows). */
   private def scanType(instrumentType: String, bars: Iterator[Bar], method: Method)
       : (Seq[Selection], Seq[FactorRow]) = {
     val all = bars.toArray
-    val maturity: Map[String, Long] =
+    val maturity: Map[String, Int] =
       all.groupBy(_.instrument_id).map { case (id, rs) =>
-        id -> rs.head.last_trade_date.toLocalDate.toEpochDay
+        id -> rs.head.last_trade_date
       }
     def earlier(a: String, b: String): Boolean = maturity(a) < maturity(b)
     val days: Array[DayData] = all.groupBy(_.trade_date).toArray
-      .sortBy(_._1.toLocalDate.toEpochDay)
+      .sortBy(_._1)
       .map { case (d, rs) =>
         // (maturity, id) order: the id tie-break pins the scan order when
         // several contracts share a last-trade date, so the selection is
@@ -72,7 +79,7 @@ object ContinuousFutures {
     var main: Option[String] = None
     var sec: Option[String] = None
     val selections = mutable.ArrayBuffer[Selection]()
-    val factors = mutable.ArrayBuffer[(java.sql.Date, String, Option[Double], Option[String], Option[Double])]()
+    val factors = mutable.ArrayBuffer[(Int, String, Option[Double], Option[String], Option[Double])]()
     var available = mutable.ArrayBuffer[DayData]() // days with data, in order
     for (day <- days; if day.bySwitch.nonEmpty) {
       val sw = day.bySwitch.toMap
@@ -122,10 +129,10 @@ object ContinuousFutures {
         }
       }
       available += day
-      main.foreach(m => selections += Selection(instrumentType, day.date, m, sec))
+      main.foreach(m => selections += Selection(instrumentType, toSqlDate(day.date), m, sec))
     }
     // latest date carries the neutral factor
-    val lastRows: Seq[(java.sql.Date, String, Option[Double], Option[String], Option[Double])] =
+    val lastRows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
       (available.lastOption, main, sec) match {
         case (Some(day), Some(m), s) =>
           Seq((day.date, m, Some(method.neutral), s, Some(method.neutral)))
@@ -133,7 +140,7 @@ object ContinuousFutures {
       }
     // reverse-chronological cumulation so the latest factor is neutral
     val raw = (factors.filterNot(f => lastRows.exists(_._1 == f._1)) ++ lastRows)
-      .sortBy(-_._1.toLocalDate.toEpochDay)
+      .sortBy(-_._1)
     var accM = method.neutral
     var accS = method.neutral
     var lastMainId: Option[String] = None
@@ -149,8 +156,8 @@ object ContinuousFutures {
       }
       lastMainId = Some(mainId)
       lastSecId = secId.orElse(lastSecId)
-      FactorRow(instrumentType, d, mainId, accM, secId.orElse(lastSecId), accS)
-    }.sortBy(_.trade_date.toLocalDate.toEpochDay)
+      (d, FactorRow(instrumentType, toSqlDate(d), mainId, accM, secId.orElse(lastSecId), accS))
+    }.sortBy(_._1).map(_._2)
     (selections.toSeq, out.toSeq)
   }
 
@@ -159,10 +166,10 @@ object ContinuousFutures {
     bars.select(
       col("instrument_type").cast("string"),
       col("instrument_id").cast("string"),
-      col("trade_date").cast("date"),
+      unix_date(col("trade_date").cast("date")).as("trade_date"),
       col("close").cast("double"),
       col("switch_by").cast("double"),
-      col("last_trade_date").cast("date")).as[Bar]
+      unix_date(col("last_trade_date").cast("date")).as("last_trade_date")).as[Bar]
   }
 
   /** D1 — per-day (main, secondary) contract selection. */
@@ -188,11 +195,17 @@ object ContinuousFutures {
     */
   def continuousSeries(spark: SparkSession, bars: DataFrame,
       method: Method = Division): DataFrame = {
-    val sel = dailySelection(spark, bars)
-    val fac = adjFactors(spark, bars, method)
+    // The selection scan, the factor scan and the md join all consume
+    // `bars`; persist + force once so Spark doesn't re-evaluate the
+    // upstream aggregation DAG per branch (the bar table is the
+    // per-(contract, day) rollup — small relative to its source).
+    val cached = bars.persist()
+    cached.count()
+    val sel = dailySelection(spark, cached)
+    val fac = adjFactors(spark, cached, method)
       .select(col("instrument_type"), col("trade_date").as("factor_date"),
         col("adj_factor_main"))
-    val md = bars.select(col("instrument_type"), col("instrument_id").as("bar_id"),
+    val md = cached.select(col("instrument_type"), col("instrument_id").as("bar_id"),
       col("trade_date").cast("date").as("trade_date"), col("close").cast("double"))
     val joined = sel.join(md, Seq("instrument_type", "trade_date"))
       .where(col("bar_id") === col("main_id"))

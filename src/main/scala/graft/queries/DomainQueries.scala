@@ -21,23 +21,25 @@ object DomainQueries {
     * within a month) so dominance shifts at realistic roll cadence
     * instead of flapping on daily noise. */
   private def futuresBars(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.lineitem(s, d)
+    import org.apache.spark.sql.expressions.Window
+    // One lineitem scan + one shuffle: the monthly dominance metric and
+    // the contract maturity are windows over the per-day aggregate
+    // (decimal sums of decimal sums — exact, so values are identical to
+    // the former three-scan/two-join shape).
+    val base = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("trade_date"))
-      .agg((sum(col("l_extendedprice").cast(dec)) / sum(col("l_quantity").cast(dec)))
-        .cast("double").as("close"))
-    val monthly = Tables.lineitem(s, d)
-      .groupBy(col("l_suppkey").as("mk"), date_trunc("month", col("l_shipdate")).cast("date").as("m"))
-      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("switch_by"))
-    val maturity = Tables.lineitem(s, d)
-      .groupBy(col("l_suppkey"))
-      .agg(max(to_date(col("l_shipdate"))).as("last_trade_date"))
-    daily.join(maturity, "l_suppkey")
-      .join(monthly, col("mk") === col("l_suppkey") &&
-        col("m") === date_trunc("month", col("trade_date")).cast("date"))
-      .select(
-        concat(lit("T"), pmod(col("l_suppkey"), lit(5))).as("instrument_type"),
-        concat(lit("S"), col("l_suppkey")).as("instrument_id"),
-        col("trade_date"), col("close"), col("switch_by"), col("last_trade_date"))
+      .agg(sum(col("l_extendedprice").cast(dec)).as("p"),
+        sum(col("l_quantity").cast(dec)).as("q"))
+    val wMonth = Window.partitionBy(col("l_suppkey"),
+      date_trunc("month", col("trade_date")))
+    val wSupp = Window.partitionBy(col("l_suppkey"))
+    base.select(
+      concat(lit("T"), pmod(col("l_suppkey"), lit(5))).as("instrument_type"),
+      concat(lit("S"), col("l_suppkey")).as("instrument_id"),
+      col("trade_date"),
+      (col("p") / col("q")).cast("double").as("close"),
+      sum(col("q")).over(wMonth).cast("double").as("switch_by"),
+      max(col("trade_date")).over(wSupp).as("last_trade_date"))
   }
 
   val queries: Map[String, Q] = Map(
