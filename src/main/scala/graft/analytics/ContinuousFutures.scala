@@ -193,16 +193,38 @@ object ContinuousFutures {
     * without back-adjustment. Factor rows apply to all dates ≤ their
     * roll date (reverse as-of), latest factor = neutral.
     */
+  /** One flatMapGroups pass emitting selections (kind=0) and factor rows
+    * (kind=1) together — `continuousSeries` needs both, and running the
+    * per-type scan once halves its shuffle + decode cost.
+    */
+  private case class ScanOut(kind: Int, instrument_type: String,
+      trade_date: java.sql.Date, main_id: String, secondary_id: Option[String],
+      adj_factor_main: Double, adj_factor_secondary: Double)
+
   def continuousSeries(spark: SparkSession, bars: DataFrame,
       method: Method = Division): DataFrame = {
-    // The selection scan, the factor scan and the md join all consume
-    // `bars`; persist + force once so Spark doesn't re-evaluate the
-    // upstream aggregation DAG per branch (the bar table is the
-    // per-(contract, day) rollup — small relative to its source).
+    import spark.implicits._
+    // The scan and the md join both consume `bars`; persist + force once
+    // so Spark doesn't re-evaluate the upstream aggregation DAG per
+    // branch (the bar table is the per-(contract, day) rollup — small
+    // relative to its source).
     val cached = bars.persist()
     cached.count()
-    val sel = dailySelection(spark, cached)
-    val fac = adjFactors(spark, cached, method)
+    val scanned = toBars(spark, cached).groupByKey(_.instrument_type)
+      .flatMapGroups { (t, it) =>
+        val (sels, facs) = scanType(t, it, method)
+        sels.iterator.map(s =>
+          ScanOut(0, s.instrument_type, s.trade_date, s.main_id, s.secondary_id, 0.0, 0.0)) ++
+        facs.iterator.map(f =>
+          ScanOut(1, f.instrument_type, f.trade_date, f.instrument_id_main,
+            f.instrument_id_secondary, f.adj_factor_main, f.adj_factor_secondary))
+      }(Encoders.product[ScanOut])
+      .toDF().persist()
+    scanned.count()
+    val sel = scanned.filter(col("kind") === 0)
+      .select(col("instrument_type"), col("trade_date"), col("main_id"),
+        col("secondary_id"))
+    val fac = scanned.filter(col("kind") === 1)
       .select(col("instrument_type"), col("trade_date").as("factor_date"),
         col("adj_factor_main"))
     val md = cached.select(col("instrument_type"), col("instrument_id").as("bar_id"),

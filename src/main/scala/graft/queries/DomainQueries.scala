@@ -25,8 +25,15 @@ object DomainQueries {
     // One lineitem scan + one shuffle: the monthly dominance metric and
     // the contract maturity are windows over the per-day aggregate
     // (decimal sums of decimal sums — exact, so values are identical to
-    // the former three-scan/two-join shape).
+    // the former three-scan/two-join shape). The explicit repartition on
+    // l_suppkey alone is the single exchange: HashPartitioning(suppkey)
+    // satisfies the ClusteredDistribution of the (suppkey, day) groupBy
+    // AND of both windows, so the agg + both windows run shuffle-free in
+    // one stage. (suppkey,day) pairs are near-distinct in lineitem, so
+    // the skipped map-side combine wasn't buying anything.
     val base = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"), col("l_quantity"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("trade_date"))
       .agg(sum(col("l_extendedprice").cast(dec)).as("p"),
         sum(col("l_quantity").cast(dec)).as("q"))
