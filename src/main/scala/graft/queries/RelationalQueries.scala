@@ -195,17 +195,20 @@ object RelationalQueries {
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
       // Partition by (supplier, year) so the factor chain stays short and
       // the ratio near 1 — the shape of real back-adjust chains.
+      // All four columns in ONE select over the same window spec: chained
+      // withColumn puts a Project between consecutive Window nodes, which
+      // blocks CollapseWindow and plans four shuffles instead of one
+      // (caught by PlanAuditSpec).
       val w = Window.partitionBy(col("l_suppkey"), year(col("ship_date")))
         .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      li.withColumn("run_qty", sum(col("l_quantity").cast(dec)).over(w).cast("double"))
-        .withColumn("run_price", sum(col("l_extendedprice").cast(dec)).over(w).cast("double"))
-        .withColumn("cum_ratio",
-          round(graft.functions.ProductAgg.productOf(lit(1.0) + col("l_discount") / 100.0).over(w), 8))
-        .withColumn("last_r_price",
-          last(when(col("l_returnflag") === "R", col("l_extendedprice")), ignoreNulls = true).over(w))
-        .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_date",
-          "run_qty", "run_price", "cum_ratio", "last_r_price")
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+        sum(col("l_quantity").cast(dec)).over(w).cast("double").as("run_qty"),
+        sum(col("l_extendedprice").cast(dec)).over(w).cast("double").as("run_price"),
+        round(graft.functions.ProductAgg.productOf(lit(1.0) + col("l_discount") / 100.0).over(w), 8)
+          .as("cum_ratio"),
+        last(when(col("l_returnflag") === "R", col("l_extendedprice")), ignoreNulls = true).over(w)
+          .as("last_r_price"))
         .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
     }),
 

@@ -1,0 +1,90 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale-critical properties (pushdown,
+  * pruning, broadcast choice, shuffle counts, codegen) asserted on the
+  * plans themselves, so a regression that keeps results correct but
+  * wrecks the 100 TB execution shape fails CI.
+  *
+  * Shuffle counting matches lines whose operator is exactly `Exchange`
+  * (shuffle); `BroadcastExchange` / `ReusedExchange` don't count.
+  */
+class PlanAuditSpec extends AnyFunSuite with SharedSpark {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def simple(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+  private def shuffles(df: DataFrame): Int =
+    raw"(?m)^[^A-Za-z]*Exchange\s".r.findAllIn(simple(df)).length
+
+  test("projection pruning reaches the parquet scan (ReadSchema)") {
+    val p = formatted(Tables.lineitem(spark, sf).select(col("l_suppkey"), col("l_quantity")))
+    assert(p.contains("ReadSchema: struct<l_suppkey"))
+    assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
+  }
+
+  test("predicate pushdown reaches the parquet scan (PushedFilters)") {
+    val p = formatted(Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") > 50).select(col("l_suppkey"), col("l_quantity")))
+    assert(p.contains("GreaterThan(l_suppkey,50)"), s"filter not pushed:\n$p")
+  }
+
+  test("p3 multi-join broadcasts both dims") {
+    val p = simple(SparkEntry.queries("p3_pushdown_join")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"nation/region should broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p9 bucketed co-located join plans zero join shuffles") {
+    // Exchanges in the whole plan: 1 for the groupBy after the join +
+    // 1 for the final orderBy. The SMJ itself must read bucketed output
+    // partitioning directly — any third Exchange means the co-location
+    // broke.
+    val df = SparkEntry.queries("p9_bucketed_join")(spark, sf)
+    assert(shuffles(df) == 2, s"expected agg+sort shuffles only:\n${simple(df)}")
+    assert(simple(df).contains("SortMergeJoin"))
+  }
+
+  test("d1 futures pipeline is single-shuffle up to the typed scan") {
+    // 3 planned shuffles total: repartition(l_suppkey) feeding agg AND
+    // both windows, the groupByKey(instrument_type) for flatMapGroups,
+    // and the final presentation orderBy. The agg and the two windows
+    // must NOT add exchanges of their own.
+    val df = SparkEntry.queries("d1_dominant_contract")(spark, sf)
+    assert(shuffles(df) == 3, s"windowed bar build re-shuffles:\n${simple(df)}")
+  }
+
+  test("a1 aggregation is partial (map-side combine) and codegen'd") {
+    val df = SparkEntry.queries("a1_pricing_summary")(spark, sf)
+    assert(simple(df).contains("partial_sum"), "no map-side partial aggregation")
+    // Codegen stages only materialize inside AQE once the query runs —
+    // and only on THIS df's QueryExecution (a write action plans its own).
+    df.collect()
+    // WholeStageCodegen stages print as "*(n) Operator" in the final plan.
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) HashAggregate".r.findFirstIn(finalPlan).isDefined,
+      s"agg fell out of codegen:\n$finalPlan")
+  }
+
+  test("j8 as-of join never degenerates to a nested-loop/cartesian") {
+    val p = simple(SparkEntry.queries("j8_asof_join")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"as-of exploded:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"as-of exploded:\n$p")
+  }
+
+  test("w3 four window columns share one shuffle") {
+    // All four running-frame columns use the same (partition, order)
+    // spec; they must ride a single window Exchange, plus the final
+    // presentation orderBy — two planned shuffles total.
+    val df = SparkEntry.queries("w3_running_windows")(spark, sf)
+    assert(shuffles(df) == 2, s"window spec stopped being shared:\n${simple(df)}")
+  }
+}
