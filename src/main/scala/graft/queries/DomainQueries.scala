@@ -275,6 +275,45 @@ object DomainQueries {
       s.table("graft_stream_dedup").orderBy(col("event_id"))
     }),
 
+    // ── Streaming: custom per-key state via mapGroupsWithState ───────
+    "stream_state_user_stats" -> ((s, d) => {
+      // Two disjoint halves of the event stream staged as two files,
+      // maxFilesPerTrigger=1 → two micro-batches: the per-user summary
+      // must FOLD batch 2 into batch 1's GroupState, not recompute.
+      // n_updates (micro-batches that touched the key) proves the carry;
+      // the DuckDB twin is count(DISTINCT event_id % 2).
+      import org.apache.spark.sql.expressions.Window
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_state")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_state_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        ev.filter(pmod(col("event_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      val raw = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val stats = graft.streaming.StatefulStats.runningUserStats(s, raw)
+      val q = stats.writeStream.outputMode("update").format("memory")
+        .queryName("graft_state_stats").start()
+      try q.processAllAvailable() finally q.stop()
+      // Update-mode memory sink keeps every batch's refresh; the live
+      // summary per key is the one from the latest batch that touched it.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_updates").desc)
+      s.table("graft_state_stats")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+        .orderBy(col("user_id"))
+    }),
+
     // ── Multimodal: partition-wise feature extraction over binary ────
     "mm_media_features" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -367,6 +406,13 @@ object DomainQueries {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_state_user_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(count(DISTINCT event_id % 2) AS INT) AS n_updates
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

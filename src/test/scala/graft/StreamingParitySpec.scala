@@ -45,4 +45,27 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("mapGroupsWithState folds later micro-batches into carried state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val stats = graft.streaming.StatefulStats.runningUserStats(
+      spark, in.toDF().toDF("user_id", "event_id", "value"))
+    val q = stats.writeStream.outputMode("update").format("memory")
+      .queryName("state_carry_test").start()
+    try {
+      in.addData((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 3L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 4L, 30.0)) // second batch touches only user 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("state_carry_test")
+      .groupBy($"user_id").agg(max_by(struct($"n_events", $"sum_value", $"n_updates"), $"n_updates").as("s"))
+      .select($"user_id", $"s.n_events", $"s.sum_value", $"s.n_updates")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(rows(1L) == ((3L, 60.0, 2)), s"user 1 state not carried: $rows")
+    assert(rows(2L) == ((1L, 5.0, 1)), s"user 2 over-updated: $rows")
+  }
 }
