@@ -225,17 +225,19 @@ object DomainQueries {
       org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
         fs, new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
         false, s.sparkContext.hadoopConfiguration)
-      val raw = s.readStream.schema(
-        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-      val ticks =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val bars = TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
-        windowDuration = "1 hour", watermark = "10 minutes")
-      val q = bars.writeStream.outputMode("complete").format("memory")
-        .queryName("graft_stream_bars").start()
-      try q.processAllAvailable() finally q.stop()
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(
+          s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+        val ticks =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val bars = TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
+          windowDuration = "1 hour", watermark = "10 minutes")
+        val q = bars.writeStream.outputMode("complete").format("memory")
+          .queryName("graft_stream_bars").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_stream_bars").orderBy(col("user_id"), col("bar_start"))
     }),
 
@@ -259,19 +261,21 @@ object DomainQueries {
           fs, new org.apache.hadoop.fs.Path(streamDir, s"$n.parquet"),
           false, s.sparkContext.hadoopConfiguration)
       }
-      val raw = s.readStream.schema(
-        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-      val ticks =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val deduped = ticks
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName("graft_stream_dedup").start()
-      try q.processAllAvailable() finally q.stop()
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(
+          s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+        val ticks =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val deduped = ticks
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        val q = deduped.writeStream.outputMode("append").format("memory")
+          .queryName("graft_stream_dedup").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("graft_stream_dedup").orderBy(col("event_id"))
     }),
 
@@ -299,12 +303,14 @@ object DomainQueries {
         fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
       }
       fs.delete(stageDir, true)
-      val raw = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
-      val stats = graft.streaming.StatefulStats.runningUserStats(s, raw)
-      val q = stats.writeStream.outputMode("update").format("memory")
-        .queryName("graft_state_stats").start()
-      try q.processAllAvailable() finally q.stop()
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val stats = graft.streaming.StatefulStats.runningUserStats(s, raw)
+        val q = stats.writeStream.outputMode("update").format("memory")
+          .queryName("graft_state_stats").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // Update-mode memory sink keeps every batch's refresh; the live
       // summary per key is the one from the latest batch that touched it.
       val w = Window.partitionBy(col("user_id")).orderBy(col("n_updates").desc)

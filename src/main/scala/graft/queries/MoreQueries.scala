@@ -264,17 +264,19 @@ object MoreQueries {
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)
       val spec = graft.core.TableSpec("bars", Seq("user_id", "bar_start"))
-      val raw = s.readStream.schema(
-        s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-      val ticks =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      val bars = graft.streaming.TickBarStream.bars(ticks, Seq("user_id"),
-        "ts", "event_id", "value", "1 hour", "10 minutes")
-      val q = graft.streaming.TickBarStream
-        .upsertingSink(bars, store, spec, "graft_stream_upsert").start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(
+          s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+        val ticks =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val bars = graft.streaming.TickBarStream.bars(ticks, Seq("user_id"),
+          "ts", "event_id", "value", "1 hour", "10 minutes")
+        val q = graft.streaming.TickBarStream
+          .upsertingSink(bars, store, spec, "graft_stream_upsert").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 

@@ -12,6 +12,21 @@ import org.apache.spark.sql.types.StructType
   */
 object TickBarStream {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`. A stateful streaming query shards its state store into
+    * shuffle-partition many instances at start time, so the right number
+    * tracks KEY CARDINALITY, not CPU count — with a handful of keys, 32
+    * state stores per micro-batch are pure constant overhead, and at
+    * 100 TB key spaces you'd raise the number instead. Scoped (restored
+    * in finally) because it's a per-query design choice, not a session
+    * setting.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Watermarked OHLCV aggregation over an event-time stream. Same
     * aggregate shape as [[graft.operators.Resample.ticksToBars]], so
     * batch/stream parity is testable query-for-query.
