@@ -151,11 +151,24 @@ final class TableStore(spark: SparkSession, root: String) {
     * partition dirs it contains (listed from disk, so the names are
     * exactly what Spark's writer produced).
     */
+  /** `clusterByPartition=false` is for callers (compact) that already
+    * repartitioned the frame to a deliberate file layout.
+    */
   private def writeBatch(f: FileSystem, spec: TableSpec, df: DataFrame,
-      version: Long): (String, Seq[String]) = {
+      version: Long, clusterByPartition: Boolean = true): (String, Seq[String]) = {
     val dirName = f"b-$version%09d-${java.util.UUID.randomUUID.toString.take(8)}"
     val dest = new Path(path(spec.name), dirName)
-    val w = df.write.mode(SaveMode.Overwrite)
+    // Pre-shuffle onto the partition columns: straight out of the PK
+    // merge shuffle every task holds every partition value, so a write
+    // opens tasks × |partitions| tiny files (the many-writers explosion).
+    // One hashpartitioning Exchange makes it one file per partition per
+    // batch; an oversized partition is later split by the size-aware
+    // salted `compact`, which actually knows the bytes.
+    val sized =
+      if (spec.partitionBy.isEmpty || !clusterByPartition) df
+      else df.repartition(spark.sparkContext.defaultParallelism,
+        spec.partitionBy.map(col): _*)
+    val w = sized.write.mode(SaveMode.Overwrite)
     (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
       .parquet(dest.toString)
     val parts =
@@ -366,7 +379,8 @@ final class TableStore(spark: SparkSession, root: String) {
           .repartition(totalFiles, (spec.partitionBy.map(col) :+ col("__salt")): _*)
           .drop("__salt")
       }
-    val (dir, parts) = writeBatch(f, spec, compacted, version)
+    val (dir, parts) = writeBatch(f, spec, compacted, version,
+      clusterByPartition = false)
     val next = Manifest(version, parts.map(dir -> _))
     commit(f, spec.name, version, next.pairs)
     gc(f, spec.name, next)
