@@ -75,4 +75,53 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("D1/D2 invariants hold on random bar panels") {
+    import spark.implicits._
+    import graft.analytics.ContinuousFutures
+    val rnd = new Random(99)
+    (1 to 3).foreach { trial =>
+      val start = java.time.LocalDate.of(2020, 1, 1)
+      // 3 types × 6 contracts with staggered maturities; random gaps,
+      // random null volumes/closes — the shapes that break state machines.
+      val rows = for {
+        t <- 0 until 3
+        c <- 0 until 6
+        maturity = 25 * (c + 1) + rnd.nextInt(10)
+        day <- 0 until 120
+        if day <= maturity && rnd.nextDouble() < 0.7
+      } yield (s"T$trial$t", s"T$trial${t}C$c",
+        java.sql.Date.valueOf(start.plusDays(day)),
+        if (rnd.nextDouble() < 0.05) None else Some(10.0 + rnd.nextInt(90)),
+        if (rnd.nextDouble() < 0.10) None else Some(rnd.nextInt(1000).toDouble),
+        java.sql.Date.valueOf(start.plusDays(maturity)))
+      val bars = rows.toDF("instrument_type", "instrument_id", "trade_date",
+        "close", "switch_by", "last_trade_date")
+      val maturityOf = rows.map(r => r._2 -> r._6.toLocalDate.toEpochDay).toMap
+
+      val sel = ContinuousFutures.dailySelection(spark, bars)
+        .orderBy("instrument_type", "trade_date").collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getString(2),
+          Option(r.getString(3))))
+      // main only rolls forward in maturity; secondary never expires
+      // before the main it accompanies
+      sel.groupBy(_._1).foreach { case (t, rs) =>
+        val mats = rs.map(r => maturityOf(r._3))
+        assert(mats.zip(mats.tail).forall { case (a, b) => a <= b },
+          s"trial $trial $t: main maturity decreased")
+        rs.foreach { case (_, dt, main, sec) =>
+          sec.foreach(sid => assert(maturityOf(sid) >= maturityOf(main),
+            s"trial $trial $t $dt: secondary expires before main"))
+        }
+      }
+
+      val fac = ContinuousFutures.adjFactors(spark, bars, ContinuousFutures.Division)
+        .orderBy("instrument_type", "trade_date").collect()
+        .map(r => (r.getString(0), r.getDate(1), r.getDouble(3)))
+      // the latest factor row of each type is exactly neutral
+      fac.groupBy(_._1).foreach { case (t, rs) =>
+        assert(rs.last._3 == 1.0, s"trial $trial $t: latest factor not neutral")
+      }
+    }
+  }
 }
