@@ -95,21 +95,26 @@ final class TableStore(spark: SparkSession, root: String) {
   private def must(ok: Boolean, what: String): Unit =
     if (!ok) throw new IOException(s"TableStore: $what failed")
 
-  private def latestManifest(f: FileSystem, name: String): Option[Manifest] = {
+  private def manifestVersions(f: FileSystem, name: String): Seq[Long] = {
     val dir = manifestDir(name)
-    if (!f.exists(dir)) return None
-    val names = f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("m-") && !n.startsWith(".")).toSeq
-    if (names.isEmpty) return None
-    val latest = names.maxBy(n => n.stripPrefix("m-").toLong)
-    val in = f.open(new Path(dir, latest))
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m-") && !n.startsWith("."))
+      .map(_.stripPrefix("m-").toLong).toSeq.sorted
+  }
+
+  private def readManifestFile(f: FileSystem, name: String, version: Long): Manifest = {
+    val in = f.open(new Path(manifestDir(name), f"m-$version%09d"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val pairs = text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
-    Some(Manifest(latest.stripPrefix("m-").toLong, pairs))
+    Manifest(version, pairs)
   }
+
+  private def latestManifest(f: FileSystem, name: String): Option[Manifest] =
+    manifestVersions(f, name).lastOption.map(readManifestFile(f, name, _))
 
   private def commit(f: FileSystem, name: String, version: Long,
       pairs: Seq[(String, String)]): Unit = {
@@ -127,11 +132,30 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Delete batch dirs the manifest no longer references and old manifest
-    * files. Best-effort: leftovers are unreferenced and thus harmless.
+  /** Retained manifest versions double as readable snapshots
+    * ([[readVersion]] — the engine-native form of the reference's `_bak`
+    * copy-compare, /root/reference/tasks/jqdata/stock/available_check).
     */
-  private def gc(f: FileSystem, name: String, live: Manifest): Unit = {
-    val keep = live.pairs.map(_._1).toSet
+  private val retainedVersions = 3
+
+  /** Delete batch dirs no retained manifest references, and manifest
+    * files older than the retention window. Best-effort: leftovers are
+    * unreferenced and thus harmless.
+    *
+    * `keepHistory=false` (compact) drops every older snapshot: an upsert
+    * retains only the delta batches of recent versions, but a compaction
+    * rewrote the WHOLE table, so retaining its predecessors would double
+    * storage — compaction deliberately collapses time-travel history.
+    */
+  private def gc(f: FileSystem, name: String, live: Manifest,
+      keepHistory: Boolean = true): Unit = {
+    val floor =
+      if (keepHistory) live.version - (retainedVersions - 1) else live.version
+    // A batch dir stays on disk while ANY retained manifest references
+    // it, so every retained version remains a complete readable snapshot.
+    val keep = manifestVersions(f, name).filter(_ >= floor)
+      .flatMap(v => readManifestFile(f, name, v).pairs.map(_._1)).toSet ++
+      live.pairs.map(_._1)
     val tableDir = new Path(path(name))
     f.listStatus(tableDir).foreach { st =>
       val n = st.getPath.getName
@@ -141,7 +165,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val mdir = manifestDir(name)
     f.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("m-") && n.stripPrefix("m-").toLong < live.version - 2)
+      if (n.startsWith("m-") && n.stripPrefix("m-").toLong < floor)
         f.delete(st.getPath, false)
       if (n.startsWith(".tmp-m-")) f.delete(st.getPath, false)
     }
@@ -220,6 +244,32 @@ final class TableStore(spark: SparkSession, root: String) {
   def read(spec: TableSpec): DataFrame = {
     val m = current(fs, spec).getOrElse(
       throw new IOException(s"TableStore: table ${spec.name} does not exist"))
+    readPairs(spec, m.pairs)
+  }
+
+  /** Committed versions still readable as snapshots (ascending). */
+  def versions(spec: TableSpec): Seq[Long] = manifestVersions(fs, spec.name)
+
+  /** Time-travel read of a retained version — the engine-native form of
+    * the reference's `_bak` snapshot-then-compare
+    * (/root/reference/tasks/jqdata/stock/available_check/__init__.py:23-109):
+    * instead of copying the table before a refresh, diff `readVersion(v-1)`
+    * against `read`. Retention is [[retainedVersions]] commits; asking for
+    * an expired version fails loudly rather than returning partial data.
+    */
+  def readVersion(spec: TableSpec, version: Long): DataFrame = {
+    val f = fs
+    if (!manifestVersions(f, spec.name).contains(version))
+      throw new IOException(
+        s"TableStore: ${spec.name} v$version not retained " +
+        s"(have: ${manifestVersions(f, spec.name).mkString(",")})")
+    val m = readManifestFile(f, spec.name, version)
+    m.pairs.map(_._1).distinct.filterNot(_ == ".").foreach { d =>
+      if (!f.exists(new Path(path(spec.name), d)))
+        throw new IOException(
+          s"TableStore: ${spec.name} v$version batch dir $d was GC'd " +
+          "(written before snapshot retention existed)")
+    }
     readPairs(spec, m.pairs)
   }
 
@@ -383,7 +433,7 @@ final class TableStore(spark: SparkSession, root: String) {
       clusterByPartition = false)
     val next = Manifest(version, parts.map(dir -> _))
     commit(f, spec.name, version, next.pairs)
-    gc(f, spec.name, next)
+    gc(f, spec.name, next, keepHistory = false)
   }
 
   private def dedupByPk(df: DataFrame, spec: TableSpec): DataFrame = {

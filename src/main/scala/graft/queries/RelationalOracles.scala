@@ -146,7 +146,7 @@ object RelationalOracles {
       """SELECT l_suppkey, l_orderkey, l_linenumber, ship_date,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_price,
-        |  round(product(1.0 + l_discount / 100.0) OVER w, 8) AS cum_ratio,
+        |  round(list_product(list(1.0 + l_discount / 100.0) OVER w), 8) AS cum_ratio,
         |  last_value(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END IGNORE NULLS) OVER w AS last_r_price
         |FROM (SELECT *, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem) t
         |WINDOW w AS (PARTITION BY l_suppkey, year(ship_date)

@@ -161,6 +161,26 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.read(spec).orderBy("k").collect().toSeq == before)
   }
 
+  test("readVersion time-travels across retained snapshots; expired versions fail loudly") {
+    import spark.implicits._
+    val store = freshStore("timetravel")
+    val spec = TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1, 1.0)).toDF("k", "v"))            // v1
+    store.upsert(spec, Seq((1, 2.0), (2, 2.0)).toDF("k", "v"))  // v2
+    store.upsert(spec, Seq((3, 3.0)).toDF("k", "v"))            // v3
+    assert(store.versions(spec) == Seq(1L, 2L, 3L))
+    assert(store.readVersion(spec, 1).collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      == Set((1, 1.0)))
+    assert(store.readVersion(spec, 2).collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      == Set((1, 2.0), (2, 2.0)))
+    assert(store.readVersion(spec, 3).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    store.upsert(spec, Seq((4, 4.0)).toDF("k", "v"))            // v4 → v1 expires
+    assert(store.versions(spec) == Seq(2L, 3L, 4L))
+    intercept[java.io.IOException](store.readVersion(spec, 1))
+    // retained snapshots still read complete content after the GC
+    assert(store.readVersion(spec, 2).count() == 2)
+  }
+
   test("a plain pre-manifest parquet dir is adopted and merged in place") {
     import spark.implicits._
     val store = freshStore("legacy")
