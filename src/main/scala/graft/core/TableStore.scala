@@ -219,7 +219,9 @@ final class TableStore(spark: SparkSession, root: String) {
       if (parts == Seq("")) spark.read.parquet(abs)
       else spark.read.option("basePath", abs).parquet(parts.map(p => s"$abs/$p"): _*)
     }
-    dfs.reduce(_.unionByName(_))
+    // allowMissingColumns: batch dirs written before a column was added
+    // (see the schema-evolution contract on [[upsert]]) read as null.
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Adopt a pre-manifest plain parquet directory (no `_manifests`) as
@@ -342,10 +344,20 @@ final class TableStore(spark: SparkSession, root: String) {
     val existing =
       if (affected.isEmpty) existing0
       else existing0.filter(partitionPredicate(affected))
-    val cols = batch.columns.filterNot(_ == "__prio")
+    // Additive schema evolution (the vendor-adds-a-metric case the
+    // reference handles with ALTER TABLE): a batch may introduce NEW
+    // columns — rows from older batches read them as null. A batch
+    // missing an existing column is rejected instead of silently
+    // nulling it out on conflict (MySQL's column-level ON DUPLICATE
+    // update keeps unprovided columns; whole-row replace would not).
+    val batchCols = batch.columns.filterNot(_ == "__prio").toSet
+    val missing = existing0.columns.filterNot(_ == "__prio").filterNot(batchCols)
+    if (missing.nonEmpty)
+      throw new IOException(
+        s"TableStore: upsert batch for ${spec.name} lacks existing columns " +
+        s"${missing.mkString(", ")}; select them (or null literals) explicitly")
     val merged = dedupByPk(
-      newDeduped.select((cols :+ "__prio").map(col): _*)
-        .unionByName(existing.select((cols :+ "__prio").map(col): _*)),
+      newDeduped.unionByName(existing, allowMissingColumns = true),
       spec
     ).drop("__prio")
     val version = cur.get.version + 1

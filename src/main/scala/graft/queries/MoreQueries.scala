@@ -97,6 +97,27 @@ object MoreQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    "k7_json_roundtrip" -> ((s, d) => {
+      // JSON-lines export + schema'd re-read (the wire shape of the
+      // reference's REST payloads, e.g. tushare/ifind responses —
+      // /root/reference/tasks/ifind/__init__.py:15): field order and
+      // nullability must survive the round trip.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_export"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.json(dir)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE")
+        .json(dir)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(dec)).cast("double").as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
     "a9_rolling_mean" -> ((s, d) => {
       // Trailing 4-row mean (rowsBetween(-3,0)) — the secondary-contract
       // smoother (/root/reference/tasks/tushare/tushare_future/continuse_contract_md.py:195-201).
@@ -370,6 +391,12 @@ object MoreQueries {
     "k6_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
         |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+
+    "k7_json_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "a9_rolling_mean" ->
       """SELECT o_orderkey, o_custkey,

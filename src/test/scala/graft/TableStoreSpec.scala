@@ -181,6 +181,22 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.readVersion(spec, 2).count() == 2)
   }
 
+  test("upsert accepts added columns (schema evolution) and rejects dropped ones") {
+    import spark.implicits._
+    val store = freshStore("evolve")
+    val spec = TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1, 1.0), (2, 2.0)).toDF("k", "v"))
+    // new column arrives: updated row carries it, untouched row reads null
+    store.upsert(spec, Seq((2, 2.5, "x2")).toDF("k", "v", "extra"))
+    val got = store.read(spec).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1, 1.0, None), (2, 2.5, Some("x2"))))
+    // a batch missing an existing column must fail loudly, not null it out
+    val e = intercept[java.io.IOException](
+      store.upsert(spec, Seq((3, 3.0)).toDF("k", "v")))
+    assert(e.getMessage.contains("extra"))
+  }
+
   test("a plain pre-manifest parquet dir is adopted and merged in place") {
     import spark.implicits._
     val store = freshStore("legacy")
