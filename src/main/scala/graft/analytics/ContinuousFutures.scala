@@ -243,7 +243,15 @@ object ContinuousFutures {
       case Division => col("close") * coalesce(col("adj_factor_main"), lit(1.0))
       case Diff => col("close") + coalesce(col("adj_factor_main"), lit(0.0))
     }
-    applied.withColumn("close_adj", adj)
+    val result = applied.withColumn("close_adj", adj)
       .select("instrument_type", "trade_date", "main_id", "close", "adj_factor_main", "close_adj")
+      .persist()
+    // Pin the (one row per type×day — small) result, then free the two
+    // corpus-sized intermediates; without this every call leaks both
+    // caches for the session lifetime.
+    result.count()
+    cached.unpersist()
+    scanned.unpersist()
+    result
   }
 }

@@ -125,7 +125,12 @@ final class TableStore(spark: SparkSession, root: String) {
     val out = f.create(tmp, false)
     try out.write(pairs.map { case (d, p) => s"$d\t$p" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, fin)) {
+    // HDFS rename is atomic and fails on an existing destination; POSIX
+    // rename silently REPLACES it, so the explicit exists check is what
+    // detects a concurrent commit on local filesystems (narrowed, not
+    // eliminated — the class contract is one writer per table; this
+    // turns a silent lost-batch into a loud failure in practice).
+    if (f.exists(fin) || !f.rename(tmp, fin)) {
       f.delete(tmp, false)
       throw new IOException(
         s"TableStore: commit of ${name} v$version failed (concurrent writer?)")
@@ -279,6 +284,16 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(spec: TableSpec, batch: DataFrame): Unit = {
     val f = fs
     val cur = current(f, spec)
+    // Same additive-evolution contract as upsert: new columns are fine
+    // (old rows read null), a batch missing an existing column (typo'd
+    // rename) fails loudly instead of committing silent nulls.
+    cur.foreach { m =>
+      val missing = readPairs(spec, m.pairs).columns.filterNot(batch.columns.toSet)
+      if (missing.nonEmpty)
+        throw new IOException(
+          s"TableStore: append batch for ${spec.name} lacks existing columns " +
+          s"${missing.mkString(", ")}; select them (or null literals) explicitly")
+    }
     val version = cur.map(_.version).getOrElse(0L) + 1
     val (dir, parts) = writeBatch(f, spec, batch, version)
     val next = Manifest(version, cur.map(_.pairs).getOrElse(Nil) ++ parts.map(dir -> _))
@@ -435,7 +450,11 @@ final class TableStore(spark: SparkSession, root: String) {
         val partName = concat_ws("/", spec.partitionBy.map(c =>
           concat(lit(s"$c="), coalesce(col(c).cast("string"),
             lit("__HIVE_DEFAULT_PARTITION__")))): _*)
-        val salt = pmod(xxhash64(spec.primaryKey.map(col): _*),
+        // PK-less (append-only) tables salt on every column — the salt
+        // only needs determinism and spread, not key identity.
+        val saltCols =
+          if (spec.primaryKey.nonEmpty) spec.primaryKey else df.columns.toSeq
+        val salt = pmod(xxhash64(saltCols.map(col): _*),
           coalesce(element_at(typedLit(nFiles), partName), lit(1)))
         df.withColumn("__salt", salt)
           .repartition(totalFiles, (spec.partitionBy.map(col) :+ col("__salt")): _*)

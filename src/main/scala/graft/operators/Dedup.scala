@@ -177,6 +177,9 @@ object Dedup {
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes — a remainder would " +
+      "silently drop trailing signature components and lower recall")
     val rowsPerBand = numHashes / bands
     // Scatter first: the corpus may arrive as a handful of input splits
     // (small compressed parquet) while the hash kernel is the dominant
@@ -221,12 +224,19 @@ object Dedup {
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
     val shingles = perDoc.select(col("__id"), col("__sh"))
-    withSigs
+    val pairs = withSigs
       .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+    // The verified pair set is tiny next to the per-doc cache; pin it,
+    // then release the corpus-sized intermediate — otherwise every
+    // invocation leaks a signature+shingle table for the session's life.
+    val out = pairs.persist()
+    out.count()
+    perDoc.unpersist()
+    out
   }
 
   /** 60-bit SimHash of words: per-bit weighted vote packed into a long;
@@ -273,10 +283,16 @@ object Dedup {
     */
   def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    require(simHashBits % bands == 0,
+      s"bands=$bands must divide $simHashBits signature bits — a remainder " +
+      "would leave trailing bits un-banded and break the pigeonhole recall bound")
     val bandBits = simHashBits / bands
     val mask = (1L << bandBits) - 1
+    // Persisted: the banding branch and both verification joins would
+    // otherwise re-run the per-word hash over the whole corpus 3×.
     val sigs = simHash(graft.core.Tables.scatter(docs), textCol)
       .select(col(idCol).as("__id"), col("simhash"))
+      .persist()
     val banded0 = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)
@@ -284,7 +300,7 @@ object Dedup {
     val ok = banded0.groupBy(col("band"), col("bk"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize).drop("__n")
     val banded = banded0.join(ok, Seq("band", "bk"), "left_semi")
-    banded.select(col("band"), col("bk"), col("__id").as("id_a"))
+    val pairs = banded.select(col("band"), col("bk"), col("__id").as("id_a"))
       .join(banded.select(col("band"), col("bk"), col("__id").as("id_b")),
         Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
@@ -295,6 +311,10 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(__sa ^ __sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val out = pairs.persist()
+    out.count()
+    sigs.unpersist()
+    out
   }
 
   /** Jaccard over two precomputed shingle-set columns. Compute the

@@ -170,10 +170,15 @@ object DomainQueries {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val batch1 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderstatus"), year(col("o_orderdate")).as("od_year"))
-      store.upsert(spec, batch1)
+      // od_year is derived from the immutable order date, so a key can
+      // never change partition: evictMovedKeys=false skips the
+      // untouched-partition semi-join scan — the incremental load really
+      // touches ONE partition (the documented fast path every reference
+      // table qualifies for).
+      store.upsert(spec, batch1, evictMovedKeys = false)
       val batch2 = batch1.filter(col("od_year") === 1997 && col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2.0)
-      store.upsert(spec, batch2)
+      store.upsert(spec, batch2, evictMovedKeys = false)
       store.read(spec)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"), col("od_year").cast("int").as("od_year"))
