@@ -375,4 +375,83 @@ object Dedup {
   def ngramJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column =
     jaccardOfSets(TextFunctions.wordShingles(a, n), TextFunctions.wordShingles(b, n))
+
+  /** Connected components over a near-dup pair list → dedup GROUPS (the
+    * step after [[minHashDupPairs]]/[[simHashDupPairs]]: "keep one doc
+    * per cluster" needs the cluster, not the pairs). Distributed
+    * min-label propagation: each round every node takes the smallest
+    * component id among itself and its neighbours; converges in
+    * diameter(G) rounds — LSH dup clusters are near-cliques, so a
+    * handful in practice, with `maxIter` as the runaway bound. Each
+    * round is one join + one groupBy on (edge, label) tables that only
+    * carry two longs per row; the corpus text never enters the loop.
+    *
+    * Returns (id, component) with component = min id in the cluster;
+    * only ids that appear in `pairs` are returned (singletons are their
+    * own trivial cluster).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, smallGraphEdges: Long = 1L << 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val spark = pairs.sparkSession
+    val nEdges = sym.count()
+    // Broadcast-join philosophy: LSH-verified dup pairs are a sliver of
+    // the corpus (≈0.1% of docs pair up), so the edge list usually fits
+    // the driver even when the corpus is 100 TB — union-find there costs
+    // one collect instead of diameter× join rounds. The distributed loop
+    // below remains the path for genuinely huge pair graphs.
+    if (nEdges <= smallGraphEdges) {
+      import spark.implicits._
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      return ids.map(id => (id, find(id))).toDF("id", "comp")
+    }
+    // The loop state is two-long rows; size its shuffle width to the
+    // edge count (≥100k edges/partition) instead of paying core-count
+    // partitions of per-round scheduling overhead on a small pair list.
+    val parts = math.max(4, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 100000L).toInt + 1))
+    graft.streaming.TickBarStream.withShufflePartitions(spark, parts) {
+      // Each round MUST truncate lineage (localCheckpoint), not just
+      // cache: the next label frame references the previous one twice, so
+      // an uncheckpointed loop doubles the logical plan per round and OOMs
+      // the driver on analysis long before the data is big.
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(sym("src").as("nid")).agg(min(col("comp")).as("nbr_comp"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(labels("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.withColumnRenamed("comp", "__old"), Seq("id"))
+          .filter(col("comp") =!= col("__old")).count()
+        labels = next
+        iter += 1
+      }
+      sym.unpersist()
+      labels
+    }
+  }
 }

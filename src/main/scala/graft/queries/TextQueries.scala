@@ -93,6 +93,19 @@ object TextQueries {
         maxHamming = 20, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Rows-only (iterative propagation has no single-statement DuckDB
+    // twin — recursive CTEs re-evaluate the expensive pair CTE per
+    // iteration); differentially tested against union-find in
+    // PropertySpec.
+    "dd_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .orderBy(col("cluster"))
+    }),
+
     "dd_embed_cosine" -> ((s, d) => {
       // Embedding-cosine near-dup: same-label blocking (at scale the
       // block is an IVF cell), exact cosine verify, keep lower id.

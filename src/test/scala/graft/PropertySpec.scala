@@ -76,6 +76,41 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("connectedComponents ≡ union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(21)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = List.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min member of the component among ids present in edges
+          val root = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(j => find(j.toInt) == root).min
+        }).toMap
+      // both the driver fast path and the distributed label-propagation
+      // loop (forced via smallGraphEdges = 0) must agree with the model
+      val gotSmall = graft.operators.Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = graft.operators.Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+          smallGraphEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotSmall == want, s"trial $trial (driver path)")
+      assert(gotDist == want, s"trial $trial (distributed path)")
+    }
+  }
+
   test("D1/D2 invariants hold on random bar panels") {
     import spark.implicits._
     import graft.analytics.ContinuousFutures
