@@ -93,6 +93,26 @@ object TextQueries {
         maxHamming = 20, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Deterministic hash-stratified sampling — the curation primitive
+    // for training-data mixes: keep a doc iff h(doc_id) mod 100 <
+    // rate(source). Hash-threshold sampling is reproducible at any
+    // scale, partitioning, and cluster layout (no RNG state), and the
+    // md5-window hash is the DuckDB twin, so the oracle reproduces the
+    // EXACT sample membership (pinned by the id checksum).
+    "t_stratified_sample" -> ((s, d) => {
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      val rate = when(
+        pmod(regexp_extract(col("source"), "\\d+", 0).cast("int"), lit(2)) === 0,
+        lit(20)).otherwise(lit(60))
+      Tables.documents(s, d)
+        .filter(pmod(h, lit(100)) < rate)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // Rows-only (iterative propagation has no single-statement DuckDB
     // twin — recursive CTEs re-evaluate the expensive pair CTE per
     // iteration); differentially tested against union-find in
@@ -225,6 +245,17 @@ object TextQueries {
     "t_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($toksLower, ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
+        |    CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0
+        |         THEN 20 ELSE 60 END AS rate
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  min(doc_id) AS first_id, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s WHERE h < rate GROUP BY source ORDER BY source""".stripMargin,
 
     "dd_exact_groups" ->
       s"""SELECT md5(array_to_string($toksLower, ' ')) AS fp,
