@@ -204,12 +204,12 @@ object ContinuousFutures {
   def continuousSeries(spark: SparkSession, bars: DataFrame,
       method: Method = Division): DataFrame = {
     import spark.implicits._
-    // The scan and the md join both consume `bars`; persist + force once
-    // so Spark doesn't re-evaluate the upstream aggregation DAG per
-    // branch (the bar table is the per-(contract, day) rollup — small
-    // relative to its source).
+    // The scan and the md join both consume `bars`; persist so Spark
+    // doesn't re-evaluate the upstream aggregation DAG per branch (the
+    // bar table is the per-(contract, day) rollup — small relative to
+    // its source). No separate count barrier: the scanned.count() below
+    // is the first action and fills this cache on the way.
     val cached = bars.persist()
-    cached.count()
     val scanned = toBars(spark, cached).groupByKey(_.instrument_type)
       .flatMapGroups { (t, it) =>
         val (sels, facs) = scanType(t, it, method)
