@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DomainQueries.queries ++
-      MoreQueries.queries
+      MoreQueries.queries ++ CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalOracles.oracleSql ++ TextQueries.oracleSql ++ DomainQueries.oracleSql ++
-      MoreQueries.oracleSql
+      MoreQueries.oracleSql ++ CorpusQueries.oracleSql
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for LLM training-data curation: repetition
+  * quality rules (Gopher-style), corpus TF-IDF, and cross-document span
+  * dedup. These are the operators that only make sense over the WHOLE
+  * corpus (global document frequencies, cross-doc span counts) — unlike
+  * the per-document metrics in [[graft.functions.TextFunctions]].
+  *
+  * Scale notes: every aggregation here is partial-aggregatable (token
+  * and span counts combine map-side before the shuffle); the only wide
+  * exchanges are on token/span hash keys, which are uniformly
+  * distributed by construction. Nothing is collected to the driver.
+  */
+object CorpusStats {
+
+  /** Lowercased whitespace tokens of `textCol`, shared by the metrics. */
+  private def toks(textCol: Column): Column = TextFunctions.tokens(lower(textCol))
+
+  /** Gopher-style repetition/quality signals per document (public rules
+    * from the Gopher corpus-filtering appendix — fraction of tokens in
+    * the most common token / 2-gram, unique-token fraction): documents
+    * dominated by a few repeated tokens are boilerplate or spam.
+    *
+    * Returns one row per input document:
+    * (id, n_tokens, frac_unique, top_token_frac, top_bigram_frac, keep)
+    * with keep = top_token_frac ≤ maxTopTokenFrac AND frac_unique ≥
+    * minUniqueFrac. Zero-token documents keep=false.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      maxTopTokenFrac: Double = 0.1, minUniqueFrac: Double = 0.4): DataFrame = {
+    val base = docs.select(col(idCol), toks(col(textCol)).as("__lt"))
+    val tokCounts = base
+      .select(col(idCol), explode(col("__lt")).as("__w"))
+      .groupBy(idCol, "__w").agg(count(lit(1)).as("__c"))
+    val uni = tokCounts.groupBy(idCol).agg(
+      sum("__c").as("n_tokens"), max("__c").as("__top_c"),
+      count(lit(1)).as("__n_uniq"))
+    // adjacent (non-distinct) bigrams; docs under 2 tokens have none
+    val bigrams = base
+      .select(col(idCol), explode(when(size(col("__lt")) >= 2,
+        transform(sequence(lit(1), size(col("__lt")) - 1),
+          i => concat_ws(" ", element_at(col("__lt"), i), element_at(col("__lt"), i + 1))))
+        .otherwise(array())).as("__b"))
+      .groupBy(idCol, "__b").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max("__c").as("__top_b"), sum("__c").as("__n_bi"))
+    val fu = col("__n_uniq").cast("double") / col("n_tokens")
+    val ft = col("__top_c").cast("double") / col("n_tokens")
+    val fb = col("__top_b").cast("double") / col("__n_bi")
+    docs.select(col(idCol))
+      .join(uni, Seq(idCol), "left_outer")
+      .join(bigrams, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(fu, lit(0.0)), 6).as("frac_unique"),
+        round(coalesce(ft, lit(0.0)), 6).as("top_token_frac"),
+        round(coalesce(fb, lit(0.0)), 6).as("top_bigram_frac"),
+        coalesce(ft <= maxTopTokenFrac && fu >= minUniqueFrac, lit(false)).as("keep"))
+  }
+
+  /** Corpus TF-IDF: per document, the top-k tokens by tf·ln(N/df) where
+    * df counts documents containing the token and N is the corpus size.
+    * The document-frequency table is vocabulary-sized → broadcast; ties
+    * break on the token string, so ranks are deterministic.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("__n").cast("double") / col("__df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), round(col("tfidf"), 6).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Cross-document span dedup stats: distinct word `n`-gram spans per
+    * document (md5-window hashed — 8-byte shuffle keys the DuckDB oracle
+    * can recompute, never span strings), counted across the corpus with
+    * ONE exchange (a count window over the span hash, not a
+    * re-aggregate + self-join). Returns per document:
+    * (id, n_spans, n_shared_spans, shared_frac) where a span is shared
+    * when it appears in more than one document — the C4/RefinedWeb-style
+    * signal for cross-doc boilerplate.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val lt = toks(col(textCol))
+    val idx = sequence(lit(0), greatest(size(lt) - lit(n), lit(0)))
+    val spans = array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n)))))
+    val hashed = docs
+      .select(col(idCol), explode(spans).as("__sp"))
+      .select(col(idCol),
+        expr("CAST(conv(substring(md5(__sp), 1, 15), 16, 10) AS BIGINT)").as("__h"))
+    val withCount = hashed
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__h")))
+    val perDoc = withCount.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared_spans"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+        round(coalesce(col("n_shared_spans").cast("double") / col("n_spans"), lit(0.0)), 6)
+          .as("shared_frac"))
+  }
+}

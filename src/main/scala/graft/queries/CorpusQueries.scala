@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.CorpusStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level curation operators ([[graft.operators.CorpusStats]])
+  * exercised on the `documents` table: Gopher-style repetition quality
+  * rules, corpus TF-IDF, cross-document span dedup.
+  */
+object CorpusQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t_gopher_quality" -> ((s, d) =>
+      CorpusStats.gopherQuality(Tables.scatter(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "t_tfidf_topk" -> ((s, d) =>
+      CorpusStats.tfIdfTopK(Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    "dd_span_dedup" -> ((s, d) =>
+      CorpusStats.spanDedupStats(Tables.scatter(Tables.documents(s, d)), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))))
+
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+
+  import Oracles.jr6
+
+  val oracleSql: Map[String, String] = Map(
+    "t_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),
+         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    max(c) AS top_c, count(*) AS n_uniq FROM tc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(lt), 1)),
+         |    i -> lt[i] || ' ' || lt[i + 1])) AS b FROM t WHERE len(lt) >= 2),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, max(c) AS top_b, CAST(sum(c) AS BIGINT) AS n_bi FROM bc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(uni.n_tokens, 0) AS n_tokens,
+         |  ${jr6("coalesce(CAST(uni.n_uniq AS DOUBLE) / uni.n_tokens, 0.0)")} AS frac_unique,
+         |  ${jr6("coalesce(CAST(uni.top_c AS DOUBLE) / uni.n_tokens, 0.0)")} AS top_token_frac,
+         |  ${jr6("coalesce(CAST(bi.top_b AS DOUBLE) / bi.n_bi, 0.0)")} AS top_bigram_frac,
+         |  coalesce(CAST(uni.top_c AS DOUBLE) / uni.n_tokens <= 0.1
+         |    AND CAST(uni.n_uniq AS DOUBLE) / uni.n_tokens >= 0.4, false) AS keep
+         |FROM documents d
+         |LEFT JOIN uni ON uni.doc_id = d.doc_id
+         |LEFT JOIN bi ON bi.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |tok AS (SELECT doc_id, unnest(lt) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, ${jr6("tfidf")} AS tfidf, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "dd_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(lt) - 8, 0) + 1),
+         |    i -> array_to_string(lt[i + 1:i + 8], ' ')))) AS s
+         |  FROM t),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sp),
+         |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS nd FROM h),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans
+         |  FROM wc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.n_shared_spans, 0) AS n_shared_spans,
+         |  ${jr6("coalesce(CAST(p.n_shared_spans AS DOUBLE) / p.n_spans, 0.0)")} AS shared_frac
+         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+}

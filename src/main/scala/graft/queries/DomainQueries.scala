@@ -121,7 +121,16 @@ object DomainQueries {
         .orderBy(col("column"))
     }),
 
-    // ── D1–D3: continuous futures (rows-only; golden-tested in specs) ─
+    // ── D1–D3: continuous futures (rows-only: the selection state
+    // machine has no trustworthy DuckDB twin — a recursive-CTE +
+    // list_reduce translation was built and then WITHDRAWN because
+    // DuckDB 1.0.0's list_reduce evaluates struct-accumulator lambdas
+    // with an in-place read-after-write hazard: a minimal fold
+    // `(acc, x) -> {st: acc.st + x.v, out: acc.out || (acc.st + x.v)}`
+    // returns out entries computed from the NEW st, and results vary
+    // with vector chunking → a nondeterministic oracle. Covered instead
+    // by reference-golden + randomized differential specs
+    // (ContinuousFuturesSpec). ──────────────────────────────────────────
     "d1_dominant_contract" -> ((s, d) =>
       ContinuousFutures.dailySelection(s, futuresBars(s, d))
         .orderBy(col("instrument_type"), col("trade_date"))),

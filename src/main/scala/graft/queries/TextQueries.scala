@@ -113,10 +113,9 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
-    // Rows-only (iterative propagation has no single-statement DuckDB
-    // twin — recursive CTEs re-evaluate the expensive pair CTE per
-    // iteration); differentially tested against union-find in
-    // PropertySpec.
+    // Oracled via a recursive min-label-propagation CTE over the same
+    // pair SQL (MATERIALIZED, so the pair pipeline runs once); also
+    // differentially tested against union-find in PropertySpec.
     "dd_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
         shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
@@ -191,6 +190,50 @@ object TextQueries {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
   // single-quote doubled for embedding in SQL string literals
   private val punctClass = """[.,!?;:''"()\[\]{}-]"""
+
+  /** Shared CTE list for the MinHash-LSH pipeline, ending in
+    * `prs(id_a, id_b, jac)` — used by both the pair oracle and the
+    * connected-components oracle. MATERIALIZED so a recursive consumer
+    * evaluates the pipeline once.
+    */
+  private def minhashPairCtes =
+    s"""t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
+       |      i -> substr(norm, i + 1, 5))) AS shingles
+       |  FROM t),
+       |hs AS (SELECT doc_id, shingles,
+       |    list_transform(shingles, s ->
+       |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
+       |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
+       |  FROM sh),
+       |sigs AS (SELECT doc_id,
+       |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
+       |    list_transform(range(0, 16),
+       |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
+       |  FROM hs),
+       |banded AS (SELECT doc_id, b.range AS band,
+       |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
+       |  FROM sigs, range(0, 4) b),
+       |ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN ok USING (band, bh)
+       |  JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
+       |est AS (SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = cand.id_a
+       |  JOIN sigs sb ON sb.doc_id = cand.id_b
+       |  WHERE CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.15),
+       |prs AS MATERIALIZED (
+       |  SELECT id_a, id_b, jac FROM (
+       |    SELECT id_a, id_b,
+       |      CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
+       |        CAST(len(list_intersect(sa.hl, sb.hl)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.hl, sb.hl))) ELSE 0.0 END AS jac
+       |    FROM est
+       |    JOIN sigs sa ON sa.doc_id = est.id_a
+       |    JOIN sigs sb ON sb.doc_id = est.id_b) x
+       |  WHERE jac >= 0.4)""".stripMargin
   private val enStops =
     englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -283,43 +326,27 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
-         |sh AS (SELECT doc_id,
-         |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
-         |      i -> substr(norm, i + 1, 5))) AS shingles
-         |  FROM t),
-         |hs AS (SELECT doc_id, shingles,
-         |    list_transform(shingles, s ->
-         |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
-         |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
-         |  FROM sh),
-         |sigs AS (SELECT doc_id,
-         |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
-         |    list_transform(range(0, 16),
-         |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
-         |  FROM hs),
-         |banded AS (SELECT doc_id, b.range AS band,
-         |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
-         |  FROM sigs, range(0, 4) b),
-         |ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN ok USING (band, bh)
-         |  JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
-         |est AS (SELECT id_a, id_b
-         |  FROM cand
-         |  JOIN sigs sa ON sa.doc_id = cand.id_a
-         |  JOIN sigs sb ON sb.doc_id = cand.id_b
-         |  WHERE CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.15)
-         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
-         |  SELECT id_a, id_b,
-         |    CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
-         |      CAST(len(list_intersect(sa.hl, sb.hl)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(sa.hl, sb.hl))) ELSE 0.0 END AS jac
-         |  FROM est
-         |  JOIN sigs sa ON sa.doc_id = est.id_a
-         |  JOIN sigs sb ON sb.doc_id = est.id_b) x
-         |WHERE jac >= 0.4
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components over the minhash pairs: recursive min-label
+    // propagation (transitive closure is fine at the dup-pair graph's
+    // size — LSH-verified pairs are a sliver of the corpus). MATERIALIZED
+    // pins prs/sym so each recursion step re-reads a table, not the
+    // whole minhash pipeline.
+    "dd_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS MATERIALIZED (
+         |  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
+         |  UNION SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS lab FROM sym
+         |  UNION
+         |  SELECT s.src AS id, r.lab FROM reach r JOIN sym s ON s.dst = r.id),
+         |cmp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster, count(*) AS n_docs, max(id) AS max_doc
+         |FROM cmp GROUP BY comp ORDER BY cluster""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS ltoks FROM documents),
