@@ -92,14 +92,22 @@ object CorpusStats {
     * when it appears in more than one document — the C4/RefinedWeb-style
     * signal for cross-doc boilerplate.
     */
-  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+  /** Distinct word-`n`-gram span hashes per document: one row per
+    * (id, 8-byte md5-window hash). Shared by [[spanDedupStats]] and
+    * [[decontaminate]]; hashing keeps shuffle keys fixed-width and lets
+    * the DuckDB oracle recompute them.
+    */
+  private def spanHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val lt = toks(col(textCol))
     val idx = sequence(lit(0), greatest(size(lt) - lit(n), lit(0)))
     val spans = array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n)))))
-    val hashed = docs
-      .select(col(idCol), explode(spans).as("__sp"))
+    docs.select(col(idCol), explode(spans).as("__sp"))
       .select(col(idCol),
         expr("CAST(conv(substring(md5(__sp), 1, 15), 16, 10) AS BIGINT)").as("__h"))
+  }
+
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val hashed = spanHashes(docs, idCol, textCol, n)
     val withCount = hashed
       .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__h")))
     val perDoc = withCount.groupBy(idCol).agg(
@@ -113,5 +121,50 @@ object CorpusStats {
         coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
         round(coalesce(col("n_shared_spans").cast("double") / col("n_spans"), lit(0.0)), 6)
           .as("shared_frac"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM-style eval-overlap check):
+    * flag corpus documents sharing any word `n`-gram with the benchmark
+    * set. Returns one row per corpus document:
+    * (id, n_spans, n_benchmark_spans, contaminated).
+    *
+    * The benchmark side is eval-suite sized (thousands of documents, not
+    * billions), so its distinct span-hash set broadcasts and the corpus
+    * side needs one scan + one per-document aggregation — no shuffle of
+    * span strings, no join ordering risk at 100 TB.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchSpans = broadcast(
+      spanHashes(benchmark, idCol, textCol, n).select(col("__h")).distinct())
+    val perDoc = spanHashes(corpus, idCol, textCol, n)
+      .join(benchSpans.withColumn("__inb", lit(1)), Seq("__h"), "left_outer")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__inb").isNotNull, 1L).otherwise(0L)).as("n_benchmark_spans"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_benchmark_spans"), lit(0L)).as("n_benchmark_spans"),
+        coalesce(col("n_benchmark_spans") > 0, lit(false)).as("contaminated"))
+  }
+
+  /** C4-style blocklist scrub: drop blocklisted tokens from each
+    * document. Returns (id, clean_text, n_tokens, n_removed). The
+    * blocklist is a literal array in the plan (codegen'd `array_contains`
+    * per token — no UDF, no broadcast needed at any corpus size).
+    */
+  def blocklistScrub(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    val lt = toks(col(textCol))
+    val kept = filter(lt, t => !array_contains(bl, t))
+    docs.select(
+      col(idCol),
+      concat_ws(" ", kept).as("clean_text"),
+      size(lt).cast("long").as("n_tokens"),
+      (size(lt) - size(kept)).cast("long").as("n_removed"))
   }
 }

@@ -125,6 +125,23 @@ object TextQueries {
         .orderBy(col("cluster"))
     }),
 
+    // Dedup → keep-best: canonical document per near-dup cluster (the
+    // step a real curation pipeline runs after clustering — drop all but
+    // the "best" copy; quality = n_chars, doc_id tie-break so the pick
+    // is deterministic).
+    "dd_keep_best" -> ((s, d) => {
+      val pairs = Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val quality = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("id"), col("n_chars"))
+      comps.join(quality, Seq("id"))
+        .groupBy(col("comp").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("id"), struct(col("n_chars"), col("id"))).as("canonical_doc"))
+        .orderBy(col("cluster"))
+    }),
+
     "dd_embed_cosine" -> ((s, d) => {
       // Embedding-cosine near-dup: same-label blocking (at scale the
       // block is an IVF cell), exact cosine verify, keep lower id.
@@ -347,6 +364,21 @@ object TextQueries {
          |cmp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
          |SELECT comp AS cluster, count(*) AS n_docs, max(id) AS max_doc
          |FROM cmp GROUP BY comp ORDER BY cluster""".stripMargin,
+
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS MATERIALIZED (
+         |  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
+         |  UNION SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS lab FROM sym
+         |  UNION
+         |  SELECT s.src AS id, r.lab FROM reach r JOIN sym s ON s.dst = r.id),
+         |cmp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         |  max_by(c.id, [d.n_chars, c.id]) AS canonical_doc
+         |FROM cmp c JOIN documents d ON d.doc_id = c.id
+         |GROUP BY comp ORDER BY cluster""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS ltoks FROM documents),
