@@ -201,15 +201,21 @@ object ContinuousFutures {
       trade_date: java.sql.Date, main_id: String, secondary_id: Option[String],
       adj_factor_main: Double, adj_factor_secondary: Double)
 
+  /** @param cacheInput persist `bars` for the duration of the call. Pass
+    *   false when the input is already materialized (a table scan or a
+    *   caller-managed cache) — re-scanning it per branch is then cheaper
+    *   than building an InMemoryRelation of it.
+    */
   def continuousSeries(spark: SparkSession, bars: DataFrame,
-      method: Method = Division): DataFrame = {
+      method: Method = Division, cacheInput: Boolean = true): DataFrame = {
     import spark.implicits._
     // The scan and the md join both consume `bars`; persist so Spark
     // doesn't re-evaluate the upstream aggregation DAG per branch (the
     // bar table is the per-(contract, day) rollup — small relative to
-    // its source). No separate count barrier: the scanned.count() below
-    // is the first action and fills this cache on the way.
-    val cached = bars.persist()
+    // its source).
+    val callerCached = !cacheInput ||
+      bars.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) bars else bars.persist()
     val scanned = toBars(spark, cached).groupByKey(_.instrument_type)
       .flatMapGroups { (t, it) =>
         val (sels, facs) = scanType(t, it, method)
@@ -250,7 +256,7 @@ object ContinuousFutures {
     // corpus-sized intermediates; without this every call leaks both
     // caches for the session lifetime.
     result.count()
-    cached.unpersist()
+    if (!callerCached) cached.unpersist()
     scanned.unpersist()
     result
   }

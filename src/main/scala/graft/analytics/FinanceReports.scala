@@ -85,36 +85,47 @@ object FinanceReports {
     */
   def detectAccumulationCols(reports: DataFrame, codeCol: String,
       dateCol: String, candidateCols: Seq[String]): Seq[String] = {
-    val base = reports.select(
-      (Seq(col(codeCol).as("code"), col(dateCol).cast("date").as("rd")) ++
-        candidateCols.map(c => col(c).cast("double").as(c))): _*)
-    candidateCols.filter { c =>
-      // Per code, non-null series of this column ordered by date.
-      val s = base.filter(col(c).isNotNull)
-      val w = Window.partitionBy(col("code")).orderBy(col("rd"))
-      val lagged = s
-        .withColumn("prev_rd", lag(col("rd"), 1).over(w))
-        .withColumn("prev_v", lag(col(c), 1).over(w))
-        .withColumn("y", year(col("rd"))).withColumn("m", month(col("rd")))
-        .withColumn("prev_y", year(col("prev_rd"))).withColumn("prev_m", month(col("prev_rd")))
-      // Within-year growth flag per (code, year): all steps strictly grow.
-      val growth = lagged.filter(col("prev_rd").isNotNull && col("y") === col("prev_y"))
-        .groupBy(col("code"), col("y"))
-        .agg(min((col(c) > col("prev_v")).cast("int")).as("grew_all"))
-        .select(col("code").as("g_code"), col("y").as("g_y"), col("grew_all"))
-      // Year-boundary rows: Dec report followed by Q1/H1 report.
-      val boundaries = lagged.filter(col("prev_rd").isNotNull && col("y") =!= col("prev_y") &&
-        col("prev_m") === 12 && col("m").isin(3, 6))
-        .withColumn("down", (col(c) < col("prev_v")).cast("int"))
-        .withColumn("py", col("prev_y"))
-      val joined = boundaries.join(growth,
-        col("code") === col("g_code") && col("py") === col("g_y"), "left")
-      val agg = joined.agg(
-        count(lit(1)).as("available"),
+    // Melt the candidate columns into long format so ONE window + ONE
+    // aggregation profiles all of them in a single job. The reference
+    // (and the first cut here) looped columns on the driver, re-scanning
+    // the reports table per column — N sequential full scans at 100 TB.
+    // Per (column, code): non-null series ordered by date, exactly the
+    // per-column filter semantics of the original loop.
+    val melted = reports.select(
+      col(codeCol).as("code"), col(dateCol).cast("date").as("rd"),
+      explode(array(candidateCols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("double").as("v"))): _*)).as("m"))
+      .select(col("code"), col("rd"), col("m.cname").as("cname"), col("m.v").as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(col("cname"), col("code")).orderBy(col("rd"))
+    val lagged = melted
+      .withColumn("prev_rd", lag(col("rd"), 1).over(w))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("y", year(col("rd"))).withColumn("m", month(col("rd")))
+      .withColumn("prev_y", year(col("prev_rd"))).withColumn("prev_m", month(col("prev_rd")))
+    // Within-year growth flag per (column, code, year): all steps grow.
+    val growth = lagged.filter(col("prev_rd").isNotNull && col("y") === col("prev_y"))
+      .groupBy(col("cname"), col("code"), col("y"))
+      .agg(min((col("v") > col("prev_v")).cast("int")).as("grew_all"))
+      .select(col("cname").as("g_cname"), col("code").as("g_code"),
+        col("y").as("g_y"), col("grew_all"))
+    // Year-boundary rows: Dec report followed by Q1/H1 report.
+    val boundaries = lagged.filter(col("prev_rd").isNotNull && col("y") =!= col("prev_y") &&
+      col("prev_m") === 12 && col("m").isin(3, 6))
+      .withColumn("down", (col("v") < col("prev_v")).cast("int"))
+    val joined = boundaries.join(growth,
+      col("cname") === col("g_cname") && col("code") === col("g_code") &&
+        col("prev_y") === col("g_y"), "left")
+    // One row per candidate column — the only driver-side collect.
+    val verdicts = joined.groupBy(col("cname"))
+      .agg(count(lit(1)).as("available"),
         sum((col("down") === 1 && coalesce(col("grew_all"), lit(0)) === 1).cast("int")).as("fit"))
-        .head()
-      val available = agg.getLong(0)
-      val fit = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .toMap
+    candidateCols.filter { c =>
+      val (available, fit) = verdicts.getOrElse(c, (0L, 0L))
       available >= 3 && fit.toDouble / available > 0.5
     }
   }

@@ -54,12 +54,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("d1 futures pipeline is single-shuffle up to the typed scan") {
-    // 3 planned shuffles total: repartition(l_suppkey) feeding agg AND
-    // both windows, the groupByKey(instrument_type) for flatMapGroups,
-    // and the final presentation orderBy. The agg and the two windows
-    // must NOT add exchanges of their own.
+    // d1 reads the bars rollup from its scratch-parquet materialization
+    // (shared across d1/d2/d3), so the query itself plans exactly 2
+    // shuffles: the groupByKey(instrument_type) for flatMapGroups and
+    // the final presentation orderBy. A third exchange means either the
+    // shared materialization stopped being used or the typed scan grew
+    // a redundant repartition.
     val df = SparkEntry.queries("d1_dominant_contract")(spark, sf)
-    assert(shuffles(df) == 3, s"windowed bar build re-shuffles:\n${simple(df)}")
+    assert(shuffles(df) == 2, s"typed scan re-shuffles:\n${simple(df)}")
+    assert(simple(df).contains("FileScan parquet"),
+      "d1 should scan the materialized bars rollup")
   }
 
   test("a1 aggregation is partial (map-side combine) and codegen'd") {
@@ -86,5 +90,50 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // presentation orderBy — two planned shuffles total.
     val df = SparkEntry.queries("w3_running_windows")(spark, sf)
     assert(shuffles(df) == 2, s"window spec stopped being shared:\n${simple(df)}")
+  }
+
+  test("d5 profiler job count is independent of candidate-column count") {
+    // The column verdicts must come from ONE melted (explode) plan: the
+    // number of Spark jobs a profiler call runs must NOT scale with the
+    // number of candidate columns. (AQE splits the single action into
+    // several stage-jobs, so assert scaling, not an absolute count — a
+    // per-column driver loop doubles jobs when columns double.)
+    def jobsFor(cols: Seq[String]): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.analytics.FinanceReports.detectAccumulationCols(
+          Tables.orders(spark, sf)
+            .groupBy(col("o_custkey").as("code"),
+              to_date(col("o_orderdate")).as("rd"))
+            .agg((1 to cols.length).map(i =>
+              (sum("o_totalprice") * i).as(cols(i - 1))).head,
+              (1 to cols.length).map(i =>
+                (sum("o_totalprice") * i).as(cols(i - 1))).tail: _*),
+          "code", "rd", cols)
+        // listener events are async; short drain before reading the count
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val two = jobsFor(Seq("v1", "v2"))
+    val four = jobsFor(Seq("v1", "v2", "v3", "v4"))
+    assert(four <= two + 1,
+      s"profiler jobs scaled with columns ($two -> $four) — per-column driver loop is back")
+  }
+
+  test("corpus hash kernels sit above a scatter exchange") {
+    // The documents parquet is one input split; every per-document hash
+    // kernel must be fanned out by a round-robin repartition or it runs
+    // on one core (the round-3 dd_exact_groups regression).
+    for (q <- Seq("dd_exact_groups", "t_fingerprint", "dd_simhash")) {
+      val p = simple(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
+        s"$q kernel has no scatter exchange:\n$p")
+    }
   }
 }
