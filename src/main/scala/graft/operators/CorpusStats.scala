@@ -65,7 +65,11 @@ object CorpusStats {
 
   /** Corpus TF-IDF: per document, the top-k tokens by tf·ln(N/df) where
     * df counts documents containing the token and N is the corpus size.
-    * The document-frequency table is vocabulary-sized → broadcast; ties
+    * The document-frequency join is left to AQE: on a web corpus the
+    * whitespace-token vocabulary (typos, URLs, IDs) can reach billions
+    * of distinct terms, so a forced broadcast would bet the driver's
+    * memory on it — AQE broadcasts when dfreq is actually small and
+    * shuffle-joins on term (uniform hash keys) when it isn't. Ties
     * break on the token string, so ranks are deterministic.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
@@ -74,7 +78,7 @@ object CorpusStats {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val n = docs.select(count(lit(1)).as("__n"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log(col("__n").cast("double") / col("__df")))
       .withColumn("rank", row_number().over(w))
@@ -100,7 +104,12 @@ object CorpusStats {
   private def spanHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val lt = toks(col(textCol))
     val idx = sequence(lit(0), greatest(size(lt) - lit(n), lit(0)))
-    val spans = array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n)))))
+    // Zero-token documents emit NO spans (not one md5('') span — that
+    // would make every pair of empty docs count as "shared" and flag
+    // every empty doc as benchmark-contaminated); docs shorter than n
+    // emit their single partial span.
+    val spans = when(size(lt) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n))))))
     docs.select(col(idCol), explode(spans).as("__sp"))
       .select(col(idCol),
         expr("CAST(conv(substring(md5(__sp), 1, 15), 16, 10) AS BIGINT)").as("__h"))

@@ -23,6 +23,21 @@ object CorpusQueries {
 
     "dd_span_dedup" -> ((s, d) =>
       CorpusStats.spanDedupStats(Tables.scatter(Tables.documents(s, d)), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: the "benchmark" is the deterministic
+    // doc_id % 37 slice of the corpus — eval-suite-sized, and its
+    // self-overlap guarantees known-contaminated rows at every SF.
+    "t_decontaminate" -> ((s, d) =>
+      CorpusStats.decontaminate(
+        Tables.scatter(Tables.documents(s, d)),
+        Tables.documents(s, d).filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))),
+
+    "t_blocklist_scrub" -> ((s, d) =>
+      CorpusStats.blocklistScrub(Tables.scatter(Tables.documents(s, d)),
+        "doc_id", "text", blocklist = Seq("the", "and", "of", "to", "a"))
         .orderBy(col("doc_id"))))
 
   private val toksLower =
@@ -76,7 +91,7 @@ object CorpusQueries {
          |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(0, greatest(len(lt) - 8, 0) + 1),
          |    i -> array_to_string(lt[i + 1:i + 8], ' ')))) AS s
-         |  FROM t),
+         |  FROM t WHERE len(lt) > 0),
          |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sp),
          |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS nd FROM h),
          |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -87,5 +102,36 @@ object CorpusQueries {
          |  coalesce(p.n_shared_spans, 0) AS n_shared_spans,
          |  ${jr6("coalesce(CAST(p.n_shared_spans AS DOUBLE) / p.n_spans, 0.0)")} AS shared_frac
          |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(lt) - 8, 0) + 1),
+         |    i -> array_to_string(lt[i + 1:i + 8], ' ')))) AS s
+         |  FROM t WHERE len(lt) > 0),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sp),
+         |bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0),
+         |perdoc AS (
+         |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_benchmark_spans
+         |  FROM h a LEFT JOIN bh ON bh.h = a.h
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.n_benchmark_spans, 0) AS n_benchmark_spans,
+         |  coalesce(p.n_benchmark_spans > 0, false) AS contaminated
+         |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t_blocklist_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |k AS (SELECT doc_id, lt,
+         |    list_filter(lt, x -> NOT list_contains(['the', 'and', 'of', 'to', 'a'], x)) AS kept
+         |  FROM t)
+         |SELECT doc_id,
+         |  array_to_string(kept, ' ') AS clean_text,
+         |  CAST(len(lt) AS BIGINT) AS n_tokens,
+         |  CAST(len(lt) - len(kept) AS BIGINT) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin)
 }

@@ -15,6 +15,13 @@ object DomainQueries {
   private type Q = (SparkSession, String) => DataFrame
   private val dec = "decimal(18,2)"
 
+  /** Engine-portable 6-decimal rounding: pure IEEE double ops, so Spark
+    * and DuckDB produce bit-identical results even on .xxxxxx5 ties
+    * (where Spark's BigDecimal-on-binary round and DuckDB's round()
+    * disagree). */
+  private def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** lineitem reinterpreted as futures bars: contract = supplier,
     * instrument type = supplier mod 5, maturity = contract's last ship
     * date. `switch_by` is the contract's *monthly* quantity (constant
@@ -44,7 +51,10 @@ object DomainQueries {
       concat(lit("T"), pmod(col("l_suppkey"), lit(5))).as("instrument_type"),
       concat(lit("S"), col("l_suppkey")).as("instrument_id"),
       col("trade_date"),
-      (col("p") / col("q")).cast("double").as("close"),
+      // double/double division (not decimal/decimal): IEEE-754 division
+      // of the exact decimal sums is bit-identical in DuckDB, so the
+      // d2/d3 oracles can reproduce close values exactly
+      (col("p").cast("double") / col("q").cast("double")).as("close"),
       sum(col("q")).over(wMonth).cast("double").as("switch_by"),
       max(col("trade_date")).over(wSupp).as("last_trade_date"))
   }
@@ -141,15 +151,11 @@ object DomainQueries {
         .orderBy(col("column"))
     }),
 
-    // ── D1–D3: continuous futures (rows-only: the selection state
-    // machine has no trustworthy DuckDB twin — a recursive-CTE +
-    // list_reduce translation was built and then WITHDRAWN because
-    // DuckDB 1.0.0's list_reduce evaluates struct-accumulator lambdas
-    // with an in-place read-after-write hazard: a minimal fold
-    // `(acc, x) -> {st: acc.st + x.v, out: acc.out || (acc.st + x.v)}`
-    // returns out entries computed from the NEW st, and results vary
-    // with vector chunking → a nondeterministic oracle. Covered instead
-    // by reference-golden + randomized differential specs
+    // ── D1–D3: continuous futures. Value-oracled by the skip-ahead
+    // recursive-CTE replay in `d1SelectionCtes` (no list_reduce — an
+    // earlier list_reduce translation was withdrawn over DuckDB 1.0.0's
+    // struct-accumulator chunking hazard); ALSO covered by
+    // reference-golden + randomized differential specs
     // (ContinuousFuturesSpec). ──────────────────────────────────────────
     "d1_dominant_contract" -> ((s, d) =>
       ContinuousFutures.dailySelection(s, futuresBarsCached(s, d))
@@ -158,18 +164,21 @@ object DomainQueries {
     "d2_adj_factors" -> ((s, d) =>
       // Diff-method factors on the derived scenario: cross-contract price
       // gaps sum (bounded); Division is golden-tested on the controlled
-      // fixture in ContinuousFuturesSpec.
+      // fixture in ContinuousFuturesSpec. round6 (not round()): Spark
+      // rounds doubles via the exact binary expansion, DuckDB via
+      // decimal ties-away — they disagree on .xxxxxx5 boundaries; the
+      // floor-based formula is pure IEEE arithmetic, identical in both.
       ContinuousFutures.adjFactors(s, futuresBarsCached(s, d), ContinuousFutures.Diff)
-        .withColumn("adj_factor_main", round(col("adj_factor_main"), 6))
-        .withColumn("adj_factor_secondary", round(col("adj_factor_secondary"), 6))
+        .withColumn("adj_factor_main", round6(col("adj_factor_main")))
+        .withColumn("adj_factor_secondary", round6(col("adj_factor_secondary")))
         .orderBy(col("instrument_type"), col("trade_date"))),
 
     "d3_continuous_series" -> ((s, d) =>
       ContinuousFutures.continuousSeries(s, futuresBarsCached(s, d), ContinuousFutures.Diff,
         cacheInput = false)
-        .withColumn("close", round(col("close"), 6))
-        .withColumn("close_adj", round(col("close_adj"), 6))
-        .withColumn("adj_factor_main", round(col("adj_factor_main"), 6))
+        .withColumn("close", round6(col("close")))
+        .withColumn("close_adj", round6(col("close_adj")))
+        .withColumn("adj_factor_main", round6(col("adj_factor_main")))
         .orderBy(col("instrument_type"), col("trade_date"))),
 
     // ── K1: keyed upsert end-to-end (the #1 sink primitive) ──────────
@@ -379,7 +388,186 @@ object DomainQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** Shared DuckDB CTE replaying the D1 dominant/secondary selection
+    * state machine (ContinuousFutures.scanType) exactly, ending in
+    * `sel(itype, d, m, s)` — the per-day selection series — and
+    * `closes(itype, iid, d, close)`.
+    *
+    * The scan is inherently sequential, so the oracle is a recursive CTE
+    * over candidate positions with a skip-ahead search: each recursion
+    * step lands on the next STATE-CHANGING candidate within a bounded
+    * window (or advances the window unchanged), so iterations track
+    * state changes (rare), not candidate rows. State = (main, its
+    * maturity, secondary, its maturity); a candidate's day-values of
+    * main/sec come from per-day parallel id/value lists via
+    * list_position (DuckDB 1.0 lambdas cannot capture correlated
+    * columns, plain function arguments can). Per-day selections are
+    * recovered with an ASOF join of each day's last candidate position
+    * against the state-change points. No list_reduce anywhere — the
+    * DuckDB 1.0.0 chunking hazard documented below does not apply.
+    */
+  private val d1SelectionCtes: String =
+    """bars AS MATERIALIZED (
+      |  SELECT 'T' || (l_suppkey % 5) AS itype,
+      |         'S' || l_suppkey AS iid,
+      |         CAST(l_shipdate AS DATE) AS d,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS close,
+      |         CAST(sum(sum(CAST(l_quantity AS DECIMAL(18,2))))
+      |              OVER (PARTITION BY l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE))) AS DOUBLE) AS v,
+      |         max(CAST(l_shipdate AS DATE)) OVER (PARTITION BY l_suppkey) AS ltd
+      |  FROM lineitem
+      |  GROUP BY l_suppkey, CAST(l_shipdate AS DATE)),
+      |daylists AS MATERIALIZED (
+      |  SELECT itype, d, list(iid ORDER BY ltd, iid) AS ids,
+      |         list(v ORDER BY ltd, iid) AS vs
+      |  FROM bars GROUP BY itype, d),
+      |steps AS MATERIALIZED (
+      |  SELECT b.itype, b.d, b.iid, b.v, b.ltd, dl.ids, dl.vs,
+      |    row_number() OVER (PARTITION BY b.itype ORDER BY b.d, b.ltd, b.iid) AS pos
+      |  FROM bars b JOIN daylists dl ON dl.itype = b.itype AND dl.d = b.d),
+      |scan AS (
+      |  SELECT s0.itype, 0::BIGINT AS pos,
+      |         CAST(NULL AS VARCHAR) AS m, CAST(NULL AS DATE) AS mm,
+      |         CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DATE) AS sm, s0.maxpos
+      |  FROM (SELECT itype, max(pos) AS maxpos FROM steps GROUP BY itype) s0
+      |  UNION ALL
+      |  SELECT w.itype, COALESCE(c.pos, LEAST(w.pos + 16, w.maxpos)),
+      |    CASE WHEN c.pos IS NULL THEN w.m
+      |         WHEN w.m IS NULL OR c.mv IS NULL OR c.mv < c.v THEN c.iid ELSE w.m END,
+      |    CASE WHEN c.pos IS NULL THEN w.mm
+      |         WHEN w.m IS NULL OR c.mv IS NULL OR c.mv < c.v THEN c.ltd ELSE w.mm END,
+      |    CASE WHEN c.pos IS NULL THEN w.s ELSE t.ns END,
+      |    CASE WHEN c.pos IS NULL THEN w.sm ELSE t.nsm END,
+      |    w.maxpos
+      |  FROM scan w
+      |  LEFT JOIN LATERAL (
+      |    SELECT st.pos, st.iid, st.v, st.ltd,
+      |      st.vs[list_position(st.ids, w.m)] AS mv,
+      |      st.vs[list_position(st.ids, w.s)] AS sv
+      |    FROM steps st
+      |    WHERE st.itype = w.itype AND st.pos > w.pos AND st.pos <= w.pos + 16
+      |      AND (w.mm IS NULL OR st.ltd >= w.mm)
+      |      AND (
+      |        w.m IS NULL
+      |        OR st.vs[list_position(st.ids, w.m)] IS NULL
+      |        OR st.vs[list_position(st.ids, w.m)] < st.v
+      |        OR (w.s IS NULL AND st.iid <> w.m)
+      |        OR (w.sm < st.ltd
+      |            AND st.vs[list_position(st.ids, w.s)] IS NOT NULL
+      |            AND st.vs[list_position(st.ids, w.s)] < st.v))
+      |    ORDER BY st.pos LIMIT 1) c ON true
+      |  CROSS JOIN LATERAL (
+      |    SELECT CASE WHEN w.m IS NULL OR c.mv IS NULL OR c.mv < c.v
+      |           THEN c.iid ELSE w.m END AS nm,
+      |           CASE WHEN w.m IS NULL OR c.mv IS NULL OR c.mv < c.v
+      |           THEN c.ltd ELSE w.mm END AS nmm) tm
+      |  CROSS JOIN LATERAL (
+      |    SELECT CASE WHEN w.m IS NOT NULL AND tm.nm <> w.m
+      |                 AND w.s IS NOT NULL AND (w.s = tm.nm OR w.sm < tm.nmm)
+      |           THEN NULL ELSE w.s END AS s1) ts
+      |  CROSS JOIN LATERAL (
+      |    SELECT CASE WHEN ts.s1 IS NULL THEN
+      |                  (CASE WHEN c.iid <> tm.nm THEN c.iid ELSE NULL END)
+      |                WHEN w.sm < c.ltd AND c.sv IS NOT NULL AND c.sv < c.v THEN c.iid
+      |                ELSE ts.s1 END AS ns,
+      |           CASE WHEN ts.s1 IS NULL THEN
+      |                  (CASE WHEN c.iid <> tm.nm THEN c.ltd ELSE NULL END)
+      |                WHEN w.sm < c.ltd AND c.sv IS NOT NULL AND c.sv < c.v THEN c.ltd
+      |                ELSE w.sm END AS nsm) t
+      |  WHERE w.pos < w.maxpos),
+      |eod AS (SELECT itype, d, max(pos) AS eod_pos FROM steps GROUP BY itype, d),
+      |sel AS (
+      |  SELECT e.itype, e.d, st.m, st.s
+      |  FROM eod e
+      |  ASOF JOIN (SELECT itype, pos, m, s FROM scan) st
+      |    ON e.itype = st.itype AND e.eod_pos >= st.pos)""".stripMargin
+
+  /** Factor rows (Diff method) derived from the selection series: rolls
+    * are day-over-day changes of main/secondary; the price gap is taken
+    * at the previous selection day's closes, skipped when either close
+    * is missing there; the latest selection day carries the neutral
+    * factor; factors reverse-cumulate (suffix sums in date-descending
+    * order — same fold order as the Scala scan, so double addition is
+    * bit-identical). Ends in `fac(itype, fd, mainId, accM, secC, accS)`.
+    */
+  private val d2FactorCtes: String =
+    s"""$d1SelectionCtes,
+      |series AS (
+      |  SELECT itype, d, m, s,
+      |    lag(d) OVER (PARTITION BY itype ORDER BY d) AS pd,
+      |    lag(m) OVER (PARTITION BY itype ORDER BY d) AS pm,
+      |    lag(s) OVER (PARTITION BY itype ORDER BY d) AS ps
+      |  FROM sel),
+      |rolls AS (
+      |  SELECT r.itype, r.pd AS fd,
+      |    CASE WHEN fm.f IS NOT NULL THEN r.pm ELSE r.m END AS mainId,
+      |    fm.f AS fM,
+      |    CASE WHEN fs.f IS NOT NULL THEN r.ps ELSE NULL END AS secId,
+      |    fs.f AS fS
+      |  FROM series r
+      |  LEFT JOIN LATERAL (
+      |    SELECT cn.close - co.close AS f
+      |    FROM bars cn, bars co
+      |    WHERE r.pm IS NOT NULL AND r.m <> r.pm
+      |      AND cn.itype = r.itype AND cn.iid = r.m AND cn.d = r.pd
+      |      AND co.itype = r.itype AND co.iid = r.pm AND co.d = r.pd) fm ON true
+      |  LEFT JOIN LATERAL (
+      |    SELECT cn.close - co.close AS f
+      |    FROM bars cn, bars co
+      |    WHERE r.ps IS NOT NULL AND r.s IS NOT NULL AND r.s <> r.ps
+      |      AND cn.itype = r.itype AND cn.iid = r.s AND cn.d = r.pd
+      |      AND co.itype = r.itype AND co.iid = r.ps AND co.d = r.pd) fs ON true
+      |  WHERE fm.f IS NOT NULL OR fs.f IS NOT NULL),
+      |lastrow AS (
+      |  SELECT itype, d AS fd, m AS mainId, 0.0::DOUBLE AS fM, s AS secId, 0.0::DOUBLE AS fS
+      |  FROM (SELECT itype, d, m, s,
+      |          row_number() OVER (PARTITION BY itype ORDER BY d DESC) AS rn
+      |        FROM sel) x WHERE rn = 1),
+      |raw AS (SELECT * FROM rolls UNION ALL SELECT * FROM lastrow),
+      |fac AS (
+      |  SELECT itype, fd, mainId,
+      |    sum(COALESCE(fM, 0.0)) OVER (PARTITION BY itype ORDER BY fd DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accM,
+      |    last_value(secId IGNORE NULLS) OVER (PARTITION BY itype ORDER BY fd DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS secC,
+      |    sum(COALESCE(fS, 0.0)) OVER (PARTITION BY itype ORDER BY fd DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accS
+      |  FROM raw)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d1_dominant_contract" ->
+      s"""WITH RECURSIVE $d1SelectionCtes
+        |SELECT itype AS instrument_type, d AS trade_date,
+        |  m AS main_id, s AS secondary_id
+        |FROM sel WHERE m IS NOT NULL
+        |ORDER BY instrument_type, trade_date""".stripMargin,
+
+    "d2_adj_factors" ->
+      s"""WITH RECURSIVE $d2FactorCtes
+        |SELECT itype AS instrument_type, fd AS trade_date,
+        |  mainId AS instrument_id_main,
+        |  floor(accM * 1000000 + 0.5) / 1000000 AS adj_factor_main,
+        |  secC AS instrument_id_secondary,
+        |  floor(accS * 1000000 + 0.5) / 1000000 AS adj_factor_secondary
+        |FROM fac ORDER BY instrument_type, trade_date""".stripMargin,
+
+    "d3_continuous_series" ->
+      s"""WITH RECURSIVE $d2FactorCtes,
+        |fiv AS (
+        |  SELECT itype, fd, accM,
+        |    lag(fd) OVER (PARTITION BY itype ORDER BY fd) AS pfd
+        |  FROM fac)
+        |SELECT v.itype AS instrument_type, v.d AS trade_date, v.m AS main_id,
+        |  floor(b.close * 1000000 + 0.5) / 1000000 AS close,
+        |  floor(f.accM * 1000000 + 0.5) / 1000000 AS adj_factor_main,
+        |  floor((b.close + COALESCE(f.accM, 0.0)) * 1000000 + 0.5) / 1000000 AS close_adj
+        |FROM (SELECT * FROM sel WHERE m IS NOT NULL) v
+        |JOIN bars b ON b.itype = v.itype AND b.iid = v.m AND b.d = v.d
+        |LEFT JOIN fiv f ON f.itype = v.itype AND v.d <= f.fd
+        |  AND (f.pfd IS NULL OR v.d > f.pfd)
+        |ORDER BY instrument_type, trade_date""".stripMargin,
+
     // The profiler's verdict on this deterministic corpus is fixed:
     // the cumulative column is detected, the quarterly one is not.
     "d5_accum_profile" ->
