@@ -107,8 +107,10 @@ object CorpusStats {
     // Zero-token documents emit NO spans (not one md5('') span — that
     // would make every pair of empty docs count as "shared" and flag
     // every empty doc as benchmark-contaminated); docs shorter than n
-    // emit their single partial span.
-    val spans = when(size(lt) === 0, array().cast("array<string>"))
+    // emit their single partial span. `<= 0` rather than `=== 0`:
+    // size(NULL) is -1, and a NULL-text doc must also emit zero spans
+    // (the DuckDB twin's `len(lt) > 0` filters NULL the same way).
+    val spans = when(size(lt) <= 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n))))))
     docs.select(col(idCol), explode(spans).as("__sp"))
       .select(col(idCol),

@@ -27,7 +27,7 @@ object DomainQueries {
     * date. `switch_by` is the contract's *monthly* quantity (constant
     * within a month) so dominance shifts at realistic roll cadence
     * instead of flapping on daily noise. */
-  private def futuresBars(s: SparkSession, d: String): DataFrame = {
+  private[graft] def futuresBars(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One lineitem scan + one shuffle: the monthly dominance metric and
     // the contract maturity are windows over the per-day aggregate
@@ -72,7 +72,7 @@ object DomainQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def futuresBarsCached(s: SparkSession, d: String): DataFrame =
     barsCache.computeIfAbsent((s, d), { case (ss, dd) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bars_${math.abs(dd.hashCode)}"
+      val path = graft.core.Scratch.path("bars", dd)
       futuresBars(ss, dd).write.mode("overwrite").parquet(path)
       ss.read.parquet(path)
     })

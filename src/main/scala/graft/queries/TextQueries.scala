@@ -28,8 +28,7 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent((s, d), { case (ss, dd) =>
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_mh_pairs_${math.abs(dd.hashCode)}"
+      val path = graft.core.Scratch.path("mh_pairs", dd)
       Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
         shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
         .write.mode("overwrite").parquet(path)

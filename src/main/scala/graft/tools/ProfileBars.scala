@@ -1,34 +1,14 @@
 package graft.tools
 
-import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Dev tool: time the futuresBars DAG plain vs persisted, to pin down
   * the cache-build cost observed in the round-4 bench.
   */
 object ProfileBars {
-  private val dec = "decimal(18,2)"
-
-  private def futuresBars(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.lineitem(s, d)
-      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"), col("l_quantity"))
-      .repartition(col("l_suppkey"))
-      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("trade_date"))
-      .agg(sum(col("l_extendedprice").cast(dec)).as("p"),
-        sum(col("l_quantity").cast(dec)).as("q"))
-    val wMonth = Window.partitionBy(col("l_suppkey"),
-      date_trunc("month", col("trade_date")))
-    val wSupp = Window.partitionBy(col("l_suppkey"))
-    base.select(
-      concat(lit("T"), pmod(col("l_suppkey"), lit(5))).as("instrument_type"),
-      concat(lit("S"), col("l_suppkey")).as("instrument_id"),
-      col("trade_date"),
-      (col("p") / col("q")).cast("double").as("close"),
-      sum(col("q")).over(wMonth).cast("double").as("switch_by"),
-      max(col("trade_date")).over(wSupp).as("last_trade_date"))
-  }
+  // the exact production DAG — a copy here would silently drift
+  private def futuresBars(s: SparkSession, d: String): DataFrame =
+    graft.queries.DomainQueries.futuresBars(s, d)
 
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()

@@ -115,8 +115,9 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
               (1 to cols.length).map(i =>
                 (sum("o_totalprice") * i).as(cols(i - 1))).tail: _*),
           "code", "rd", cols)
-        // listener events are async; short drain before reading the count
-        Thread.sleep(500)
+        // listener events are async; block until the bus has drained
+        // (a fixed sleep undercounts under CI load)
+        org.apache.spark.ListenerBusAccess.waitUntilEmpty(spark.sparkContext, 10000)
         counter.get()
       } finally spark.sparkContext.removeSparkListener(listener)
     }
