@@ -19,11 +19,26 @@ import org.apache.spark.sql.functions._
   *                    writes (ints, longs, dates, plain strings) — i.e. no
   *                    characters needing Hive path escaping and no
   *                    timestamps. All driver tables satisfy this.
+  * @param schema      optional declared schema — the engine-native form of
+  *                    the reference's per-table dtype dicts + MySQL DDL
+  *                    (/root/reference/tasks/backend/orm.py:113-298). When
+  *                    set, every write is conformed to it (schema-on-write):
+  *                    batch columns must match the declared names exactly,
+  *                    types must equal the declared ones or widen safely
+  *                    (`Cast.canUpCast` — int→long, float→double, never
+  *                    lossy), and the batch is projected into declared
+  *                    column order so every parquet file lays out
+  *                    identically. Reads complete missing declared columns
+  *                    as typed nulls (schema-on-read for batches written
+  *                    before a column was added). Nullability flags are
+  *                    advisory: enforcing NOT NULL would cost a per-row
+  *                    check on the write path.
   */
 final case class TableSpec(
     name: String,
     primaryKey: Seq[String],
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
 
 /** Keyed-upsert table store over Parquet — the engine's #1 primitive.
   *
@@ -244,6 +259,52 @@ final class TableStore(spark: SparkSession, root: String) {
   private def current(f: FileSystem, spec: TableSpec): Option[Manifest] =
     latestManifest(f, spec.name).orElse(adoptLegacy(f, spec))
 
+  // ── declared-schema enforcement ───────────────────────────────────────
+
+  /** Schema-on-write: conform `batch` to the spec's declared schema (see
+    * [[TableSpec.schema]]). Name mismatches and lossy type changes fail
+    * loudly — the MySQL-DDL behavior the reference relied on; safe
+    * widenings are cast; columns are projected into declared order.
+    */
+  private def conformToSchema(spec: TableSpec, batch: DataFrame, op: String): DataFrame =
+    spec.schema match {
+      case None => batch
+      case Some(declared) =>
+        val have = batch.columns.toSet
+        val missing = declared.fieldNames.filterNot(have)
+        val extra = batch.columns.filterNot(declared.fieldNames.toSet)
+        if (missing.nonEmpty || extra.nonEmpty)
+          throw new IOException(
+            s"TableStore: $op batch for ${spec.name} does not match the declared schema" +
+            (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
+            (if (extra.nonEmpty) s"; undeclared: ${extra.mkString(", ")}" else ""))
+        batch.select(declared.fields.toSeq.map { f =>
+          val actual = batch.schema(f.name).dataType
+          if (actual == f.dataType) col(f.name)
+          else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(actual, f.dataType))
+            col(f.name).cast(f.dataType)
+          else
+            throw new IOException(
+              s"TableStore: $op batch for ${spec.name} has ${f.name}: " +
+              s"${actual.simpleString}, declared ${f.dataType.simpleString} " +
+              "(not a safe widening — cast explicitly if the loss is intended)")
+        }: _*)
+    }
+
+  /** Schema-on-read: present exactly the declared columns in declared
+    * order, completing columns the stored batches predate as typed nulls.
+    */
+  private def presentWithSchema(spec: TableSpec, df: DataFrame): DataFrame =
+    spec.schema match {
+      case None => df
+      case Some(declared) =>
+        val have = df.columns.toSet
+        df.select(declared.fields.toSeq.map { f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+
   // ── public API ────────────────────────────────────────────────────────
 
   def exists(spec: TableSpec): Boolean = current(fs, spec).nonEmpty
@@ -251,7 +312,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def read(spec: TableSpec): DataFrame = {
     val m = current(fs, spec).getOrElse(
       throw new IOException(s"TableStore: table ${spec.name} does not exist"))
-    readPairs(spec, m.pairs)
+    presentWithSchema(spec, readPairs(spec, m.pairs))
   }
 
   /** Committed versions still readable as snapshots (ascending). */
@@ -277,11 +338,12 @@ final class TableStore(spark: SparkSession, root: String) {
           s"TableStore: ${spec.name} v$version batch dir $d was GC'd " +
           "(written before snapshot retention existed)")
     }
-    readPairs(spec, m.pairs)
+    presentWithSchema(spec, readPairs(spec, m.pairs))
   }
 
   /** Append rows without merging (K4 watermark-append path). */
-  def append(spec: TableSpec, batch: DataFrame): Unit = {
+  def append(spec: TableSpec, batch0: DataFrame): Unit = {
+    val batch = conformToSchema(spec, batch0, "append")
     val f = fs
     val cur = current(f, spec)
     // Same additive-evolution contract as upsert: new columns are fine
@@ -312,9 +374,10 @@ final class TableStore(spark: SparkSession, root: String) {
     *        immutable per key. Irrelevant (never scans) when partitionBy
     *        ⊆ primaryKey, where a moved value is by definition a new key.
     */
-  def upsert(spec: TableSpec, batch: DataFrame, newWins: Boolean = true,
+  def upsert(spec: TableSpec, batch0: DataFrame, newWins: Boolean = true,
       evictMovedKeys: Boolean = true): Unit = {
     require(spec.primaryKey.nonEmpty, s"${spec.name}: upsert needs a primary key")
+    val batch = conformToSchema(spec, batch0, "upsert")
     val f = fs
     // Dedup within the batch first, honouring batch row order like the
     // reference's sequential INSERT..ON DUPLICATE loop: last occurrence
@@ -391,8 +454,9 @@ final class TableStore(spark: SparkSession, root: String) {
     upsert(spec, batch, newWins = false)
 
   /** K3 — wipe the partition slice(s) present in `batch`, then load it. */
-  def overwritePartitions(spec: TableSpec, batch: DataFrame): Unit = {
+  def overwritePartitions(spec: TableSpec, batch0: DataFrame): Unit = {
     require(spec.partitionBy.nonEmpty, s"${spec.name}: no partition columns")
+    val batch = conformToSchema(spec, batch0, "overwritePartitions")
     val f = fs
     val cur = current(f, spec)
     val version = cur.map(_.version).getOrElse(0L) + 1

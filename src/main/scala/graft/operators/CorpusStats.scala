@@ -102,14 +102,15 @@ object CorpusStats {
     * the DuckDB oracle recompute them.
     */
   private def spanHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val lt = toks(col(textCol))
+    // coalesce: under ANSI size(NULL) is NULL, which would skip the
+    // empty guard; a NULL-text doc must emit zero spans like an empty
+    // one (the DuckDB twin's `len(lt) > 0` filters NULL the same way)
+    val lt = coalesce(toks(col(textCol)), array().cast("array<string>"))
     val idx = sequence(lit(0), greatest(size(lt) - lit(n), lit(0)))
     // Zero-token documents emit NO spans (not one md5('') span — that
     // would make every pair of empty docs count as "shared" and flag
     // every empty doc as benchmark-contaminated); docs shorter than n
-    // emit their single partial span. `<= 0` rather than `=== 0`:
-    // size(NULL) is -1, and a NULL-text doc must also emit zero spans
-    // (the DuckDB twin's `len(lt) > 0` filters NULL the same way).
+    // emit their single partial span.
     val spans = when(size(lt) <= 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(idx, i => concat_ws(" ", slice(lt, i + 1, lit(n))))))
     docs.select(col(idCol), explode(spans).as("__sp"))
@@ -160,6 +161,61 @@ object CorpusStats {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_benchmark_spans"), lit(0L)).as("n_benchmark_spans"),
         coalesce(col("n_benchmark_spans") > 0, lit(false)).as("contaminated"))
+  }
+
+  /** PII redaction (the C4/CCNet-style pre-training scrub): replace
+    * emails, North-American phone numbers, and dotted-quad IPs with
+    * `[EMAIL]`/`[PHONE]`/`[IP]` markers and count each class per
+    * document. Pure `regexp_replace`/`regexp_count` Columns — codegen'd,
+    * map-only, no shuffle at any corpus size. The patterns avoid
+    * lookarounds so Java regex (Spark) and RE2 (the DuckDB oracle)
+    * match identically. Emails are replaced before IPs so a digit-quad
+    * inside a rewritten email domain can't double-redact; counts are
+    * taken on the ORIGINAL text for the same reason.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(
+        t, email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]").as("clean_text"),
+      coalesce(regexp_count(t, lit(email)).cast("long"), lit(0L)).as("n_emails"),
+      coalesce(regexp_count(t, lit(phone)).cast("long"), lit(0L)).as("n_phones"),
+      coalesce(regexp_count(t, lit(ip)).cast("long"), lit(0L)).as("n_ips"))
+  }
+
+  /** Within-document repetition removal (the RefinedWeb/MassiveText
+    * intra-doc dedup step): chunk each document into fixed `k`-token
+    * units and keep the first occurrence of each distinct unit.
+    * Deterministic fixed-width chunking (not sentence splitting) so the
+    * operation is reproducible across engines and scales; per-row array
+    * algebra only — map-only, no shuffle. `array_distinct` preserves
+    * first-occurrence order, which is the keep-first semantic.
+    * Returns (id, clean_text, n_chunks, n_removed).
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "chunk size must be positive")
+    // coalesce: under ANSI size(NULL) is NULL (not -1), which would
+    // sneak NULL-text docs past the empty guard into the chunk builder
+    val lt = coalesce(toks(col(textCol)), array().cast("array<string>"))
+    val nChunks = ceil(size(lt).cast("double") / k).cast("int")
+    val chunks = when(size(lt) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(lt, i * k + 1, lit(k)))))
+    // staged projections: the chunking pass and the distinct pass are
+    // interpreted higher-order expressions referenced more than once, so
+    // each gets its own alias (CollapseProject keeps multiply-referenced
+    // non-trivial aliases un-inlined — one evaluation each)
+    docs.select(col(idCol), chunks.as("__ch"))
+      .select(col(idCol), col("__ch"), array_distinct(col("__ch")).as("__kept"))
+      .select(
+        col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__ch")).cast("long").as("n_chunks"),
+        (size(col("__ch")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** C4-style blocklist scrub: drop blocklisted tokens from each

@@ -38,7 +38,34 @@ object CorpusQueries {
     "t_blocklist_scrub" -> ((s, d) =>
       CorpusStats.blocklistScrub(Tables.scatter(Tables.documents(s, d)),
         "doc_id", "text", blocklist = Seq("the", "and", "of", "to", "a"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub over a deterministically PII-injected corpus (the
+    // synthetic documents carry no emails/phones/IPs, so each doc gets a
+    // doc_id-keyed specimen appended — the oracle injects identically,
+    // making redaction and counts value-checkable at every SF).
+    "t_pii_scrub" -> ((s, d) => {
+      val injected = Tables.scatter(Tables.documents(s, d)).withColumn("text2",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit(" call 555-123-4567 or 555-000-1111"))
+            .otherwise(concat(lit(" server at 10.0."),
+              pmod(col("doc_id"), lit(256)), lit(".7")))))
+      CorpusStats.piiScrub(injected, "doc_id", "text2").orderBy(col("doc_id"))
+    }),
+
+    // Within-doc repetition removal; each doc's first 10-token chunk is
+    // prepended so every (≥10-token) document provably contains one
+    // exact repeat — chunk 0 and chunk 1 coincide by construction.
+    "dd_within_doc_dedup" -> ((s, d) => {
+      val lt = graft.functions.TextFunctions.tokens(lower(col("text")))
+      val injected = Tables.scatter(Tables.documents(s, d)).withColumn("text2",
+        concat_ws(" ", concat_ws(" ", slice(lt, 1, 10)), col("text")))
+      CorpusStats.dedupChunks(injected, "doc_id", "text2", k = 10)
+        .orderBy(col("doc_id"))
+    }))
 
   private val toksLower =
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
@@ -133,5 +160,48 @@ object CorpusQueries {
          |  array_to_string(kept, ' ') AS clean_text,
          |  CAST(len(lt) AS BIGINT) AS n_tokens,
          |  CAST(len(lt) - len(kept) AS BIGINT) AS n_removed
-         |FROM k ORDER BY doc_id""".stripMargin)
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "t_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com'
+        |         WHEN doc_id % 3 = 1 THEN ' call 555-123-4567 or 555-000-1111'
+        |         ELSE ' server at 10.0.' || (doc_id % 256) || '.7' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dd_within_doc_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $toksLower AS lt0 FROM documents),
+         |inj AS (SELECT doc_id,
+         |    list_concat(lt0[1:10], lt0) AS lt
+         |  FROM base),
+         |c AS (SELECT doc_id, u.i AS i, u.chunk AS chunk FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |      range(0, CAST(ceil(len(lt) / 10.0) AS INT)),
+         |      i -> struct_pack(i := i,
+         |        chunk := array_to_string(lt[i * 10 + 1 : i * 10 + 10], ' ')))) AS u
+         |  FROM inj WHERE len(lt) > 0) x),
+         |f AS (SELECT doc_id, chunk, min(i) AS fi FROM c GROUP BY 1, 2),
+         |agg AS (SELECT doc_id,
+         |    string_agg(chunk, ' ' ORDER BY fi) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(agg.clean_text, '') AS clean_text,
+         |  coalesce(tot.n_chunks, 0) AS n_chunks,
+         |  coalesce(tot.n_chunks - agg.n_kept, 0) AS n_removed
+         |FROM documents d
+         |LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |LEFT JOIN tot ON tot.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -187,6 +187,43 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(ivf1.nonEmpty && ivf1.size <= brute.size)
   }
 
+  test("piiScrub redacts emails/phones/IPs and counts on the original text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@sub.example.org now"),
+      (2L, "call 555-123-4567 or 555-000-1111 today"),
+      (3L, "host 192.168.0.1 and 10.0.3.7 up"),
+      (4L, "no pii here"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((Some("mail [EMAIL] now"), 1L, 0L, 0L)))
+    assert(got(1) == ((Some("call [PHONE] or [PHONE] today"), 0L, 2L, 0L)))
+    assert(got(2) == ((Some("host [IP] and [IP] up"), 0L, 0L, 2L)))
+    assert(got(3) == ((Some("no pii here"), 0L, 0L, 0L)))
+    assert(got(4)._1.isEmpty) // null text stays null, counts null-safe
+  }
+
+  test("dedupChunks keeps the first occurrence of each k-token chunk") {
+    import spark.implicits._
+    // 2-token chunks: [a b][c d][a b][e] — the second [a b] must drop
+    val docs = Seq(
+      (1L, "a b c d a b e"),
+      (2L, "x y"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.dedupChunks(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == (("a b c d e", 4L, 1L)))
+    assert(got(1) == (("x y", 1L, 0L)))
+    assert(got(2) == (("", 0L, 0L)))
+    assert(got(3) == (("", 0L, 0L)))
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(

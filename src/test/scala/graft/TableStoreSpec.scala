@@ -197,6 +197,50 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("extra"))
   }
 
+  test("declared schema: conforms order/widening, rejects mismatches, completes reads") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = freshStore("schema")
+    val declared = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+    val spec = TableSpec("t", Seq("k"), schema = Some(declared))
+    // batch arrives with shuffled column order and narrower types
+    // (k: int, v: float) — conformed to declared order and widened
+    store.upsert(spec, Seq(("a", 1, 1.5f), ("b", 2, 2.5f)).toDF("tag", "k", "v"))
+    val got = store.read(spec)
+    assert(got.columns.toSeq == Seq("k", "v", "tag"))
+    assert(got.schema("k").dataType == LongType)
+    assert(got.schema("v").dataType == DoubleType)
+    assert(got.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq == Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
+    // undeclared column → loud failure
+    val extra = intercept[java.io.IOException](store.upsert(spec,
+      Seq((3L, 3.0, "c", true)).toDF("k", "v", "tag", "rogue")))
+    assert(extra.getMessage.contains("rogue"))
+    // missing declared column → loud failure
+    val miss = intercept[java.io.IOException](store.upsert(spec,
+      Seq((3L, 3.0)).toDF("k", "v")))
+    assert(miss.getMessage.contains("tag"))
+    // lossy narrowing (string → double) → loud failure
+    val lossy = intercept[java.io.IOException](store.upsert(spec,
+      Seq((3L, "not a number", "c")).toDF("k", "v", "tag")))
+    assert(lossy.getMessage.contains("not a safe widening"))
+    // schema grows: reads complete the new column as typed nulls for
+    // batches written before it existed
+    val grown = spec.copy(schema = Some(declared.add(StructField("score", IntegerType))))
+    val complete = store.read(grown)
+    assert(complete.columns.toSeq == Seq("k", "v", "tag", "score"))
+    assert(complete.filter(col("score").isNotNull).count() == 0)
+    store.upsert(grown, Seq((2L, 9.0, "B", 7), (5L, 5.0, "e", 1))
+      .toDF("k", "v", "tag", "score"))
+    val merged = store.read(grown).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    assert(merged.toSeq == Seq((1L, 1.5, "a", None), (2L, 9.0, "B", Some(7)),
+      (5L, 5.0, "e", Some(1))))
+  }
+
   test("a plain pre-manifest parquet dir is adopted and merged in place") {
     import spark.implicits._
     val store = freshStore("legacy")
