@@ -88,6 +88,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Lloyd's k-means over the embedding column — the training step that
+    * produces the IVF coarse centroids [[ivfAssign]]/[[ivfSearch]]
+    * consume (without it the quantizer is whatever vectors happen to be
+    * picked as seeds). Built for determinism across engines, runs, and
+    * partitionings:
+    *
+    *  - init = the `k` lowest-id vectors, cells labeled 0..k-1 in that
+    *    order (no RNG state to reproduce);
+    *  - assignment = argmin L2 with centroid-id tie-break (one broadcast
+    *    join + one top-1 window per iteration — the corpus shuffles on
+    *    nothing, the only exchange is the per-vector window, and at
+    *    cluster scale that window is a map-side top-1);
+    *  - update = per-(cell, dim) mean computed as an EXACT decimal(30,12)
+    *    sum divided in double. Decimal addition is associative, so the
+    *    mean is independent of partition/merge order — a double sum
+    *    would make the trained centroids (and every downstream
+    *    assignment) nondeterministic under AQE re-planning. A binary
+    *    double can never land exactly on a decimal rounding tie, so the
+    *    double→decimal quantization is also engine-portable;
+    *  - empty cells keep their previous centroid (matched by the oracle).
+    *
+    * Centroids live on the driver between iterations (k·dim doubles —
+    * the standard distributed-k-means shape: the model is tiny, the data
+    * never leaves the executors). Returns (cent_id, centroid).
+    */
+  def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var cents: Seq[(Long, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = cents.toDF("cent_id", "cv")
+      val assigned = ivfAssign(base, idCol, "__v", cdf, "cent_id", "cv")
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg((sum(col("__x").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val arr = new Array[Double](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cell -> arr.toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents.toDF("cent_id", "centroid")
+  }
+
   /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP
     * bucket are candidates; exact cosine verifies. One shuffle on the
     * bucket id.

@@ -216,6 +216,21 @@ object TextQueries {
       Similarity.lshNeighborPairs(e, "vec_id", "v", dim = 64, nBits = 6, minCosine = 0.3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF centroid training: 2 Lloyd iterations from the 8 lowest-id
+    // seeds; the trained model is value-checked component-by-component
+    // (melted to (cent_id, pos, val) — 8×64 rows). Exact decimal sums
+    // make the means bit-reproducible, so the oracle replays both
+    // iterations and hash-matches every coordinate.
+    "v_kmeans_train" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.kmeansTrain(e, "vec_id", "v", k = 8, iters = 2)
+        .select(col("cent_id"), posexplode(col("centroid")).as(Seq("pos", "val")))
+        .select(col("cent_id"), col("pos").cast("long").as("pos"),
+          round(col("val"), 6).as("val"))
+        .orderBy(col("cent_id"), col("pos"))
     }))
 
   private val toksExpr =
@@ -270,6 +285,28 @@ object TextQueries {
        |  WHERE jac >= 0.4)""".stripMargin
   private val enStops =
     englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** One Lloyd iteration of the k-means oracle: assignment under the
+    * centroids CTE `prev` → exact-decimal per-(cell, dim) means →
+    * carried centroids CTE `c` (empty cells keep `prev`'s centroid,
+    * mirroring [[graft.operators.Similarity.kmeansTrain]]).
+    */
+  private def kmeansIterCtes(prev: String, a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid AS cell, v FROM (
+       |    SELECT e.vec_id, c.cid, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY sqrt(list_sum(list_transform(range(1, 65),
+       |          j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])))) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM e CROSS JOIN $prev c) x WHERE rn = 1),
+       |${a}m AS (
+       |  SELECT cell, i,
+       |    CAST(sum(CAST(v[i + 1] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM $a, range(0, 64) r(i) GROUP BY cell, i),
+       |${a}v AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${a}m GROUP BY cell),
+       |$c AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${a}v n ON n.cid = p.cid)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t_token_stats" ->
@@ -529,6 +566,16 @@ object TextQueries {
         |    FROM d) t WHERE rn = 1)
         |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_id, max(vec_id) AS max_id
         |FROM best GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "v_kmeans_train" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) s),
+         |${kmeansIterCtes("c0", "a1", "c1")},
+         |${kmeansIterCtes("c1", "a2", "c2")}
+         |SELECT cid AS cent_id, i AS pos, ${Oracles.jr6("cv[i + 1]")} AS val
+         |FROM c2, range(0, 64) r(i)
+         |ORDER BY cent_id, pos""".stripMargin,
 
     "v_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -224,6 +224,21 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got(3) == (("", 0L, 0L)))
   }
 
+  test("kmeansTrain converges to the obvious cluster means") {
+    import spark.implicits._
+    // two tight blobs around (0,0) and (10,10); seeds 0 and 1 land one
+    // in each blob, so 2 iterations must recover the exact blob means
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)), (4L, Seq(0.0, 0.4)),
+      (1L, Seq(10.0, 10.0)), (3L, Seq(10.2, 10.0)), (5L, Seq(10.0, 10.4)))
+      .toDF("vec_id", "v")
+    val got = graft.operators.Similarity.kmeansTrain(vecs, "vec_id", "v", k = 2, iters = 2)
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(x => math.round(x * 1e9) / 1e9)))
+    assert(got(0) == ((0L, Seq(0.2 / 3, 0.4 / 3).map(x => math.round(x * 1e9) / 1e9))))
+    assert(got(1) == ((1L, Seq(30.2 / 3, 30.4 / 3).map(x => math.round(x * 1e9) / 1e9))))
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
