@@ -127,6 +127,31 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"profiler jobs scaled with columns ($two -> $four) — per-column driver loop is back")
   }
 
+  test("pii scrub and within-doc dedup stay map-only (scatter + sort exchanges only)") {
+    // Both are per-row rewrites: any extra Exchange means a join or
+    // aggregation crept into what must stay a linear scan at 100 TB.
+    for (q <- Seq("t_pii_scrub", "dd_within_doc_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(shuffles(df) <= 2, s"$q grew a wide exchange:\n${simple(df)}")
+      assert(!simple(df).contains("Join"), s"$q plans a join:\n${simple(df)}")
+    }
+  }
+
+  test("kmeans assignment broadcasts the centroids (corpus never shuffles on data)") {
+    val cents = graft.operators.Similarity.kmeansTrain(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", k = 4, iters = 0)
+    val assigned = graft.operators.Similarity.ivfAssign(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", cents, "cent_id", "centroid")
+    val p = simple(assigned)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on a join key:\n$p")
+  }
+
   test("corpus hash kernels sit above a scatter exchange") {
     // The documents parquet is one input split; every per-document hash
     // kernel must be fanned out by a round-robin repartition or it runs
