@@ -218,6 +218,44 @@ object CorpusStats {
         (size(col("__ch")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Sequence packing (the GPT-style concat-and-chunk step that turns a
+    * curated corpus into fixed-budget training sequences): documents are
+    * concatenated in `orderCol` order within each `shardCol` group, the
+    * token stream is cut every `packTokens` tokens, and each document
+    * reports the pack(s) its tokens land in — one output row per
+    * (document, pack) with the in-pack slice. Documents may straddle a
+    * pack boundary, exactly like the real packing step.
+    *
+    * Scale shape: one window (cumulative token count) per shard + an
+    * explode bounded by tokens/packTokens — no joins, no driver state.
+    * The shard column (source file / date bucket) is what bounds window
+    * width at 100 TB; packing is deterministic given (shard, order), so
+    * re-runs and engines agree. Zero-token documents land in no pack.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, orderCol: String, packTokens: Int): DataFrame = {
+    require(packTokens > 0, "pack size must be positive")
+    val counted = docs.select(col(shardCol).as("shard"), col(orderCol).as("__ord"),
+      col(idCol), coalesce(size(toks(col(textCol))), lit(0)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offs = counted
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("first_pack", floor(col("start_off") / packTokens))
+      .withColumn("last_pack", floor((col("end_off") - 1) / packTokens))
+    offs.select(col("shard"), col(idCol), col("n_tokens"),
+      col("start_off"), col("end_off"),
+      explode(sequence(col("first_pack"), col("last_pack"))).as("pack_id"))
+      .select(col("shard"), col(idCol), col("pack_id"), col("n_tokens"),
+        // the slice of THIS document that lands in THIS pack
+        (greatest(col("start_off"), col("pack_id") * packTokens)
+          - col("start_off")).as("doc_slice_start"),
+        (least(col("end_off"), (col("pack_id") + 1) * packTokens)
+          - col("start_off")).as("doc_slice_end"))
+  }
+
   /** C4-style blocklist scrub: drop blocklisted tokens from each
     * document. Returns (id, clean_text, n_tokens, n_removed). The
     * blocklist is a literal array in the plan (codegen'd `array_contains`

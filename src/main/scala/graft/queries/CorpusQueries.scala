@@ -56,6 +56,14 @@ object CorpusQueries {
       CorpusStats.piiScrub(injected, "doc_id", "text2").orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: concat docs per source in doc_id order, cut the
+    // token stream every 128 tokens; one row per (doc, pack) with the
+    // in-pack slice — straddling docs emit a row per touched pack.
+    "t_pack_sequences" -> ((s, d) =>
+      CorpusStats.packSequences(Tables.scatter(Tables.documents(s, d)),
+        "doc_id", "text", shardCol = "source", orderCol = "doc_id", packTokens = 128)
+        .orderBy(col("shard"), col("doc_id"), col("pack_id"))),
+
     // Within-doc repetition removal; each doc's first 10-token chunk is
     // prepended so every (≥10-token) document provably contains one
     // exact repeat — chunk 0 and chunk 1 coincide by construction.
@@ -161,6 +169,27 @@ object CorpusQueries {
          |  CAST(len(lt) AS BIGINT) AS n_tokens,
          |  CAST(len(lt) - len(kept) AS BIGINT) AS n_removed
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "t_pack_sequences" ->
+      s"""WITH t AS (SELECT source AS shard, doc_id,
+         |    CAST(coalesce(len($toksLower), 0) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (SELECT shard, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM t),
+         |f AS (SELECT shard, doc_id, n_tokens, end_off,
+         |    end_off - n_tokens AS start_off,
+         |    (end_off - n_tokens) // 128 AS first_pack,
+         |    (end_off - 1) // 128 AS last_pack
+         |  FROM o WHERE n_tokens > 0),
+         |e AS (SELECT shard, doc_id, n_tokens, start_off, end_off,
+         |    unnest(range(first_pack, last_pack + 1)) AS pack_id
+         |  FROM f)
+         |SELECT shard, doc_id, pack_id, n_tokens,
+         |  greatest(start_off, pack_id * 128) - start_off AS doc_slice_start,
+         |  least(end_off, (pack_id + 1) * 128) - start_off AS doc_slice_end
+         |FROM e ORDER BY shard, doc_id, pack_id""".stripMargin,
 
     "t_pii_scrub" ->
       """WITH t AS (

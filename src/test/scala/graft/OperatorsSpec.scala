@@ -224,6 +224,25 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got(3) == (("", 0L, 0L)))
   }
 
+  test("packSequences cuts the per-shard token stream at the pack budget") {
+    import spark.implicits._
+    // shard A: docs of 3, 4, 5 tokens, budget 6 → stream of 12 tokens:
+    // d1 [0,3) pack0; d2 [3,7) packs 0+1 (straddles); d3 [7,12) pack 1
+    val docs = Seq(
+      ("A", 1L, "a b c"), ("A", 2L, "d e f g"), ("A", 3L, "h i j k l"),
+      ("B", 4L, "x y"), ("B", 5L, "")) // empty doc lands in no pack
+      .toDF("source", "doc_id", "text")
+    val got = graft.operators.CorpusStats
+      .packSequences(docs, "doc_id", "text", "source", "doc_id", packTokens = 6)
+      .orderBy("shard", "doc_id", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("A", 1L, 0L, 0L, 3L),
+      ("A", 2L, 0L, 0L, 3L), ("A", 2L, 1L, 3L, 4L),
+      ("A", 3L, 1L, 0L, 5L),
+      ("B", 4L, 0L, 0L, 2L)))
+  }
+
   test("kmeansTrain converges to the obvious cluster means") {
     import spark.implicits._
     // two tight blobs around (0,0) and (10,10); seeds 0 and 1 land one
