@@ -29,9 +29,12 @@ object TextQueries {
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent((s, d), { case (ss, dd) =>
       val path = graft.core.Scratch.path("mh_pairs", dd)
-      Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
+      val pairs = Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
         shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
-        .write.mode("overwrite").parquet(path)
+      pairs.write.mode("overwrite").parquet(path)
+      // the parquet copy supersedes the in-memory one; holding both
+      // would pin executor memory for the session's life
+      pairs.unpersist()
       ss.read.parquet(path)
     })
 
