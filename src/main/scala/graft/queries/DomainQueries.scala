@@ -323,6 +323,47 @@ object DomainQueries {
       s.table("graft_stream_dedup").orderBy(col("event_id"))
     }),
 
+    // ── Streaming: corpus curation under at-least-once delivery ──────
+    "stream_corpus_curate" -> ((s, d) => {
+      // The documents file staged TWICE into the source dir (duplicate
+      // delivery): content-fingerprint dropDuplicates must emit each
+      // distinct content once, then the quality gate keeps docs with
+      // ≥10 tokens — the streaming twin of the batch dedup+filter
+      // curation path. Output is keyed by fingerprint (not doc_id):
+      // which copy of a duplicated content wins the state race is
+      // nondeterministic by design, but every content-derived field is
+      // identical across copies, so (fp, n_tokens) is deterministic.
+      // On an unbounded corpus feed the dedup key state would be
+      // watermark-bounded exactly like stream_dedup; the corpus table
+      // has no event time, so this replay dedups over the full state.
+      val streamDir = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_corpus")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      Seq("a", "b").foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$d/documents.parquet"),
+          fs, new org.apache.hadoop.fs.Path(streamDir, s"$n.parquet"),
+          false, s.sparkContext.hadoopConfiguration)
+      }
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(
+          s.read.parquet(s"$d/documents.parquet").schema).parquet(streamDir.toString)
+        val curated = raw
+          .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+          .withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .dropDuplicates("fp")
+          .filter(col("n_tokens") >= 10)
+          .select(col("fp"), col("n_tokens"))
+        val q = curated.writeStream.outputMode("append").format("memory")
+          .queryName("graft_stream_corpus").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_corpus").orderBy(col("fp"))
+    }),
+
     // ── Streaming: custom per-key state via mapGroupsWithState ───────
     "stream_state_user_stats" -> ((s, d) => {
       // Two disjoint halves of the event stream staged as two files,
@@ -635,6 +676,17 @@ object DomainQueries {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_corpus_curate" ->
+      """WITH t AS (
+        |  SELECT md5(array_to_string(
+        |      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0),
+        |      ' ')) AS fp,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT DISTINCT fp, n_tokens FROM t
+        |WHERE n_tokens >= 10 ORDER BY fp""".stripMargin,
 
     "stream_state_user_stats" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
