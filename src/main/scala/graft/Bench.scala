@@ -34,7 +34,18 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Hermetic per-query timing: release anything the query left behind
+      // (cached plans, streaming memory-sink views) and let the JVM
+      // settle, so query N+1 measures its own plan, not query N's
+      // residue. Scratch-parquet intermediates live on disk and survive.
+      // Runs OUTSIDE the timed region: each query still pays for its own
+      // materialization work inside it.
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

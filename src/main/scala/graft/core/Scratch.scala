@@ -18,4 +18,21 @@ object Scratch {
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${h}_p$jvmTag"
   }
+
+  /** Materialize a (typically `persist()`-pinned) DataFrame to scratch
+    * parquet, release the in-memory copy, and return the parquet-backed
+    * read. This is the standard release point for operators that return
+    * persisted results ([[graft.operators.Dedup.minHashDupPairs]],
+    * [[graft.analytics.ContinuousFutures.continuousSeries]]): holding
+    * the cache for the session's life pins executor memory and builds GC
+    * pressure that taxes every LATER job in the session — the parquet
+    * copy costs one small write and is re-readable at full parallelism.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame, kind: String,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val p = path(kind, key)
+    df.write.mode("overwrite").parquet(p)
+    df.unpersist()
+    df.sparkSession.read.parquet(p)
+  }
 }

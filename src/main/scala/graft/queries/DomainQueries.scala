@@ -174,8 +174,13 @@ object DomainQueries {
         .orderBy(col("instrument_type"), col("trade_date"))),
 
     "d3_continuous_series" -> ((s, d) =>
-      ContinuousFutures.continuousSeries(s, futuresBarsCached(s, d), ContinuousFutures.Diff,
-        cacheInput = false)
+      // continuousSeries returns a persisted result (it must pin the
+      // series before freeing its own scan caches); scratch-materialize
+      // so the pin doesn't outlive the query.
+      graft.core.Scratch.materialize(
+        ContinuousFutures.continuousSeries(s, futuresBarsCached(s, d),
+          ContinuousFutures.Diff, cacheInput = false),
+        "d3_series", d)
         .withColumn("close", round6(col("close")))
         .withColumn("close_adj", round6(col("close_adj")))
         .withColumn("adj_factor_main", round6(col("adj_factor_main")))

@@ -28,14 +28,10 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent((s, d), { case (ss, dd) =>
-      val path = graft.core.Scratch.path("mh_pairs", dd)
-      val pairs = Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
-        shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4)
-      pairs.write.mode("overwrite").parquet(path)
-      // the parquet copy supersedes the in-memory one; holding both
-      // would pin executor memory for the session's life
-      pairs.unpersist()
-      ss.read.parquet(path)
+      graft.core.Scratch.materialize(
+        Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
+          shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4),
+        "mh_pairs", dd)
     })
 
   val queries: Map[String, Q] = Map(
@@ -112,8 +108,13 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     "dd_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 20, bands = 4)
+      // simHashDupPairs returns a persisted pair set (its signature cache
+      // is released internally); route it through scratch so the pin
+      // doesn't outlive the query.
+      graft.core.Scratch.materialize(
+        Dedup.simHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 20, bands = 4),
+        "sh_pairs", d)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Deterministic hash-stratified sampling — the curation primitive

@@ -152,6 +152,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled on a join key:\n$p")
   }
 
+  test("queries that pin intermediates release them before returning") {
+    // The round-4 bench lost ~60s to session-lifetime persist() pins
+    // (pair caches, the continuous-series result) taxing every later
+    // query with their memory + GC footprint. Contract: by the time a
+    // query's result is materialized, the session cache is empty again —
+    // shared intermediates live as scratch parquet on disk instead.
+    spark.catalog.clearCache()
+    for (q <- Seq("dd_simhash_pairs", "dd_minhash_pairs", "dd_dup_clusters",
+        "d3_continuous_series")) {
+      SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
+      assert(org.apache.spark.sql.CacheAccess.cacheIsEmpty(spark),
+        s"$q leaked a persisted DataFrame into the session cache")
+    }
+  }
+
   test("corpus hash kernels sit above a scatter exchange") {
     // The documents parquet is one input split; every per-document hash
     // kernel must be fanned out by a round-robin repartition or it runs
