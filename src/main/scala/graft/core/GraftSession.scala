@@ -32,14 +32,20 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // Builder-time Catalyst extension: the native as-of join strategy
+      // (graft.plans.AsOfJoinPlan). registerFunctions also injects it
+      // via experimental.extraStrategies for already-built sessions.
+      .withExtensions(e => e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy))
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
-  /** Register graft's native Catalyst functions in a session. */
+  /** Register graft's native Catalyst functions + strategies in a
+    * session (idempotent; also covers sessions graft didn't build). */
   def registerFunctions(s: SparkSession): SparkSession = {
     graft.plans.CosineSimilarity.register(s)
+    graft.plans.AsOfJoinPlan.register(s)
     s
   }
 

@@ -142,6 +142,91 @@ object Similarity {
     cents.toDF("cent_id", "centroid")
   }
 
+  /** Product-quantization codebook: split the `dim`-dimensional space
+    * into `m` contiguous subspaces (dim/m each) and take the `kSub`
+    * lowest-id vectors' subvectors as that subspace's centroids
+    * (deterministic seeds, same convention as [[kmeansTrain]] init; feed
+    * each subspace through Lloyd separately if trained sub-centroids are
+    * wanted). Returns (sub_id, cent_id, centroid) — m·kSub tiny rows.
+    */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kSub: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    vectors.select(col(idCol).cast("long").as("cent_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col("cent_id")).limit(kSub)
+      .select(col("cent_id"), explode(sequence(lit(0), lit(m - 1))).as("sub_id"), col("__v"))
+      .select(col("sub_id"), col("cent_id"),
+        slice(col("__v"), col("sub_id") * subDim + 1, lit(subDim)).as("centroid"))
+  }
+
+  /** Product-quantization encode: each vector becomes `m` small codes
+    * (nearest sub-centroid per subspace, L2² with cent_id tie-break) +
+    * the total reconstruction error Σ min-dist². THE memory lever for
+    * ANN at 100 TB: a 64-dim float vector (256 B) compresses to m bytes
+    * with table-lookup (ADC) distance search.
+    *
+    * Shape: the codebook is m·kSub rows — collected once and carried in
+    * the kernel closure (the [[ivfAssign]] broadcast-join + window
+    * pattern would cost m windows here); the encode itself is a fused
+    * map-only pass, zero shuffles, like the minhash/simhash kernels
+    * (interpreted higher-order Columns would re-slice the vector per
+    * centroid). Emits (id, sub_id, code, recon_err) melted rows.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int): DataFrame = {
+    // sub_id → centroids ordered by cent_id (argmin scan order = tie-break)
+    val cb: Array[Array[(Long, Array[Double])]] = {
+      val rows = codebook
+        .select(col("sub_id").cast("int"), col("cent_id").cast("long"),
+          col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      require(rows.nonEmpty, "empty codebook")
+      (0 until m).map(s =>
+        rows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3))).toArray
+    }
+    val subDim = cb(0)(0)._2.length
+    val enc = udf { v: Seq[Double] =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val codes = new Array[Long](m)
+        var err = 0.0
+        var s = 0
+        while (s < m) {
+          val cents = cb(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)._2
+            var d = 0.0
+            var i = 0
+            while (i < subDim) {
+              val diff = arr(s * subDim + i) - cv(i)
+              d += diff * diff
+              i += 1
+            }
+            // strict <: first (lowest cent_id) wins ties, matching the
+            // oracle's (dist, cent_id) row_number order
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = cents(best)._1
+          err += bestD
+          s += 1
+        }
+        (codes, err)
+      }
+    }
+    vectors
+      .select(col(idCol), enc(col(vecCol).cast("array<double>")).as("__e"))
+      .select(col(idCol), posexplode(col("__e._1")).as(Seq("sub_id", "code")),
+        col("__e._2").as("recon_err"))
+  }
+
   /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP
     * bucket are candidates; exact cosine verifies. One shuffle on the
     * bucket id.

@@ -83,6 +83,18 @@ object RelationalOracles {
         |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
 
+    // Identical semantics to j8_asof_join — the query differs only in
+    // the engine-side operator (native plan node vs union-and-carry), so
+    // the oracle is the same as-of SQL.
+    "j8_asof_native" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+        |  p.value AS last_purchase_value
+        |FROM events e LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
+        |ORDER BY e.event_id""".stripMargin,
+
     "j10_interval_flag" ->
       """SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS od,
         |  CASE WHEN EXISTS (

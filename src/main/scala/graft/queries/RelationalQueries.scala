@@ -125,6 +125,21 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "j8_asof_native" -> ((s, d) => {
+      // Same as-of shape on the NATIVE operator (custom LogicalPlan +
+      // SparkStrategy + sort-merge SparkPlan, graft.plans.AsOfJoinPlan):
+      // one streamed merge per co-partition instead of union+window.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("last_purchase_value"))
+      graft.plans.AsOfJoinPlan.asofBackwardNative(ev, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "p_ts", valueCols = Seq("last_purchase_value"))
+        .select("event_id", "user_id", "ts", "event_type", "last_purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     "j10_interval_flag" -> ((s, d) => {
       // Suspension-interval membership: an order is "suspended" if its
       // date falls within 30 days after any F-status order of the same

@@ -137,6 +137,25 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Deterministic train/valid/test assignment: split = hash-bucket of
+    // the doc id (80/10/10). Like t_stratified_sample, membership is a
+    // pure function of the id — reproducible at any scale, partitioning,
+    // or cluster layout, and any engine can recompute it (the property
+    // that makes a 100 TB split auditable). Checked per (source, split)
+    // with an id checksum pinning exact membership.
+    "t_split_assign" -> ((s, d) => {
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      val bucket = pmod(h, lit(100))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // Oracled via a recursive min-label-propagation CTE over the same
     // pair SQL (MATERIALIZED, so the pair pipeline runs once); also
     // differentially tested against union-find in PropertySpec.
@@ -235,6 +254,21 @@ object TextQueries {
         .select(col("cent_id"), col("pos").cast("long").as("pos"),
           round(col("val"), 6).as("val"))
         .orderBy(col("cent_id"), col("pos"))
+    }),
+
+    // Product quantization: 64-dim → 4 sub-codes from an 8-centroid
+    // codebook per subspace (deterministic low-id seeds) + total
+    // reconstruction error. Melted to (vec_id, sub_id, code) so every
+    // code byte is value-checked; err repeats per row, rounded like the
+    // kmeans model.
+    "v_pq_encode" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8)
+      Similarity.pqEncode(e, "vec_id", "v", cb, m = 4)
+        .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+          col("code"), round(col("recon_err"), 6).as("recon_err"))
+        .orderBy(col("vec_id"), col("sub_id"))
     }))
 
   private val toksExpr =
@@ -374,6 +408,17 @@ object TextQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
         |  min(doc_id) AS first_id, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s WHERE h < rate GROUP BY source ORDER BY source""".stripMargin,
+
+    "t_split_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "dd_exact_groups" ->
       s"""SELECT md5(array_to_string($toksLower, ' ')) AS fp,
@@ -580,6 +625,34 @@ object TextQueries {
          |SELECT cid AS cent_id, i AS pos, ${Oracles.jr6("cv[i + 1]")} AS val
          |FROM c2, range(0, 64) r(i)
          |ORDER BY cent_id, pos""".stripMargin,
+
+    // PQ oracle: per-(vector, subspace) argmin over the 8 sub-centroids
+    // with (dist, cent_id) tie-break; the error total sums the per-sub
+    // minima in sub order (list_sum over an ORDER BY sub list — same
+    // fold order as the Scala kernel, so double addition is
+    // bit-identical).
+    "v_pq_encode" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT s.range AS sub, vec_id AS cid,
+         |    v[s.range * 16 + 1 : s.range * 16 + 16] AS cv
+         |  FROM e, range(0, 4) s WHERE vec_id < 8),
+         |sl AS (SELECT e.vec_id, cb.sub, cb.cid,
+         |    e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16] AS ev, cb.cv
+         |  FROM e CROSS JOIN cb),
+         |d AS (SELECT vec_id, sub, cid,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS dd
+         |  FROM sl),
+         |best AS (SELECT vec_id, sub, cid AS code, dd FROM (
+         |    SELECT vec_id, sub, cid, dd,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+         |    FROM d) x WHERE rn = 1),
+         |tot AS (SELECT vec_id, list_sum(list(dd ORDER BY sub)) AS err
+         |  FROM best GROUP BY vec_id)
+         |SELECT b.vec_id, CAST(b.sub AS BIGINT) AS sub_id,
+         |  CAST(b.code AS BIGINT) AS code, ${Oracles.jr6("t.err")} AS recon_err
+         |FROM best b JOIN tot t USING (vec_id)
+         |ORDER BY vec_id, sub_id""".stripMargin,
 
     "v_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -187,6 +187,26 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(ivf1.nonEmpty && ivf1.size <= brute.size)
   }
 
+  test("pq: seed vectors encode to themselves with zero reconstruction error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble() - 0.5).toSeq)).toDF("vec_id", "v")
+    val cb = graft.operators.Similarity.pqTrain(vecs, "vec_id", "v",
+      dim = 8, m = 2, kSub = 4)
+    assert(cb.count() == 8) // m * kSub codebook rows
+    val enc = graft.operators.Similarity.pqEncode(vecs, "vec_id", "v", cb, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(enc.length == 60) // 30 vectors * 2 subspaces
+    // A seed's subvectors ARE centroids: it must pick itself, err 0.
+    for ((id, _, code, err) <- enc if id < 4) {
+      assert(code == id, s"seed $id coded to $code")
+      assert(err == 0.0, s"seed $id err $err")
+    }
+    // Non-seed codes come from the codebook; error is non-negative.
+    assert(enc.forall { case (_, _, code, err) => code < 4 && err >= 0.0 })
+  }
+
   test("piiScrub redacts emails/phones/IPs and counts on the original text") {
     import spark.implicits._
     val docs = Seq(
