@@ -174,19 +174,24 @@ object Similarity {
     * (interpreted higher-order Columns would re-slice the vector per
     * centroid). Emits (id, sub_id, code, recon_err) melted rows.
     */
+  /** Collect a (sub_id, cent_id, centroid) codebook to the driver:
+    * sub_id → centroids ordered by cent_id (argmin scan order =
+    * tie-break). m·kSub rows — model-sized, like [[kmeansTrain]]'s
+    * driver-held centroids. */
+  private def collectCodebook(codebook: DataFrame, m: Int): Array[Array[(Long, Array[Double])]] = {
+    val rows = codebook
+      .select(col("sub_id").cast("int"), col("cent_id").cast("long"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "empty codebook")
+    (0 until m).map(s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3))).toArray
+  }
+
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int): DataFrame = {
-    // sub_id → centroids ordered by cent_id (argmin scan order = tie-break)
-    val cb: Array[Array[(Long, Array[Double])]] = {
-      val rows = codebook
-        .select(col("sub_id").cast("int"), col("cent_id").cast("long"),
-          col("centroid").cast("array<double>"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      require(rows.nonEmpty, "empty codebook")
-      (0 until m).map(s =>
-        rows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3))).toArray
-    }
+    val cb = collectCodebook(codebook, m)
     val subDim = cb(0)(0)._2.length
     val enc = udf { v: Seq[Double] =>
       if (v == null) null
@@ -225,6 +230,71 @@ object Similarity {
       .select(col(idCol), enc(col(vecCol).cast("array<double>")).as("__e"))
       .select(col(idCol), posexplode(col("__e._1")).as(Seq("sub_id", "code")),
         col("__e._2").as("recon_err"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of product quantization: the corpus exists only as
+    * `m`-code rows ([[pqEncode]] output), never as vectors. Per query,
+    * one distance TABLE per subspace (‖q_s − cent‖² for each
+    * sub-centroid: m·kSub doubles) is precomputed once; a corpus
+    * vector's approximate distance is then m array lookups + adds.
+    *
+    * Scale shape: queries (with their tables) broadcast; the coded
+    * corpus streams map-side — the only wide exchange is the per-query
+    * top-k window. `distRound` quantizes the approximate distance
+    * before ranking (cross-engine determinism, as [[bruteForceTopK]]).
+    */
+  def pqSearch(queries: DataFrame, qId: String, qVec: String,
+      codes: DataFrame, cId: String, codebook: DataFrame,
+      m: Int, k: Int, distRound: Option[Int] = None): DataFrame = {
+    val cb = collectCodebook(codebook, m)
+    val subDim = cb(0)(0)._2.length
+    val kSub = cb(0).length
+    val slot: Array[Map[Long, Int]] =
+      cb.map(_.iterator.map(_._1).zipWithIndex.toMap)
+    val tablesUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      val t = new Array[Double](m * kSub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < kSub) {
+          val cv = cb(s)(c)._2
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = arr(s * subDim + i) - cv(i)
+            d += diff * diff
+            i += 1
+          }
+          t(s * kSub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      t
+    }
+    // Σ over subspaces in ascending sub order — the oracle folds its
+    // per-sub terms in the same order, so double addition is identical.
+    val adistUdf = udf { (t: Seq[Double], cs: Seq[Long]) =>
+      var s = 0
+      var acc = 0.0
+      while (s < m) { acc += t(s * kSub + slot(s)(cs(s))); s += 1 }
+      acc
+    }
+    val packed = codes.groupBy(col(cId).as("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    val q = queries.select(col(qId).as("query_id"),
+      tablesUdf(col(qVec).cast("array<double>")).as("__t"))
+    val scored = broadcast(q)
+      .join(packed, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adistUdf(col("__t"), col("__codes")))
+    val dcol = distRound.map(n => round(col("adist"), n)).getOrElse(col("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(dcol.asc, col("neighbor_id").asc)
+    scored.withColumn("adist", dcol)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
   }
 
   /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP

@@ -269,6 +269,20 @@ object TextQueries {
         .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
           col("code"), round(col("recon_err"), 6).as("recon_err"))
         .orderBy(col("vec_id"), col("sub_id"))
+    }),
+
+    // ADC top-k over the PQ codes: the corpus side of the search is ONLY
+    // the m-code rows — the compressed-ANN read path at 100 TB.
+    "v_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "v", cb, m = 4)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+      Similarity.pqSearch(e.filter(col("vec_id") < 20), "vec_id", "v",
+        codes, "vec_id", cb, m = 4, k = 3, distRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   private val toksExpr =
@@ -653,6 +667,39 @@ object TextQueries {
          |  CAST(b.code AS BIGINT) AS code, ${Oracles.jr6("t.err")} AS recon_err
          |FROM best b JOIN tot t USING (vec_id)
          |ORDER BY vec_id, sub_id""".stripMargin,
+
+    // ADC oracle: replay the corpus-code assignment (same CTEs as
+    // v_pq_encode), build each query's per-(sub, centroid) distance
+    // table, approximate distance = per-sub table terms summed in sub
+    // order, rank on the 6-decimal-rounded distance.
+    "v_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT s.range AS sub, vec_id AS cid,
+         |    v[s.range * 16 + 1 : s.range * 16 + 16] AS cv
+         |  FROM e, range(0, 4) s WHERE vec_id < 8),
+         |sl AS (SELECT e.vec_id, cb.sub, cb.cid,
+         |    e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16] AS ev, cb.cv
+         |  FROM e CROSS JOIN cb),
+         |d AS (SELECT vec_id, sub, cid,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS dd
+         |  FROM sl),
+         |best AS (SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dd,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+         |    FROM d) x WHERE rn = 1),
+         |qt AS (SELECT vec_id AS query_id, sub, cid, dd FROM d WHERE vec_id < 20),
+         |ad AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+         |    list_sum(list(t.dd ORDER BY t.sub)) AS adist
+         |  FROM best b JOIN qt t ON t.sub = b.sub AND t.cid = b.code
+         |  WHERE b.vec_id <> t.query_id
+         |  GROUP BY t.query_id, b.vec_id)
+         |SELECT query_id, neighbor_id, adist, rank FROM (
+         |  SELECT query_id, neighbor_id, ${Oracles.jr6("adist")} AS adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${Oracles.jr6("adist")} ASC, neighbor_id ASC) AS rank
+         |  FROM ad) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "v_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

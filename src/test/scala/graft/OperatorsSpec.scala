@@ -207,6 +207,30 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(enc.forall { case (_, _, code, err) => code < 4 && err >= 0.0 })
   }
 
+  test("pq ADC search is exact when every vector is its own centroid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 25
+    val data = (0L until n.toLong).map(i => (i, Array.fill(8)(rnd.nextDouble() - 0.5).toSeq))
+    val vecs = data.toDF("vec_id", "v")
+    // m=1, kSub=n: the codebook IS the corpus, every vector codes to
+    // itself, and the ADC distance degenerates to exact L2².
+    val cb = graft.operators.Similarity.pqTrain(vecs, "vec_id", "v", dim = 8, m = 1, kSub = n)
+    val codes = graft.operators.Similarity.pqEncode(vecs, "vec_id", "v", cb, m = 1)
+      .select($"vec_id", $"sub_id", $"code")
+    val got = graft.operators.Similarity.pqSearch(
+      vecs.filter($"vec_id" < 5), "vec_id", "v", codes, "vec_id", cb, m = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    def l2sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = (for (q <- data.take(5)) yield {
+      data.filter(_._1 != q._1)
+        .sortBy(c => (l2sq(q._2, c._2), c._1)).take(3).zipWithIndex
+        .map { case (c, i) => (q._1, i + 1, c._1) }
+    }).flatten.toSet
+    assert(got == expect)
+  }
+
   test("piiScrub redacts emails/phones/IPs and counts on the original text") {
     import spark.implicits._
     val docs = Seq(
