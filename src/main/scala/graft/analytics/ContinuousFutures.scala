@@ -240,10 +240,14 @@ object ContinuousFutures {
       .select(col("instrument_type"), col("trade_date"), col("main_id"), col("close"))
     // Factor valid for dates ≤ roll date → as-of forward: for each daily
     // row take the earliest factor_date ≥ trade_date. Negate dates to
-    // reuse the backward as-of kernel.
+    // reuse the backward as-of kernel — the NATIVE one
+    // (plans/AsOfJoinPlan): same contract as AsOfJoin.asofBackward
+    // (differentially pinned), one streamed merge per co-partition
+    // instead of union + window.
     val joinedNeg = joined.withColumn("neg_d", -unix_date(col("trade_date")))
     val facNeg = fac.withColumn("neg_fd", -unix_date(col("factor_date")))
-    val applied = AsOfJoin.asofBackward(joinedNeg, facNeg, Seq("instrument_type"),
+    val applied = graft.plans.AsOfJoinPlan.asofBackwardNative(joinedNeg, facNeg,
+      Seq("instrument_type"),
       leftTime = "neg_d", rightTime = "neg_fd", valueCols = Seq("adj_factor_main"))
     val adj = method match {
       case Division => col("close") * coalesce(col("adj_factor_main"), lit(1.0))
