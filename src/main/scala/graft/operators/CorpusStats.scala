@@ -272,4 +272,53 @@ object CorpusStats {
       size(lt).cast("long").as("n_tokens"),
       (size(lt) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** The `depth` Kirsch–Mitzenmacher cell coordinates of a token:
+    * row d hashes to `(h1 + d·h2) mod width`, with (h1, h2) the MD5
+    * windows the dedup stack uses ([[graft.functions.Md5Hash]]) — so a
+    * DuckDB oracle can rebuild the identical sketch. h1 < 2⁶⁰ and
+    * h2 < 2⁵⁶, so `h1 + d·h2` stays far from Long overflow for any
+    * practical depth (ANSI mode would throw on wrap). Pure Column
+    * algebra — codegen'd, no UDF.
+    */
+  private def cmsCells(tok: Column, depth: Int, width: Int): Column = {
+    val m = md5(tok)
+    val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(m, 16, 14), 16, 10).cast("long")
+    transform(sequence(lit(0), lit(depth - 1)),
+      d => struct(d.cast("int").as("d"), pmod(h1 + d * h2, lit(width.toLong)).as("w")))
+  }
+
+  /** Count–Min sketch of the corpus token frequencies: a fixed
+    * `depth × width` grid of counters built in ONE pass (explode tokens
+    * → explode the depth cells → one partial-aggregated count). The
+    * sketch is the 100 TB answer to "how often does X occur" when the
+    * exact per-key table is itself too big: memory is O(depth·width)
+    * REGARDLESS of corpus size or cardinality, estimates never
+    * undercount, and sketches of corpus shards merge by cell-wise
+    * addition (partial aggregation IS the merge). Returns sparse
+    * (d, w, cnt) cells — zero cells are implicit.
+    */
+  def cmsSketch(docs: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("tok"))
+      .select(explode(cmsCells(col("tok"), depth, width)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates from a [[cmsSketch]]: est(token) = min over the
+    * depth rows of that token's cell counts (absent cell = 0). The
+    * sketch is tiny (≤ depth·width rows) and broadcasts; probes stream.
+    * CMS guarantees est ≥ true count.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = probes
+      .select(col(tokenCol).as("token"))
+      .select(col("token"), explode(cmsCells(lower(col("token")), depth, width)).as("c"))
+      .select(col("token"), col("c.d").as("d"), col("c.w").as("w"))
+    cells.join(broadcast(sketch), Seq("d", "w"), "left_outer")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

@@ -73,6 +73,26 @@ object CorpusQueries {
         concat_ws(" ", concat_ws(" ", slice(lt, 1, 10)), col("text")))
       CorpusStats.dedupChunks(injected, "doc_id", "text2", k = 10)
         .orderBy(col("doc_id"))
+    }),
+
+    // Count–Min sketch: one-pass fixed-memory token-frequency sketch
+    // (4×1024 grid, MD5-window KM hashes) probed with the stopword
+    // vocabulary; exact counts alongside show the overestimate. The
+    // sketch grid is deterministic, so the oracle rebuilds it cell by
+    // cell and the estimates hash-match exactly.
+    "t_cms_counts" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.scatter(Tables.documents(s, d))
+      val sketch = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 1024)
+      val probes = graft.functions.TextFunctions.englishStopwords.toDF("token")
+      val exact = docs
+        .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+      CorpusStats.cmsEstimate(sketch, probes, "token", depth = 4, width = 1024)
+        .join(exact, Seq("token"), "left_outer")
+        .select(col("token"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("token"))
     }))
 
   private val toksLower =
@@ -80,7 +100,33 @@ object CorpusQueries {
 
   import Oracles.jr6
 
+  private val cmsStops = graft.functions.TextFunctions.englishStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
+    // Rebuild the identical 4×1024 CMS grid (same MD5-window
+    // Kirsch–Mitzenmacher hashes, same mod), then replay the min-of-4
+    // point estimates and the exact counts.
+    "t_cms_counts" ->
+      s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
+         |th AS (SELECT tok,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5(tok), 16, 14))::BIGINT AS h2 FROM toks),
+         |cells AS (SELECT r.range AS d, (h1 + r.range * h2) % 1024 AS w
+         |  FROM th, range(0, 4) r),
+         |sketch AS (SELECT d, w, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |probes AS (SELECT unnest($cmsStops) AS token),
+         |pc AS (SELECT token, r.range AS d,
+         |    (('0x' || substr(md5(token), 1, 15))::BIGINT
+         |     + r.range * ('0x' || substr(md5(token), 16, 14))::BIGINT) % 1024 AS w
+         |  FROM probes, range(0, 4) r),
+         |est AS (SELECT token, min(coalesce(cnt, 0)) AS est_count
+         |  FROM pc LEFT JOIN sketch USING (d, w) GROUP BY token),
+         |ex AS (SELECT tok AS token, count(*) AS exact_count FROM toks GROUP BY 1)
+         |SELECT e.token, CAST(e.est_count AS BIGINT) AS est_count,
+         |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+         |FROM est e LEFT JOIN ex x USING (token)
+         |ORDER BY token""".stripMargin,
     "t_gopher_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
          |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),

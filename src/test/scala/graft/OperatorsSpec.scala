@@ -231,6 +231,34 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got == expect)
   }
 
+  test("count-min sketch never undercounts and is exact when wide enough") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val probes = vocab.toDF("token")
+    val exact: Map[String, Long] = docs
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("t"))
+      .groupBy($"t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Narrow sketch: estimates must dominate the true counts (CMS
+    // one-sided error), never undercount.
+    val narrow = graft.operators.CorpusStats.cmsSketch(docs, "text", depth = 2, width = 16)
+    graft.operators.CorpusStats.cmsEstimate(narrow, probes, "token", depth = 2, width = 16)
+      .collect().foreach { r =>
+        assert(r.getLong(1) >= exact.getOrElse(r.getString(0), 0L),
+          s"CMS undercounted ${r.getString(0)}")
+      }
+    // Wide sketch: 40 tokens in 4×65536 cells — collisions would need
+    // two of 40 fixed md5 hashes to agree mod 65536 in every row.
+    val wide = graft.operators.CorpusStats.cmsSketch(docs, "text", depth = 4, width = 65536)
+    graft.operators.CorpusStats.cmsEstimate(wide, probes, "token", depth = 4, width = 65536)
+      .collect().foreach { r =>
+        assert(r.getLong(1) == exact.getOrElse(r.getString(0), 0L))
+      }
+  }
+
   test("piiScrub redacts emails/phones/IPs and counts on the original text") {
     import spark.implicits._
     val docs = Seq(
