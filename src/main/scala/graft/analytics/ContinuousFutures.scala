@@ -37,12 +37,18 @@ object ContinuousFutures {
       trade_date: Int, close: Option[Double],
       switch_by: Option[Double], last_trade_date: Int)
 
+  /** Output rows use nullable `String` (null = no secondary), not
+    * `Option[String]`: the Option accessor defeats Janino compilation of
+    * the product `UnsafeProjection`, dropping every emitted row to
+    * interpreter-mode projection — a constant-factor tax on the hottest
+    * domain pipeline. A nullable field encodes to the identical SQL NULL.
+    */
   case class Selection(instrument_type: String, trade_date: java.sql.Date,
-      main_id: String, secondary_id: Option[String])
+      main_id: String, secondary_id: String)
 
   case class FactorRow(instrument_type: String, trade_date: java.sql.Date,
       instrument_id_main: String, adj_factor_main: Double,
-      instrument_id_secondary: Option[String], adj_factor_secondary: Double)
+      instrument_id_secondary: String, adj_factor_secondary: Double)
 
   sealed trait Method { def neutral: Double }
   case object Division extends Method { val neutral = 1.0 }
@@ -129,7 +135,7 @@ object ContinuousFutures {
         }
       }
       available += day
-      main.foreach(m => selections += Selection(instrumentType, toSqlDate(day.date), m, sec))
+      main.foreach(m => selections += Selection(instrumentType, toSqlDate(day.date), m, sec.orNull))
     }
     // latest date carries the neutral factor
     val lastRows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
@@ -156,7 +162,7 @@ object ContinuousFutures {
       }
       lastMainId = Some(mainId)
       lastSecId = secId.orElse(lastSecId)
-      (d, FactorRow(instrumentType, toSqlDate(d), mainId, accM, secId.orElse(lastSecId), accS))
+      (d, FactorRow(instrumentType, toSqlDate(d), mainId, accM, lastSecId.orNull, accS))
     }.sortBy(_._1).map(_._2)
     (selections.toSeq, out.toSeq)
   }
@@ -197,8 +203,13 @@ object ContinuousFutures {
     * (kind=1) together — `continuousSeries` needs both, and running the
     * per-type scan once halves its shuffle + decode cost.
     */
-  private case class ScanOut(kind: Int, instrument_type: String,
-      trade_date: java.sql.Date, main_id: String, secondary_id: Option[String],
+  /** Public, not `private`: Janino's generated `UnsafeProjection` lives
+    * outside this package, and scalac emits a private nested case class
+    * as package-private bytecode — codegen then can't invoke the
+    * accessors and every row falls back to interpreter-mode projection.
+    */
+  case class ScanOut(kind: Int, instrument_type: String,
+      trade_date: java.sql.Date, main_id: String, secondary_id: String,
       adj_factor_main: Double, adj_factor_secondary: Double)
 
   /** @param cacheInput persist `bars` for the duration of the call. Pass

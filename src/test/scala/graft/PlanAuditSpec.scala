@@ -167,6 +167,37 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("typed futures scans compile to codegen (no interpreter-fallback projections)") {
+    // Round-5 regression class: Option[String] fields / a private nested
+    // case class made the ScanOut product UnsafeProjection fail Janino
+    // compilation, silently dropping every d1/d3 output row to
+    // interpreter-mode projection (a WARN, not an error). CODEGEN_ONLY
+    // turns that fallback into a hard failure. Call the analytics entry
+    // points directly (not the scratch-cached SparkEntry queries) so the
+    // serializers actually execute regardless of scratch state.
+    import java.sql.Date.{valueOf => d}
+    import spark.implicits._
+    val bars = Seq(
+      ("RB", "A", d("2021-01-04"), 10.0, 100.0, d("2021-01-15")),
+      ("RB", "B", d("2021-01-04"), 12.0, 50.0, d("2021-05-15")),
+      ("RB", "B", d("2021-01-05"), 13.0, 90.0, d("2021-05-15")),
+      ("RB", "C", d("2021-01-06"), 15.0, 40.0, d("2021-09-15")),
+      ("RB", "C", d("2021-01-07"), 16.0, 80.0, d("2021-09-15"))
+    ).toDF("instrument_type", "instrument_id", "trade_date", "close", "switch_by", "last_trade_date")
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      graft.analytics.ContinuousFutures.dailySelection(spark, bars).collect()
+      graft.analytics.ContinuousFutures.adjFactors(spark, bars).collect()
+      graft.analytics.ContinuousFutures.continuousSeries(spark, bars).collect()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("corpus hash kernels sit above a scatter exchange") {
     // The documents parquet is one input split; every per-document hash
     // kernel must be fanned out by a round-robin repartition or it runs
