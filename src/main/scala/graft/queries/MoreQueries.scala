@@ -154,9 +154,12 @@ object MoreQueries {
 
     "p4_p8_predicates" -> ((s, d) => {
       // Predicate family: regexp (P4), IN-list (P5), null/zero (P6),
-      // LIKE / NOT LIKE (P8) — all pushdown-friendly.
+      // LIKE / NOT LIKE (P8) — all pushdown-friendly. The regexp runs on
+      // p_name (two lowercase words in the fixture); it was previously on
+      // p_type (one uppercase word), which made the whole conjunction
+      // vacuously empty at every SF.
       Tables.part(s, d)
-        .filter(col("p_type").rlike("^[a-z]+ [a-z]+") &&
+        .filter(col("p_name").rlike("^[a-z]+ [a-z]+") &&
           col("p_name").like("%a%") && !col("p_name").like("%zz%") &&
           col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20, 25) &&
           col("p_retailprice").isNotNull && col("p_retailprice") =!= 0)
@@ -422,7 +425,7 @@ object MoreQueries {
 
     "p4_p8_predicates" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
-        |WHERE regexp_matches(p_type, '^[a-z]+ [a-z]+')
+        |WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+')
         |  AND p_name LIKE '%a%' AND p_name NOT LIKE '%zz%'
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20, 25)
         |  AND p_retailprice IS NOT NULL AND p_retailprice <> 0

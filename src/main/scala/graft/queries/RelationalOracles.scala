@@ -47,7 +47,12 @@ object RelationalOracles {
         |ORDER BY c.c_custkey""".stripMargin,
 
     "j4_anti_new_keys" ->
-      """SELECT c_custkey, c_name FROM customer c
+      """WITH cand AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new-' || c_name FROM customer
+        |  WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey, c_name FROM cand c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 

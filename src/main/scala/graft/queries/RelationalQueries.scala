@@ -80,8 +80,18 @@ object RelationalQueries {
     }),
 
     "j4_anti_new_keys" -> ((s, d) => {
+      // Every fixture customer has orders at every SF, so the plain
+      // customer-vs-orders anti join was vacuously empty. Extend the
+      // candidate set with a deterministic slice of synthetic keys
+      // guaranteed absent from orders (re-keyed past the custkey range)
+      // so the anti-join semantics are actually exercised; the oracle
+      // derives the identical candidate set.
+      val known = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val synth = Tables.customer(s, d).filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("new-"), col("c_name")).as("c_name"))
       IncrementalPlanner.newKeys(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        known.unionAll(synth),
         Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"))
         .orderBy(col("c_custkey"))

@@ -67,12 +67,21 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
-    "dd_exact_groups" -> ((s, d) =>
+    "dd_exact_groups" -> ((s, d) => {
       // scatter: the corpus parquet is one snappy split; without a
       // round-robin exchange the tokenize+md5 fingerprint kernel runs
       // on one core (see Tables.scatter scaladoc).
-      Dedup.exactDupGroups(Tables.scatter(Tables.documents(s, d)), "doc_id", "text")
-        .orderBy(col("fp"))),
+      // The fixture corpus has no exact duplicates at any SF, so the raw
+      // query proved nothing (a 0-row hash match is vacuous). Inject a
+      // deterministic duplicate slice — every doc_id % 37 == 0 document
+      // re-keyed past the id range — so the group semantics are actually
+      // exercised; the oracle derives the identical corpus.
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dups = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exactDupGroups(Tables.scatter(base.unionAll(dups)), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
 
     "dd_ngram_jaccard_pairs" -> ((s, d) => {
       // Shingle sets are materialized once per document before the
@@ -437,7 +446,10 @@ object TextQueries {
     "dd_exact_groups" ->
       s"""SELECT md5(array_to_string($toksLower, ' ')) AS fp,
          |  count(*) AS n_docs, min(doc_id) AS keep_id
-         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+         |FROM (SELECT doc_id, text FROM documents
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 37 = 0)
+         |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "dd_ngram_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source,
