@@ -300,11 +300,24 @@ object Similarity {
   /** LSH-bucketed approximate neighbor pairs: vectors sharing an SRP
     * bucket are candidates; exact cosine verifies. One shuffle on the
     * bucket id.
+    *
+    * `maxBucketSize` caps degenerate mega-buckets — the same skew guard
+    * as [[Dedup.minHashDupPairs]]: a hot SRP bucket (e.g. the all-zero
+    * sign region of a skewed embedding space) makes the candidate
+    * self-join quadratic in that bucket's size at corpus scale, while
+    * contributing mostly low-cosine noise. Buckets over the cap are
+    * dropped from pair generation entirely.
     */
   def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int, minCosine: Double): DataFrame = {
-    val bucketed = vectors.select(col(idCol), col(vecCol),
+      dim: Int, nBits: Int, minCosine: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bucketed0 = vectors.select(col(idCol), col(vecCol),
       VectorFunctions.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    val smallBuckets = bucketed0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val bucketed = bucketed0.join(smallBuckets, Seq("bucket"), "left_semi")
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, Seq("bucket"))

@@ -245,7 +245,12 @@ object TextQueries {
     "v_lsh_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      Similarity.lshNeighborPairs(e, "vec_id", "v", dim = 64, nBits = 6, minCosine = 0.3)
+      // maxBucketSize = 16 is deliberately below the largest SRP bucket
+      // at every SF (18 at sf0.001, 19 at sf0.01, 80 at sf0.1), so the
+      // mega-bucket skew guard is actually exercised — the oracle
+      // replicates the cap and its dropped pairs.
+      Similarity.lshNeighborPairs(e, "vec_id", "v", dim = 64, nBits = 6,
+        minCosine = 0.3, maxBucketSize = 16)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -602,7 +607,9 @@ object TextQueries {
         |      THEN (1::BIGINT << p.b) ELSE 0 END AS bitval
         |  FROM e CROSS JOIN planes p),
         |buckets AS (SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket FROM bits GROUP BY 1),
-        |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+        |small AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 16),
+        |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)
+        |       WHERE b.bucket IN (SELECT bucket FROM small)),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *

@@ -330,6 +330,19 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got(1) == ((1L, Seq(30.2 / 3, 30.4 / 3).map(x => math.round(x * 1e9) / 1e9))))
   }
 
+  test("lshNeighborPairs drops mega-buckets over the cap") {
+    import spark.implicits._
+    // 8 identical vectors land in one SRP bucket; with the cap below 8
+    // the bucket contributes no pairs, with a loose cap it contributes
+    // all C(8,2) = 28 perfect-cosine pairs.
+    val vecs = (0L until 8L).map(i => (i, Seq.fill(4)(1.0))).toDF("vec_id", "v")
+    def pairs(cap: Int) = graft.operators.Similarity
+      .lshNeighborPairs(vecs, "vec_id", "v", dim = 4, nBits = 3,
+        minCosine = 0.5, maxBucketSize = cap).count()
+    assert(pairs(100) == 28L)
+    assert(pairs(7) == 0L, "bucket over the cap must be dropped from pair generation")
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
