@@ -115,13 +115,16 @@ object Similarity {
     */
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
     val spark = vectors.sparkSession
     import spark.implicits._
     val base = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     var cents: Seq[(Long, Seq[Double])] = base.orderBy(col(idCol)).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    require(cents.length == k,
+      s"k=$k exceeds the vector count ${cents.length} — cannot seed k centroids")
     for (_ <- 0 until iters) {
       val cdf = cents.toDF("cent_id", "cv")
       val assigned = ivfAssign(base, idCol, "__v", cdf, "cent_id", "cv")
@@ -143,22 +146,93 @@ object Similarity {
   }
 
   /** Product-quantization codebook: split the `dim`-dimensional space
-    * into `m` contiguous subspaces (dim/m each) and take the `kSub`
-    * lowest-id vectors' subvectors as that subspace's centroids
-    * (deterministic seeds, same convention as [[kmeansTrain]] init; feed
-    * each subspace through Lloyd separately if trained sub-centroids are
-    * wanted). Returns (sub_id, cent_id, centroid) — m·kSub tiny rows.
+    * into `m` contiguous subspaces (dim/m each), seed each subspace's
+    * `kSub` centroids from the lowest-id vectors' subvectors (same
+    * deterministic-seed convention as [[kmeansTrain]]), then run `iters`
+    * Lloyd iterations per subspace. All m subspaces train in ONE data
+    * pass per iteration: a fused argmin UDF assigns every subvector, one
+    * aggregation computes every (sub, cell, pos) mean — the job count is
+    * independent of m, and the per-iteration shuffle is model-sized
+    * (partial-aggregated to m·kSub·subDim cells). Exact decimal sums
+    * make the means bit-reproducible across partition orders, so a SQL
+    * oracle can replay training (proved by the kmeans oracle).
+    * Empty cells keep their previous centroid. `iters = 0` returns the
+    * raw seed codebook. Returns (sub_id, cent_id, centroid) — m·kSub
+    * tiny rows; cent_id is the seeding vector's id.
     */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, kSub: Int): DataFrame = {
+      dim: Int, m: Int, kSub: Int, iters: Int = 0): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(iters >= 0, "iters must be non-negative")
     val subDim = dim / m
-    vectors.select(col(idCol).cast("long").as("cent_id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .orderBy(col("cent_id")).limit(kSub)
-      .select(col("cent_id"), explode(sequence(lit(0), lit(m - 1))).as("sub_id"), col("__v"))
-      .select(col("sub_id"), col("cent_id"),
-        slice(col("__v"), col("sub_id") * subDim + 1, lit(subDim)).as("centroid"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seeds = base.orderBy(col("__id")).limit(kSub).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(seeds.length == kSub,
+      s"kSub=$kSub exceeds the vector count ${seeds.length} — cannot seed the codebook")
+    // cb(sub) = centroids sorted by cent_id (argmin scan order = tie-break)
+    var cb: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { s0 =>
+      seeds.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s0 * subDim, (s0 + 1) * subDim))
+      }.sortBy(_._1)
+    }
+    for (_ <- 0 until iters) {
+      val local = cb
+      val assignUdf = udf { v: Seq[Double] =>
+        val arr = v.toArray
+        val codes = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          val cents = local(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)._2
+            var d = 0.0
+            var i = 0
+            while (i < subDim) {
+              val diff = arr(s * subDim + i) - cv(i)
+              d += diff * diff
+              i += 1
+            }
+            // strict <: lowest cent_id wins ties (scan order is sorted)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = cents(best)._1
+          s += 1
+        }
+        codes
+      }
+      val means = base
+        .select(assignUdf(col("__v")).as("__codes"),
+          posexplode(col("__v")).as(Seq("__p", "__x")))
+        .select(
+          (col("__p") / subDim).cast("int").as("sub"),
+          element_at(col("__codes"), (col("__p") / subDim).cast("int") + 1).as("cid"),
+          (col("__p") % subDim).as("pos"),
+          col("__x"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((sum(col("__x").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("__m"))
+        .collect()
+      val updated: Map[(Int, Long), Array[Double]] = means
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Double](subDim)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          key -> arr
+        }
+      cb = Array.tabulate(m) { s0 =>
+        cb(s0).map { case (cid, old) => (cid, updated.getOrElse((s0, cid), old)) }
+      }
+    }
+    (for (s0 <- 0 until m; (cid, cv) <- cb(s0)) yield (s0, cid, cv.toSeq))
+      .toDF("sub_id", "cent_id", "centroid")
   }
 
   /** Product-quantization encode: each vector becomes `m` small codes

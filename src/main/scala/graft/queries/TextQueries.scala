@@ -271,14 +271,16 @@ object TextQueries {
     }),
 
     // Product quantization: 64-dim → 4 sub-codes from an 8-centroid
-    // codebook per subspace (deterministic low-id seeds) + total
+    // codebook per subspace (deterministic low-id seeds + 2 Lloyd
+    // iterations per subspace — the trained-codebook path) + total
     // reconstruction error. Melted to (vec_id, sub_id, code) so every
     // code byte is value-checked; err repeats per row, rounded like the
-    // kmeans model.
+    // kmeans model. The oracle replays both training iterations
+    // (exact-decimal means, as v_kmeans_train proved replayable).
     "v_pq_encode" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8)
+      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8, iters = 2)
       Similarity.pqEncode(e, "vec_id", "v", cb, m = 4)
         .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
           col("code"), round(col("recon_err"), 6).as("recon_err"))
@@ -290,7 +292,7 @@ object TextQueries {
     "v_pq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8)
+      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8, iters = 2)
       val codes = Similarity.pqEncode(e, "vec_id", "v", cb, m = 4)
         .select(col("vec_id"), col("sub_id"), col("code"))
       Similarity.pqSearch(e.filter(col("vec_id") < 20), "vec_id", "v",
@@ -373,6 +375,46 @@ object TextQueries {
        |${a}v AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${a}m GROUP BY cell),
        |$c AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN ${a}v n ON n.cid = p.cid)""".stripMargin
+
+  /** One per-subspace Lloyd iteration of the PQ-codebook oracle, over
+    * the melted corpus CTE `es(vec_id, sub, sv)`: assignment under the
+    * sub-codebook CTE `prev(sub, cid, cv)` → exact-decimal per-(sub,
+    * cell, pos) means → carried codebook CTE `c` (empty cells keep
+    * `prev`'s centroid), mirroring
+    * [[graft.operators.Similarity.pqTrain]].
+    */
+  private def pqIterCtes(prev: String, a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, sub, cid, sv FROM (
+       |    SELECT es.vec_id, es.sub, c.cid, es.sv,
+       |      row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |        ORDER BY list_sum(list_transform(range(1, 17),
+       |          j -> (es.sv[j] - c.cv[j]) * (es.sv[j] - c.cv[j]))) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM es JOIN $prev c ON c.sub = es.sub) x WHERE rn = 1),
+       |${a}m AS (
+       |  SELECT sub, cid, i,
+       |    CAST(sum(CAST(sv[i + 1] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM $a, range(0, 16) r(i) GROUP BY sub, cid, i),
+       |${a}v AS (SELECT sub, cid, list(m ORDER BY i) AS cv FROM ${a}m GROUP BY sub, cid),
+       |$c AS (SELECT p.sub, p.cid, coalesce(n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${a}v n ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
+
+  /** Shared CTE prefix for the PQ oracles: melted subvectors, the seed
+    * codebook, two Lloyd iterations (→ `pcb2`), and corpus-code
+    * assignment distances `d` under the trained codebook. */
+  private val pqTrainedCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |es AS (SELECT vec_id, s.range AS sub,
+       |    v[s.range * 16 + 1 : s.range * 16 + 16] AS sv
+       |  FROM e, range(0, 4) s),
+       |pcb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM es WHERE vec_id < 8),
+       |${pqIterCtes("pcb0", "pt1", "pcb1")},
+       |${pqIterCtes("pcb1", "pt2", "pcb2")},
+       |d AS (SELECT es.vec_id, es.sub, c.cid,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> (es.sv[i] - c.cv[i]) * (es.sv[i] - c.cv[i]))) AS dd
+       |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t_token_stats" ->
@@ -665,17 +707,7 @@ object TextQueries {
     // fold order as the Scala kernel, so double addition is
     // bit-identical).
     "v_pq_encode" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cb AS (SELECT s.range AS sub, vec_id AS cid,
-         |    v[s.range * 16 + 1 : s.range * 16 + 16] AS cv
-         |  FROM e, range(0, 4) s WHERE vec_id < 8),
-         |sl AS (SELECT e.vec_id, cb.sub, cb.cid,
-         |    e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16] AS ev, cb.cv
-         |  FROM e CROSS JOIN cb),
-         |d AS (SELECT vec_id, sub, cid,
-         |    list_sum(list_transform(range(1, 17),
-         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS dd
-         |  FROM sl),
+      s"""WITH $pqTrainedCtes,
          |best AS (SELECT vec_id, sub, cid AS code, dd FROM (
          |    SELECT vec_id, sub, cid, dd,
          |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
@@ -692,17 +724,7 @@ object TextQueries {
     // table, approximate distance = per-sub table terms summed in sub
     // order, rank on the 6-decimal-rounded distance.
     "v_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cb AS (SELECT s.range AS sub, vec_id AS cid,
-         |    v[s.range * 16 + 1 : s.range * 16 + 16] AS cv
-         |  FROM e, range(0, 4) s WHERE vec_id < 8),
-         |sl AS (SELECT e.vec_id, cb.sub, cb.cid,
-         |    e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16] AS ev, cb.cv
-         |  FROM e CROSS JOIN cb),
-         |d AS (SELECT vec_id, sub, cid,
-         |    list_sum(list_transform(range(1, 17),
-         |      i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))) AS dd
-         |  FROM sl),
+      s"""WITH $pqTrainedCtes,
          |best AS (SELECT vec_id, sub, cid AS code FROM (
          |    SELECT vec_id, sub, cid, dd,
          |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn

@@ -330,6 +330,28 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got(1) == ((1L, Seq(30.2 / 3, 30.4 / 3).map(x => math.round(x * 1e9) / 1e9))))
   }
 
+  test("pqTrain Lloyd iterations recover per-subspace blob means") {
+    import spark.implicits._
+    // 4-dim vectors, m = 2 subspaces; each subspace has two tight blobs
+    // and the two seed vectors (ids 0, 1) land one per blob, so training
+    // must converge to the exact per-subspace blob means.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 5.0, 5.0)), (2L, Seq(0.2, 0.0, 5.2, 5.0)),
+      (4L, Seq(0.0, 0.4, 5.0, 5.4)),
+      (1L, Seq(10.0, 10.0, 9.0, 9.0)), (3L, Seq(10.2, 10.0, 9.2, 9.0)),
+      (5L, Seq(10.0, 10.4, 9.0, 9.4)))
+      .toDF("vec_id", "v")
+    val got = graft.operators.Similarity
+      .pqTrain(vecs, "vec_id", "v", dim = 4, m = 2, kSub = 2, iters = 2)
+      .orderBy("sub_id", "cent_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).map(x => math.round(x * 1e9) / 1e9)))
+    def m(xs: Double*) = xs.map(x => math.round(x / 3 * 1e9) / 1e9)
+    assert(got.toSeq == Seq(
+      (0, 0L, m(0.2, 0.4)), (0, 1L, m(30.2, 30.4)),
+      (1, 0L, m(15.2, 15.4)), (1, 1L, m(27.2, 27.4))))
+  }
+
   test("lshNeighborPairs drops mega-buckets over the cap") {
     import spark.implicits._
     // 8 identical vectors land in one SRP bucket; with the cap below 8
