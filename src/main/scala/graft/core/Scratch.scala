@@ -8,10 +8,52 @@ package graft.core
   * dirs can never collide onto one path, unlike a 31-bit `hashCode`) and
   * the JVM's pid, so two concurrent processes benchmarking the same dir
   * never race an overwrite against a read. Scratch is re-derived per
-  * process by design — it is a cache, not a store.
+  * process by design — it is a cache, not a store: a JVM shutdown hook
+  * removes this pid's dirs, and startup sweeps dirs left by pids that
+  * are no longer alive (a crash can't clean up after itself), so
+  * repeated bench/verify runs don't leak tmpdir disk without bound.
   */
 object Scratch {
   private val jvmTag: String = ProcessHandle.current().pid().toString
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try
+        stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+  }
+
+  /** graft_* scratch dirs in tmpdir whose pid suffix matches `keep`. */
+  private def scratchDirs(pidFilter: Long => Boolean): Seq[java.nio.file.Path] = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val stream = java.nio.file.Files.list(tmp)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("graft_") && {
+          val i = n.lastIndexOf("_p")
+          i > 0 && n.drop(i + 2).forall(_.isDigit) && n.length > i + 2 &&
+            pidFilter(n.drop(i + 2).toLong)
+        }
+      }.toSeq
+    } finally stream.close()
+  }
+
+  locally {
+    // sweep dirs orphaned by dead pids (best-effort; a dir another live
+    // process owns is never touched), then arrange our own cleanup
+    try scratchDirs(pid => ProcessHandle.of(pid).isEmpty).foreach(deleteRecursively)
+    catch { case _: java.io.IOException => () }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try scratchDirs(_ == ProcessHandle.current().pid()).foreach(deleteRecursively)
+      catch { case _: java.io.IOException => () },
+      "graft-scratch-cleanup"))
+  }
 
   def path(kind: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")

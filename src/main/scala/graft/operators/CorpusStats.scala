@@ -243,8 +243,11 @@ object CorpusStats {
       .withColumn("end_off", sum(col("n_tokens")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("first_pack", floor(col("start_off") / packTokens))
-      .withColumn("last_pack", floor((col("end_off") - 1) / packTokens))
+      // integer `div`, not floor(double /): cumulative per-shard token
+      // offsets past 2^53 would lose exactness under double division —
+      // a silent caveat for an operator pitched at 100 TB corpora.
+      .withColumn("first_pack", expr(s"start_off div $packTokens"))
+      .withColumn("last_pack", expr(s"(end_off - 1) div $packTokens"))
     offs.select(col("shard"), col(idCol), col("n_tokens"),
       col("start_off"), col("end_off"),
       explode(sequence(col("first_pack"), col("last_pack"))).as("pack_id"))

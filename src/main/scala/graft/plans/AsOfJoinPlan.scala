@@ -158,10 +158,14 @@ case class AsOfJoinExec(
 object AsOfJoinPlan {
   /** Idempotently make the strategy available in `spark` — covers
     * foreign sessions (the driver harness) where the builder-time
-    * `SparkSessionExtensions` injection didn't run.
+    * `SparkSessionExtensions` injection didn't run. Checks the live
+    * planner's full strategy list (which includes both extension-
+    * injected and experimental strategies), so graft-built sessions
+    * don't get a redundant second registration via the experimental
+    * path.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+    if (!spark.sessionState.planner.strategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
 
