@@ -1,6 +1,8 @@
 package graft.queries
 
-import graft.core.{IncrementalPlanner, Tables}
+import graft.core.{IncrementalPlanner, Scratch, Tables}
+import graft.operators.Resample
+import graft.sources.Xls
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,6 +97,46 @@ object MoreQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    "s9_xls_nbar" -> ((s, d) => {
+      // S9 — legacy Excel ingestion + N-minute bar merge
+      // (/root/reference/tasks/wind/handle_csv/merge_2_n_bar.py:28-52):
+      // 5-min bars exported per instrument as headerless .xls (col 0 =
+      // Excel-epoch day float, cols 1-4 = OHLC), re-read through the
+      // BIFF8 source, then rolled to 30-min RIGHT-closed bars — the
+      // reference's generate_bar_dt ceil semantics, where a bar is
+      // labeled by its window END unless it sits exactly on a boundary.
+      // Correct OHLC fold (first open / max high / MIN low / last
+      // close), not the reference's scalar-min `iloc[0,3]` low bug.
+      val ticks = Tables.events(s, d).withColumn("one", lit(1.0))
+      val bars5 = Resample.ticksToBars(ticks, Seq("event_type"), "ts",
+          "event_id", "value", "one", "5 minutes")
+        .select(col("event_type"),
+          (unix_timestamp(col("bar_start")).cast("double") / 86400.0 + 25569.0)
+            .as("xldate"),
+          col("open"), col("high"), col("low"), col("close"))
+      val dir = Scratch.path("xls_bars", d)
+      Xls.writeKeyed(bars5, dir, "event_type", Seq("xldate"),
+        Seq("xldate", "open", "high", "low", "close"))
+      // day-float → seconds roundtrip: double ulp at epoch scale is µs,
+      // bars are 5-min aligned, so rounding to seconds is exact
+      Xls.headerless(Xls.read(s, s"$dir/*.xls"), 5)
+        .withColumn("event_type", regexp_extract(col("path"), "([^/]+)\\.xls$", 1))
+        .select(col("event_type"),
+          timestamp_seconds(round((col("_c0") - 25569.0) * 86400.0).cast("long")).as("ts5"),
+          col("_c1").as("open"), col("_c2").as("high"),
+          col("_c3").as("low"), col("_c4").as("close"))
+        .withColumn("e5", unix_timestamp(col("ts5")))
+        .withColumn("bar_ts", timestamp_seconds(
+          expr("e5 - e5 % 86400 + ((e5 % 86400 + 1799) div 1800) * 1800")))
+        .groupBy(col("event_type"), col("bar_ts"))
+        .agg(min_by(col("open"), col("ts5")).as("open"),
+          max(col("high")).as("high"),
+          min(col("low")).as("low"),
+          max_by(col("close"), col("ts5")).as("close"),
+          count(lit(1)).as("n_bars5"))
+        .orderBy(col("event_type"), col("bar_ts"))
     }),
 
     "k7_json_roundtrip" -> ((s, d) => {
@@ -394,6 +436,20 @@ object MoreQueries {
     "k6_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
         |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+
+    "s9_xls_nbar" ->
+      """WITH b5 AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS ts5,
+        |    arg_min(value, event_id) AS open, max(value) AS high,
+        |    min(value) AS low, arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(to_timestamp(epoch(ts5)::BIGINT - epoch(ts5)::BIGINT % 86400
+        |    + ((epoch(ts5)::BIGINT % 86400 + 1799) // 1800) * 1800) AS TIMESTAMP) AS bar_ts,
+        |  arg_min(open, ts5) AS open, max(high) AS high, min(low) AS low,
+        |  arg_max(close, ts5) AS close, count(*) AS n_bars5
+        |FROM b5 GROUP BY 1, 2 ORDER BY event_type, bar_ts""".stripMargin,
 
     "k7_json_roundtrip" ->
       """SELECT n_name, count(*) AS n_suppliers,
