@@ -24,17 +24,26 @@ object Bench {
     catch { case _: Throwable => }
     // Optional comma-separated filter for iterating on one query's plan.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Dev-only: time each query N times and report the fastest, to
+    // separate JIT/codegen warmup from real plan cost. The driver never
+    // sets this, so its numbers stay single-shot (default 1).
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var ok = true
+      val times = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          ok = false
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (repeat > 1)
+        System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
+      val elapsed = times.min
       // Hermetic per-query timing: release anything the query left behind
       // (cached plans, streaming memory-sink views) and let the JVM
       // settle, so query N+1 measures its own plan, not query N's
