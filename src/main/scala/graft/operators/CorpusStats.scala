@@ -309,6 +309,50 @@ object CorpusStats {
       .groupBy(col("c.d").as("d"), col("c.w").as("w"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Domain-mixture resampling: select the largest corpus subset whose
+    * domain shares hit `weights` exactly (up to flooring). The classic
+    * pretraining-mix operation — "rebalance this crawl to 40% web /
+    * 30% wiki / …" — solved by scaling: λ = min over weighted domains
+    * of available/target, per-domain quota = ⌊λ·target⌋, then each
+    * domain keeps its quota in deterministic md5-of-id order, so
+    * membership is a pure function of the ids — reproducible at any
+    * partitioning and auditable by any engine (same property as
+    * t_split_assign).
+    *
+    * Scale: availability counts are domain-cardinality (a model-sized
+    * driver collect, like k-means centroids); quotas broadcast back.
+    * Exact quotas need a per-domain rank — ONE shuffle on the domain
+    * key; if a single domain's row count exceeds a task's sort budget
+    * at extreme scale, the stateless alternative is a hash-rate filter
+    * `h % M < rate·M` (approximate quota, zero shuffle) — this
+    * implementation keeps the exact contract. Domains absent from
+    * `weights` are dropped; weighted domains absent from the corpus
+    * would make the mix infeasible and throw.
+    */
+  def mixtureResample(docs: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- avail.keySet
+    require(missing.isEmpty, s"weighted domains absent from corpus: $missing")
+    val lambda = weights.map { case (dom, t) => avail(dom).toDouble / t }.min
+    val quotas = weights.toSeq.map { case (dom, t) =>
+      (dom, math.floor(lambda * t).toLong) }
+    val quotaDf = quotas.toDF(domainCol, "__quota")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(h, col(idCol))
+    docs.join(broadcast(quotaDf), Seq(domainCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__quota", "__rk")
+  }
+
   /** Point estimates from a [[cmsSketch]]: est(token) = min over the
     * depth rows of that token's cell counts (absent cell = 0). The
     * sketch is tiny (≤ depth·width rows) and broadcasts; probes stream.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.CorpusStats
+import graft.operators.{CorpusStats, LanguageModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,30 @@ object CorpusQueries {
     // vocabulary; exact counts alongside show the overestimate. The
     // sketch grid is deterministic, so the oracle rebuilds it cell by
     // cell and the estimates hash-match exactly.
+    // Corpus-trained bigram-LM scoring (CCNet-style quality signal):
+    // docs below ~2 tokens have no bigrams and drop out by contract.
+    "t_bigram_ppl" -> ((s, d) =>
+      LanguageModel.bigramPerplexity(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("ppl"), 6).as("ppl"))
+        .orderBy(col("doc_id"))),
+
+    // Pretraining-mix rebalance: largest subset hitting the target
+    // language shares, membership pinned per language by id checksums.
+    "t_mixture_resample" -> ((s, d) => {
+      val kept = CorpusStats.mixtureResample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.4, "fr" -> 0.2, "de" -> 0.15, "es" -> 0.15, "zh" -> 0.1))
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("share", round(col("n_kept") /
+          sum(col("n_kept")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()), 6))
+        .orderBy(col("lang"))
+    }),
+
     "t_cms_counts" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.scatter(Tables.documents(s, d))
@@ -127,6 +151,51 @@ object CorpusQueries {
          |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
          |FROM est e LEFT JOIN ex x USING (token)
          |ORDER BY token""".stripMargin,
+    "t_bigram_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |m AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS m
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(lt) - 1),
+         |      i -> struct_pack(w1 := lt[i + 1], w2 := lt[i + 2]))) AS b
+         |    FROM t WHERE len(lt) >= 2)
+         |  GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, sum(m) AS c12 FROM m GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(lt) AS tok FROM t)),
+         |s AS (
+         |  SELECT m.doc_id, m.m,
+         |    ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+         |  FROM m JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |    -sum(m * lp) / sum(m) AS h
+         |  FROM s GROUP BY 1)
+         |SELECT doc_id, n_bigrams, ${jr6("h")} AS cross_entropy,
+         |  ${jr6("exp(h)")} AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "t_mixture_resample" ->
+      s"""WITH wts(lang, t) AS (VALUES
+         |    ('en', 0.4), ('fr', 0.2), ('de', 0.15), ('es', 0.15), ('zh', 0.1)),
+         |cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY 1),
+         |lam AS (SELECT min(n / t) AS lam FROM cnt JOIN wts USING (lang)),
+         |q AS (SELECT lang, CAST(floor(lam * t) AS BIGINT) AS quota
+         |  FROM wts CROSS JOIN lam),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |      doc_id) AS rk
+         |  FROM documents),
+         |kept AS (SELECT r.doc_id, r.lang
+         |  FROM r JOIN q USING (lang) WHERE rk <= quota),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |    min(doc_id) AS first_id, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |  FROM kept GROUP BY 1)
+         |SELECT lang, n_kept, first_id, id_sum,
+         |  ${jr6("CAST(n_kept AS DOUBLE) / (SELECT sum(n_kept) FROM g)")} AS share
+         |FROM g ORDER BY lang""".stripMargin,
+
     "t_gopher_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
          |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),

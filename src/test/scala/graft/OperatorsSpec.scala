@@ -365,6 +365,50 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(pairs(7) == 0L, "bucket over the cap must be dropped from pair generation")
   }
 
+  test("bigram LM: hand-computed cross-entropy on a two-doc corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c" → bigrams: (a,b)×3, (b,a)×1, (b,c)×1;
+    // c1: a→3, b→2; V = 3; k = 0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bigramPerplexity(docs, "doc_id", "text", k = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pAB = (3.0 + 0.5) / (3.0 + 0.5 * 3) // p(b|a)
+    val pBA = (1.0 + 0.5) / (2.0 + 0.5 * 3) // p(a|b)
+    val pBC = (1.0 + 0.5) / (2.0 + 0.5 * 3) // p(c|b)
+    val h1 = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    val h2 = -(math.log(pAB) + math.log(pBC)) / 2
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    assert(math.abs(got(0)._3 - h1) < 1e-12)
+    assert(math.abs(got(1)._3 - h2) < 1e-12)
+  }
+
+  test("mixture resample hits floored quotas and is partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+      (i, if (i % 10 < 7) "web" else if (i % 10 < 9) "wiki" else "code"))
+      .toDF("doc_id", "dom")
+    val w = Map("web" -> 0.5, "wiki" -> 0.3, "code" -> 0.2)
+    // avail: web 70, wiki 20, code 10 → λ = min(140, 66.7, 50) = 50
+    // quotas: web 25, wiki 15, code 10
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.CorpusStats
+      .mixtureResample(df, "doc_id", "dom", w)
+    val kept = run(docs)
+    val counts = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("web" -> 25L, "wiki" -> 15L, "code" -> 10L))
+    // membership is a pure function of ids: repartitioning can't move it
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = run(docs.repartition(13)).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // a weighted domain missing from the corpus is an error, not 0 rows
+    intercept[IllegalArgumentException] {
+      run(docs.filter($"dom" =!= "code"))
+    }
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
