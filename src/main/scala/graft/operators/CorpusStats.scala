@@ -353,6 +353,65 @@ object CorpusStats {
       .drop("__quota", "__rk")
   }
 
+  /** HyperLogLog registers over a column: `(idx, rho)` with
+    * idx = top `p` bits of a 60-bit md5-derived hash and rho = leading-
+    * zero rank of the remaining bits — ONE partial-aggregated max per
+    * register, so sketches of shards merge by register-wise max exactly
+    * like CMS cells merge by addition. Like the other sketches, the
+    * md5-window hash makes the whole register grid deterministic and
+    * replayable by any engine (the oracle rebuilds it bit-for-bit in
+    * SQL), where a library HLL's internal hash would be unverifiable.
+    * Memory is O(2^p) regardless of cardinality — the 100 TB answer to
+    * COUNT(DISTINCT) when the key set itself doesn't fit anywhere.
+    */
+  def hllRegisters(df: DataFrame, valueCol: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val rest = 60 - p
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 15), 16, 10).cast("long")
+    // rho via bin()-string length, not floor(log2(double)): for r > 0,
+    // floor(log2 r) = length(bin(r)) - 1 in exact integer logic, immune
+    // to the libm ulp differences that make floor(log2(2^k)) engine-
+    // dependent right at the power-of-two boundaries registers live on.
+    df.select(h.as("__h"))
+      .select(shiftright(col("__h"), rest).as("idx"),
+        (col("__h").bitwiseAND(lit((1L << rest) - 1))).as("__r"))
+      .select(col("idx"),
+        when(col("__r") === 0, lit(rest + 1))
+          .otherwise(lit(rest + 1) - length(bin(col("__r"))))
+          .cast("int").as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Flajolet's HLL estimate from [[hllRegisters]]: harmonic mean over
+    * all 2^p registers (absent register = 0 → 2⁰ term), with the
+    * small-range linear-counting correction. Returns one row
+    * `(m, n_present, est)`. The harmonic sum Σ 2^-rho is accumulated as
+    * the EXACT integer Σ 2^(maxRho - rho) (each term a power of two,
+    * total < 2^61) and scaled to double once at the end — a float sum
+    * would round differently per aggregation order, breaking replay;
+    * after that the estimate is one fixed IEEE expression any engine
+    * reproduces bit-for-bit.
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = math.pow(2.0, maxRho)
+    registers
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - rho)")).as("__si"))
+      .select(lit(m).as("m"), col("n_present"),
+        (lit(alpha * m.toDouble * m) /
+          (col("__si").cast("double") / lit(scale) +
+            (lit(m) - col("n_present")))).as("__e"),
+        (lit(m) - col("n_present")).cast("double").as("__z"))
+      .select(col("m"), col("n_present"),
+        when(col("__e") <= lit(2.5 * m) && col("__z") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__z")))
+          .otherwise(col("__e")).as("est"))
+  }
+
   /** Point estimates from a [[cmsSketch]]: est(token) = min over the
     * depth rows of that token's cell counts (absent cell = 0). The
     * sketch is tiny (≤ depth·width rows) and broadcasts; probes stream.

@@ -104,6 +104,19 @@ object CorpusQueries {
         .orderBy(col("lang"))
     }),
 
+    // Deterministic HLL over the corpus vocabulary: estimate and exact
+    // distinct in one row (the exact side doubles as the error witness).
+    "t_hll_distinct" -> ((s, d) => {
+      val toks = Tables.scatter(Tables.documents(s, d))
+        .select(explode(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val est = CorpusStats.hllEstimate(
+        CorpusStats.hllRegisters(toks, col("tok"), p = 8), p = 8)
+      est.crossJoin(toks.agg(countDistinct(col("tok")).as("exact_distinct")))
+        .select(col("m"), col("n_present"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+    }),
+
     "t_cms_counts" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.scatter(Tables.documents(s, d))
@@ -151,6 +164,27 @@ object CorpusQueries {
          |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
          |FROM est e LEFT JOIN ex x USING (token)
          |ORDER BY token""".stripMargin,
+    "t_hll_distinct" ->
+      s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
+         |h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |r AS (SELECT h >> 52 AS idx,
+         |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+         |         ELSE 53 - CAST(length(bin(h & 4503599627370495)) AS INT)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (SELECT idx, max(rho) AS rho FROM r GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,
+         |    sum(1::BIGINT << (53 - rho)) AS si FROM regs),
+         |est AS (SELECT n_present,
+         |    (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 /
+         |      (CAST(si AS DOUBLE) / 9007199254740992.0 + (256 - n_present)) AS e,
+         |    CAST(256 - n_present AS DOUBLE) AS z
+         |  FROM agg)
+         |SELECT CAST(256 AS INT) AS m, n_present,
+         |  ${jr6("CASE WHEN e <= 640.0 AND z > 0 THEN 256.0 * ln(256.0 / z) ELSE e END")} AS est,
+         |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS exact_distinct
+         |FROM est""".stripMargin,
+
     "t_bigram_ppl" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
          |m AS (

@@ -409,6 +409,24 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hll estimate lands near truth and shard registers merge by max") {
+    import spark.implicits._
+    val n = 20000L
+    val vals = spark.range(0, n).select(concat(lit("key_"), $"id").as("v"))
+    val regs = graft.operators.CorpusStats.hllRegisters(vals, $"v", p = 8)
+    val est = graft.operators.CorpusStats.hllEstimate(regs, p = 8)
+      .head().getDouble(2)
+    // m=256 → stderr ≈ 1.04/√256 = 6.5%; 4σ bound keeps this deterministic-stable
+    assert(math.abs(est - n) / n < 0.26, s"est $est vs $n")
+    // sketch property: registers of shards, max-merged, equal the union's
+    val a = graft.operators.CorpusStats.hllRegisters(
+      vals.filter($"v".substr(5, 10).cast("long") % 2 === 0), $"v", p = 8)
+    val b = graft.operators.CorpusStats.hllRegisters(
+      vals.filter($"v".substr(5, 10).cast("long") % 2 === 1), $"v", p = 8)
+    val merged = a.union(b).groupBy("idx").agg(max("rho").as("rho"))
+    assert(merged.except(regs).isEmpty && regs.except(merged).isEmpty)
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
