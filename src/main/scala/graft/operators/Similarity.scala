@@ -318,10 +318,15 @@ object Similarity {
     * top-k window. `distRound` quantizes the approximate distance
     * before ranking (cross-engine determinism, as [[bruteForceTopK]]).
     */
-  def pqSearch(queries: DataFrame, qId: String, qVec: String,
-      codes: DataFrame, cId: String, codebook: DataFrame,
-      m: Int, k: Int, distRound: Option[Int] = None): DataFrame = {
-    val cb = collectCodebook(codebook, m)
+  /** The two ADC kernels over a collected codebook: per-query distance
+    * tables (‖q_s − cent‖² for every sub-centroid) and the table-lookup
+    * approximate distance, Σ over subspaces in ascending sub order —
+    * the oracle folds its per-sub terms in the same order, so double
+    * addition is identical. Shared by [[pqSearch]] and [[ivfPqSearch]].
+    */
+  private def adcKernels(cb: Array[Array[(Long, Array[Double])]], m: Int)
+      : (org.apache.spark.sql.expressions.UserDefinedFunction,
+         org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val subDim = cb(0)(0)._2.length
     val kSub = cb(0).length
     val slot: Array[Map[Long, Int]] =
@@ -348,14 +353,20 @@ object Similarity {
       }
       t
     }
-    // Σ over subspaces in ascending sub order — the oracle folds its
-    // per-sub terms in the same order, so double addition is identical.
     val adistUdf = udf { (t: Seq[Double], cs: Seq[Long]) =>
       var s = 0
       var acc = 0.0
       while (s < m) { acc += t(s * kSub + slot(s)(cs(s))); s += 1 }
       acc
     }
+    (tablesUdf, adistUdf)
+  }
+
+  def pqSearch(queries: DataFrame, qId: String, qVec: String,
+      codes: DataFrame, cId: String, codebook: DataFrame,
+      m: Int, k: Int, distRound: Option[Int] = None): DataFrame = {
+    val cb = collectCodebook(codebook, m)
+    val (tablesUdf, adistUdf) = adcKernels(cb, m)
     val packed = codes.groupBy(col(cId).as("neighbor_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
         x => x.getField("code")).as("__codes"))
@@ -363,6 +374,54 @@ object Similarity {
       tablesUdf(col(qVec).cast("array<double>")).as("__t"))
     val scored = broadcast(q)
       .join(packed, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adistUdf(col("__t"), col("__codes")))
+    val dcol = distRound.map(n => round(col("adist"), n)).getOrElse(col("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(dcol.asc, col("neighbor_id").asc)
+    scored.withColumn("adist", dcol)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** IVF + PQ fused search — the standard billion-scale ANN read path
+    * (an IVF-ADC index): the corpus exists only as PQ code rows plus a
+    * coarse cell id per vector, a query probes its `nprobe` nearest
+    * coarse cells and runs ADC over the codes in those cells only. Both
+    * approximations compose: candidate count scales as nprobe/nCells of
+    * the corpus, and each candidate costs m table lookups instead of a
+    * dim-length scan — at 100 TB neither the raw vectors nor the full
+    * code set ever reaches a query.
+    *
+    * Shape: coarse centroids and the per-query distance tables
+    * broadcast; the probed-cell join is the only wide exchange, then
+    * the per-query top-k window. A corpus vector lives in exactly one
+    * cell, so multi-probe cannot duplicate a (query, neighbor) pair.
+    *
+    * `cells` is the (cId, cell) coarse assignment ([[ivfAssign]]
+    * output — precomputed at scale, where cell = storage bucket).
+    */
+  def ivfPqSearch(queries: DataFrame, qId: String, qVec: String,
+      codes: DataFrame, cId: String, cells: DataFrame,
+      codebook: DataFrame, centroids: DataFrame, centId: String, centVec: String,
+      m: Int, nprobe: Int, k: Int, distRound: Option[Int] = None): DataFrame = {
+    val cb = collectCodebook(codebook, m)
+    val (tablesUdf, adistUdf) = adcKernels(cb, m)
+    val packed = codes.groupBy(col(cId).as("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+      .join(cells.select(col(cId).as("neighbor_id"), col("cell")), Seq("neighbor_id"))
+    val cent = broadcast(centroids.select(col(centId).as("__pid"), col(centVec).as("__pv")))
+    val probeScored = queries
+      .select(col(qId).as("query_id"),
+        tablesUdf(col(qVec).cast("array<double>")).as("__t"),
+        col(qVec).cast("array<double>").as("__qv"))
+      .join(cent)
+      .withColumn("__d", VectorFunctions.l2Distance(col("__qv"), col("__pv")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__pid").asc)
+    val probes = probeScored.withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__t"), col("__pid").as("cell"))
+    val scored = broadcast(probes).join(packed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adistUdf(col("__t"), col("__codes")))
     val dcol = distRound.map(n => round(col("adist"), n)).getOrElse(col("adist"))
     val w = Window.partitionBy(col("query_id")).orderBy(dcol.asc, col("neighbor_id").asc)

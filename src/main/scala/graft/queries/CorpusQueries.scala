@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{CorpusStats, LanguageModel}
+import graft.operators.{CorpusStats, LanguageModel, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,49 @@ object CorpusQueries {
           round(col("est"), 6).as("est"), col("exact_distinct"))
     }),
 
+    // Bloom-filter membership at corpus scale: build over the bigram
+    // shingles of the blocklist slice (doc_id % 37 — the decontaminate
+    // fixture trick; bigrams because the synthetic corpus has a
+    // 31-token vocabulary but ~900 distinct bigrams, so non-member
+    // probes exist at every SF), probe the whole corpus's bigrams
+    // map-only, and emit the positive set with its exact-membership
+    // witness. mBits = 2048 deliberately overloads the filter (~460
+    // members × 5 hashes) so exact_member = false rows — real false
+    // positives — appear at every SF; the oracle replays them from the
+    // same MD5-window double hashes.
+    "t_bloom_blocklist" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val block = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select(explode(tf.wordShingles(col("text"), 2)).as("bg")).distinct()
+      val sketch = Sketches.bloomBuild(block, col("bg"), mBits = 2048, k = 5)
+      val probes = Tables.scatter(Tables.documents(s, d))
+        .select(explode(tf.wordShingles(col("text"), 2)).as("bg")).distinct()
+      val exact = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select(explode(tf.wordShingles(col("text"), 2)).as("bg")).distinct()
+        .withColumn("__ex", lit(true))
+      Sketches.bloomMightContain(sketch, probes, col("bg"),
+        mBits = 2048, k = 5)
+        .filter(col("might_contain"))
+        .join(exact, Seq("bg"), "left")
+        .select(col("bg"), coalesce(col("__ex"), lit(false)).as("exact_member"))
+        .orderBy(col("bg"))
+    }),
+
+    // Histogram-sketch quantiles of per-doc token counts: fixed 64-bin
+    // grid over [0, 512), linear interpolation inside the landing bin —
+    // percentiles without a global sort, bins shard-mergeable.
+    "t_hist_quantiles" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val lens = Tables.scatter(Tables.documents(s, d))
+        .select(tf.tokenCount(col("text")).as("n"))
+      val h = Sketches.histogram(lens, col("n"), lo = 0.0, hi = 512.0, nBins = 64)
+      Sketches.histQuantiles(h, Seq(0.25, 0.5, 0.9, 0.99), 0.0, 512.0, 64)
+        .select(col("q"), round(col("est"), 6).as("est"))
+        .orderBy(col("q"))
+    }),
+
     "t_cms_counts" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.scatter(Tables.documents(s, d))
@@ -164,6 +207,58 @@ object CorpusQueries {
          |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
          |FROM est e LEFT JOIN ex x USING (token)
          |ORDER BY token""".stripMargin,
+    // Bloom oracle: rebuild the word/bit grid from the same
+    // Kirsch–Mitzenmacher MD5-window hashes (63 bits per word — the
+    // sign bit stays clear on both engines), then replay every probe.
+    // Bigram extraction mirrors wordShingles(text, 2): window starts
+    // 0..max(len-2, 0), slices clamped, so 1-token docs contribute
+    // their lone token.
+    "t_bloom_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |bl AS (SELECT DISTINCT unnest(list_transform(
+         |      range(0, greatest(len(lt) - 2, 0) + 1),
+         |      i -> array_to_string(lt[i + 1 : i + 2], ' '))) AS bg
+         |  FROM t WHERE doc_id % 37 = 0),
+         |bp AS (SELECT (('0x' || substr(md5(bg), 1, 15))::BIGINT
+         |      + i.range * ('0x' || substr(md5(bg), 16, 14))::BIGINT) % 2048 AS p
+         |  FROM bl, range(0, 5) i),
+         |wd AS (SELECT p // 63 AS word,
+         |    bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+         |  FROM bp GROUP BY 1),
+         |pr AS (SELECT DISTINCT unnest(list_transform(
+         |      range(0, greatest(len(lt) - 2, 0) + 1),
+         |      i -> array_to_string(lt[i + 1 : i + 2], ' '))) AS bg
+         |  FROM t),
+         |pp AS (SELECT bg, (('0x' || substr(md5(bg), 1, 15))::BIGINT
+         |      + i.range * ('0x' || substr(md5(bg), 16, 14))::BIGINT) % 2048 AS p
+         |  FROM pr, range(0, 5) i),
+         |hits AS (SELECT bg,
+         |    bool_and((coalesce(w.bits, 0) & (1::BIGINT << CAST(p % 63 AS INT))) <> 0) AS might
+         |  FROM pp LEFT JOIN wd w ON w.word = p // 63
+         |  GROUP BY bg)
+         |SELECT h.bg, (bl.bg IS NOT NULL) AS exact_member
+         |FROM hits h LEFT JOIN bl ON bl.bg = h.bg
+         |WHERE h.might
+         |ORDER BY h.bg""".stripMargin,
+
+    // Histogram-quantile oracle: identical bin arithmetic (w = 8.0),
+    // cumulative counts over present bins, interpolate in the landing
+    // bin.
+    "t_hist_quantiles" ->
+      s"""WITH lens AS (SELECT CAST(len($toksLower) AS DOUBLE) AS x FROM documents),
+         |b AS (SELECT CAST(least(greatest(floor((x - 0.0) / 8.0), 0.0), 63.0) AS INT) AS bin
+         |  FROM lens),
+         |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+         |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+         |tot AS (SELECT max(cum) AS n FROM c),
+         |qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+         |pick AS (SELECT q, bin, cnt, cum - cnt AS prev,
+         |    q * (SELECT n FROM tot) AS target,
+         |    row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+         |  FROM qs JOIN c ON cum >= q * (SELECT n FROM tot))
+         |SELECT q, ${jr6("0.0 + 8.0 * (bin + (target - prev) / cnt)")} AS est
+         |FROM pick WHERE rn = 1 ORDER BY q""".stripMargin,
+
     "t_hll_distinct" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
          |h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),

@@ -299,6 +299,30 @@ object TextQueries {
         codes, "vec_id", cb, m = 4, k = 3, distRound = Some(6))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF + PQ fused: the billion-scale index shape — coarse cells
+    // prune the corpus to nprobe=2 of 8 cells, ADC over the PQ codes
+    // inside them. Same deterministic coarse centroids as v_ivf_topk,
+    // same trained codebook as v_pq_topk; the oracle composes both
+    // replays.
+    "v_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val cb = Similarity.pqTrain(e, "vec_id", "v", dim = 64, m = 4, kSub = 8, iters = 2)
+      val codes = Similarity.pqEncode(e, "vec_id", "v", cb, m = 4)
+        .select(col("vec_id"), col("sub_id"), col("code"))
+      val e2 = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cells = Similarity.ivfAssign(e2, "vec_id", "v", centroids, "cent_id", "cv")
+        .select(col("vec_id"), col("cell"))
+      Similarity.ivfPqSearch(e.filter(col("vec_id") < 20), "vec_id", "v",
+        codes, "vec_id", cells, cb, centroids, "cent_id", "cv",
+        m = 4, nprobe = 2, k = 3, distRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   private val toksExpr =
@@ -733,6 +757,48 @@ object TextQueries {
          |ad AS (SELECT t.query_id, b.vec_id AS neighbor_id,
          |    list_sum(list(t.dd ORDER BY t.sub)) AS adist
          |  FROM best b JOIN qt t ON t.sub = b.sub AND t.cid = b.code
+         |  WHERE b.vec_id <> t.query_id
+         |  GROUP BY t.query_id, b.vec_id)
+         |SELECT query_id, neighbor_id, adist, rank FROM (
+         |  SELECT query_id, neighbor_id, ${Oracles.jr6("adist")} AS adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${Oracles.jr6("adist")} ASC, neighbor_id ASC) AS rank
+         |  FROM ad) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ oracle: the v_pq_topk ADC replay restricted to the probed
+    // coarse cells — cell assignment and probes replayed exactly like
+    // v_ivf_topk (sqrt-L2 against the 8 low-id centroids), the
+    // candidate set is the join of probe cells with neighbor cells.
+    "v_ivfpq_topk" ->
+      s"""WITH $pqTrainedCtes,
+         |cc AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         |cd AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS dist
+         |  FROM e CROSS JOIN cc c),
+         |ccell AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+         |    FROM cd) t WHERE rn = 1),
+         |cprobe AS (
+         |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+         |    FROM cd WHERE vec_id < 20) t WHERE rn <= 2),
+         |best AS (SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid, dd,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+         |    FROM d) x WHERE rn = 1),
+         |qt AS (SELECT vec_id AS query_id, sub, cid, dd FROM d WHERE vec_id < 20),
+         |ad AS (SELECT t.query_id, b.vec_id AS neighbor_id,
+         |    list_sum(list(t.dd ORDER BY t.sub)) AS adist
+         |  FROM best b
+         |  JOIN ccell cl ON cl.vec_id = b.vec_id
+         |  JOIN cprobe p ON p.cell = cl.cell
+         |  JOIN qt t ON t.query_id = p.query_id AND t.sub = b.sub AND t.cid = b.code
          |  WHERE b.vec_id <> t.query_id
          |  GROUP BY t.query_id, b.vec_id)
          |SELECT query_id, neighbor_id, adist, rank FROM (

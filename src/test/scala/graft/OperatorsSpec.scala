@@ -427,6 +427,65 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(merged.except(regs).isEmpty && regs.except(merged).isEmpty)
   }
 
+  test("bloom filter has no false negatives, or-merges shards, bounded FPs") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val m = 1L << 14
+    val vals = spark.range(0, 2000).select(concat(lit("v_"), $"id").as("v"))
+    val sk = Sketches.bloomBuild(vals, $"v", mBits = m, k = 5)
+    // no false negatives — every inserted value probes positive
+    val misses = Sketches.bloomMightContain(sk, vals, $"v", mBits = m, k = 5)
+      .filter(!col("might_contain")).count()
+    assert(misses === 0)
+    // shard sketches OR-merge to the whole-corpus sketch
+    val a = Sketches.bloomBuild(vals.filter($"v".substr(3, 10).cast("long") % 2 === 0), $"v", m, 5)
+    val b = Sketches.bloomBuild(vals.filter($"v".substr(3, 10).cast("long") % 2 === 1), $"v", m, 5)
+    val merged = a.union(b).groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.except(sk).isEmpty && sk.except(merged).isEmpty)
+    // false-positive rate stays near theory: 2000 keys * 5 hashes in
+    // 16384 bits → p ≈ (1 - e^-0.61)^5 ≈ 2.6%; 4× headroom on 10k probes
+    val other = spark.range(2000, 12000).select(concat(lit("v_"), $"id").as("v"))
+    val fp = Sketches.bloomMightContain(sk, other, $"v", mBits = m, k = 5)
+      .filter(col("might_contain")).count()
+    assert(fp < 1000, s"implausible FP count $fp")
+  }
+
+  test("histogram quantiles interpolate to the exact uniform percentiles") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 0..99 each 100× → bin width 2 holds exactly 200 rows; the q=0.5
+    // target (5000) lands on a bin edge, making interpolation exact
+    val xs = spark.range(0, 10000).select(($"id" % 100).cast("double").as("x"))
+    val h = Sketches.histogram(xs, $"x", lo = 0.0, hi = 100.0, nBins = 50)
+    assert(h.agg(sum("cnt")).head().getLong(0) === 10000L)
+    val q = Sketches.histQuantiles(h, Seq(0.5, 0.9), 0.0, 100.0, 50)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(q(0.5) === 50.0)
+    assert(math.abs(q(0.9) - 90.0) <= 2.0, s"q90 ${q(0.9)}")
+  }
+
+  test("ivf-pq search equals plain pq search when probing every cell") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j).abs + 0.1 * j)))
+      .toDF("vec_id", "v")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val cb = Similarity.pqTrain(vecs, "vec_id", "v", dim = 8, m = 2, kSub = 4, iters = 1)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "v", cb, m = 2)
+      .select($"vec_id", $"sub_id", $"code")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "v", cents, "cent_id", "cv")
+      .select($"vec_id", $"cell")
+    val queries = vecs.filter($"vec_id" < 6)
+    val full = Similarity.pqSearch(queries, "vec_id", "v", codes, "vec_id",
+      cb, m = 2, k = 3, distRound = Some(9))
+    val fused = Similarity.ivfPqSearch(queries, "vec_id", "v", codes, "vec_id",
+      cells, cb, cents, "cent_id", "cv",
+      m = 2, nprobe = 4, k = 3, distRound = Some(9))
+    assert(fused.except(full).isEmpty && full.except(fused).isEmpty)
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
