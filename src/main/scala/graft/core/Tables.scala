@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's deterministic testdata (TESTDATA.md).
   *
@@ -29,16 +29,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark reads as long
-    * nanos (under `spark.sql.legacy.parquet.nanosAsLong`); normalize to
-    * TimestampType micros, truncating like DuckDB's ns→us cast.
+  /** Event-time type conformance (SURVEY §1.4: DateTime → TimestampType),
+    * enforced once at the read layer so watermark consumers can't be broken
+    * by a fixture regeneration changing the physical parquet type:
+    *  - parquet TIMESTAMP(NANOS) read as long nanos (under
+    *    `spark.sql.legacy.parquet.nanosAsLong`) → TimestampType micros,
+    *    truncating like DuckDB's ns→us cast;
+    *  - TIMESTAMP_NTZ → TIMESTAMP — a pure type relabel under the UTC
+    *    session (same micros value), required because `withWatermark`
+    *    rejects NTZ event-time columns
+    *    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def normalizeEventTime(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTime(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

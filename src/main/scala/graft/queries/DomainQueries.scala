@@ -277,10 +277,7 @@ object DomainQueries {
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-        val ticks =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ticks = Tables.normalizeEventTime(raw, "ts")
         val bars = TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
           windowDuration = "1 hour", watermark = "10 minutes")
         val q = bars.writeStream.outputMode("complete").format("memory")
@@ -313,10 +310,7 @@ object DomainQueries {
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-        val ticks =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ticks = Tables.normalizeEventTime(raw, "ts")
         val deduped = ticks
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")

@@ -333,10 +333,7 @@ object MoreQueries {
       graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
-        val ticks =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val ticks = graft.core.Tables.normalizeEventTime(raw, "ts")
         val bars = graft.streaming.TickBarStream.bars(ticks, Seq("user_id"),
           "ts", "event_id", "value", "1 hour", "10 minutes")
         val q = graft.streaming.TickBarStream

@@ -31,10 +31,7 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark {
       spark.sparkContext.hadoopConfiguration)
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema).parquet(dir)
-    val ticks =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val ticks = Tables.normalizeEventTime(raw, "ts")
     val streamed = TickBarStream.replayParquet(spark, dir,
       spark.read.parquet(s"$sfDir/events.parquet").schema,
       _ => TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
@@ -44,6 +41,54 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark {
 
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("event-time conformance: NTZ parquet flows through a watermarked query") {
+    // SURVEY §1.4 type policy as an engine invariant: a fixture
+    // regeneration that flips `ts` between TIMESTAMP / TIMESTAMP_NTZ /
+    // INT64-nanos must not break watermark consumers, because every
+    // event-time read goes through Tables.normalizeEventTime.
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ntz_conformance"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq((1L, 1L, 10.0, "2024-01-01T00:05:00"), (1L, 2L, 20.0, "2024-01-01T00:25:00"),
+        (2L, 3L, 5.0, "2024-01-01T01:10:00"))
+      .toDF("user_id", "event_id", "value", "ts_raw")
+      .withColumn("ts", col("ts_raw").cast(TimestampNTZType)).drop("ts_raw")
+      .write.parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    assert(schema("ts").dataType == TimestampNTZType, "fixture must be NTZ to exercise the branch")
+    // batch path: read-layer normalization relabels to TimestampType
+    val batch = Tables.normalizeEventTime(spark.read.parquet(dir), "ts")
+    assert(batch.schema("ts").dataType == TimestampType)
+    // streaming path: the NTZ column must survive withWatermark after
+    // normalization (this is exactly what EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    // rejected before the read-layer policy existed)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val ticks = Tables.normalizeEventTime(raw, "ts")
+    val bars = TickBarStream.bars(ticks, Seq("user_id"), "ts", "event_id", "value",
+      "1 hour", watermark = "10 minutes")
+    val q = bars.writeStream.outputMode("complete").format("memory")
+      .queryName("ntz_conformance_bars").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ntz_conformance_bars")
+      .select($"user_id", $"bar_start".cast("string"), $"n_ticks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "2024-01-01 00:00:00", 2L), (2L, "2024-01-01 01:00:00", 1L)), got)
+  }
+
+  test("event-time conformance: long-nanos column normalizes to micros TimestampType") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val nanos = 1704067200L * 1000000000L + 123456789L // 2024-01-01T00:00:00.123456789
+    val df = Seq(nanos).toDF("ts")
+    val norm = Tables.normalizeEventTime(df, "ts")
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as[String].head()
+      == "2024-01-01 00:00:00.123456") // ns truncated like DuckDB ns→us
   }
 
   test("mapGroupsWithState folds later micro-batches into carried state") {
