@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Scratch
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -28,13 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  /** Per-document bigram multiset `(id, w1, w2, m)` over lowercased
-    * whitespace tokens; documents with fewer than 2 tokens drop out
+  /** Per-document bigram multiset `(id, w1, w2, m)` from pre-tokenized
+    * docs `(id, __lt)`; documents with fewer than 2 tokens drop out
     * (they have no bigrams to score).
     */
-  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .withColumn("__lt", TextFunctions.tokens(lower(col(textCol))))
+  private def bigrams(toks: DataFrame, idCol: String): DataFrame =
+    toks
       .filter(size(col("__lt")) >= 2)
       .select(col(idCol),
         explode(expr(
@@ -46,19 +46,33 @@ object LanguageModel {
 
   /** Train on `docs` and score every document of `docs`:
     * `(id, n_bigrams, cross_entropy, ppl)` — cross-entropy in nats,
-    * `ppl = exp(H)`. One pass builds the per-doc multiset; counts and
-    * scores reuse it, so the corpus is tokenized exactly once.
+    * `ppl = exp(H)`.
+    *
+    * The corpus is tokenized EXACTLY once, enforced by materialization
+    * (not just plan sharing, which Catalyst does not deduplicate across
+    * action boundaries): the token arrays go to scratch parquet and feed
+    * both the bigram build and the vocabulary scalar; the per-doc
+    * multiset `m` — the heaviest subtree, consumed three times (directly
+    * by the scoring join and transitively via c12 and c1) — is
+    * materialized too, so each consumer re-reads a small parquet instead
+    * of re-running tokenize+explode+groupBy. At 100 TB both
+    * intermediates are corpus-proportional one-pass writes that replace
+    * three corpus-wide recomputations.
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    val m = bigrams(docs, idCol, textCol)
+    val key = s"$idCol|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    val toks = Scratch.materialize(
+      docs.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__lt")),
+      "lm_toks", key)
+    val m = Scratch.materialize(bigrams(toks, idCol), "lm_bigrams", key)
     val c12 = m.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // vocabulary over all tokens (not just bigram contexts): the scalar
     // V is the single driver-held model parameter
-    val vocab = docs
-      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("__tok"))
+    val vocab = toks
+      .select(explode(col("__lt")).as("__tok"))
       .agg(countDistinct(col("__tok")))
       .head().getLong(0)
     val scored = m
