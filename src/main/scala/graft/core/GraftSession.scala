@@ -29,6 +29,15 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.ui.explainMode", "formatted")
+      // Bound the driver's live status store: a long-lived session that
+      // runs hundreds of heavy queries (the bench/verify harness, or any
+      // real always-on driver) otherwise accretes per-execution metric
+      // trees for the default 1000 executions, and that heap tax lands
+      // on every LATER query's GC — the in-run vs isolated bench skew.
+      .config("spark.sql.ui.retainedExecutions", "32")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -159,8 +159,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // query's result is materialized, the session cache is empty again —
     // shared intermediates live as scratch parquet on disk instead.
     spark.catalog.clearCache()
+    // Round-6 additions: the sketch/ANN/LM operators hold model-sized
+    // driver state (densified Bloom words, PQ codebooks, the bigram
+    // scratch pattern) — their QUERIES must still leave the session
+    // cache empty, with every shared intermediate on scratch disk.
     for (q <- Seq("dd_simhash_pairs", "dd_minhash_pairs", "dd_dup_clusters",
-        "d3_continuous_series")) {
+        "d3_continuous_series", "t_bigram_ppl", "t_bloom_blocklist",
+        "t_cms_counts", "t_hist_quantiles", "v_ivfpq_topk", "v_pq_topk")) {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       assert(org.apache.spark.sql.CacheAccess.cacheIsEmpty(spark),
         s"$q leaked a persisted DataFrame into the session cache")
