@@ -343,6 +343,38 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    "d7_constituent_bisect" -> ((s, d) => {
+      // D7 — the bisection driver end-to-end: membership(D) = users whose
+      // first-event MONTH has started by D (monotone first-activity
+      // cohorts → endpoint equality is exact, see ConstituentBisection).
+      // The driver recursion samples O(changes·log axis) membership
+      // snapshots instead of one per trade date; the sampled snapshots
+      // collapse to per-member intervals, then the J12-style calendar
+      // expansion unrolls them to monthly membership rows. The only
+      // driver-held state is the per-user join-month map and the sampled
+      // sets — constituent-sized (the reference's sectors are hundreds of
+      // codes), never event-sized.
+      val ev = Tables.events(s, d)
+      val joinMonth = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("MONTH", min(col("ts")))).as("jm"))
+        .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+      val span = ev.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi")).head()
+      val axis = graft.sources.ConstituentBisection.weekdayAxis(
+        span.getDate(0).toLocalDate, span.getDate(1).toLocalDate)
+      val sampled = graft.sources.ConstituentBisection.sample(axis.length,
+        i => joinMonth.collect { case (u, m) if !m.isAfter(axis(i)) => u }.toSet)
+      val intervals = graft.sources.ConstituentBisection.memberIntervals(axis, sampled)
+      import s.implicits._
+      intervals.map { case (u, f, t) =>
+          (u, java.sql.Date.valueOf(f), java.sql.Date.valueOf(t)) }
+        .toDF("user_id", "member_from", "member_to")
+        .withColumn("month", explode(expr(
+          "sequence(date_trunc('MONTH', member_from), date_trunc('MONTH', member_to), interval 1 month)")))
+        .select(col("user_id"), to_date(col("month")).as("month"),
+          col("member_from"), col("member_to"))
+        .orderBy(col("user_id"), col("month"))
+    }),
+
     "cal_next_open" -> ((s, d) => {
       // Trade-calendar clamping (F10/J3 support): each order date → the
       // next open (weekday) session.
@@ -542,6 +574,25 @@ object MoreQueries {
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
         |  arg_max(value, event_id) AS close, count(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    "d7_constituent_bisect" ->
+      """WITH jm AS (SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS jm
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+        |axis AS (SELECT dt FROM (
+        |    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS dt FROM span)
+        |  WHERE dayofweek(dt) BETWEEN 1 AND 5),
+        |iv AS (SELECT user_id,
+        |    (SELECT min(dt) FROM axis WHERE dt >= jm) AS member_from,
+        |    (SELECT max(dt) FROM axis) AS member_to
+        |  FROM jm)
+        |SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(date_trunc('month', member_from) AS TIMESTAMP),
+        |    CAST(date_trunc('month', member_to) AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month,
+        |  member_from, member_to
+        |FROM iv WHERE member_from IS NOT NULL
+        |ORDER BY user_id, month""".stripMargin,
 
     "cal_next_open" ->
       """WITH cal AS (

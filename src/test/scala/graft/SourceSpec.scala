@@ -46,6 +46,48 @@ class SourceSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage == "down" && calls == 2)
   }
 
+  test("D7 bisection recovers monotone membership exactly with ≪ linear fetches") {
+    import graft.sources.ConstituentBisection
+    import java.time.LocalDate
+    // 400 weekdays; members join at a handful of change points and never
+    // leave — the reference's constituent-history shape. Ground truth:
+    val axis = ConstituentBisection.weekdayAxis(
+      LocalDate.parse("2020-01-01"), LocalDate.parse("2021-07-15"))
+    assert(axis.length > 390, s"axis too short: ${axis.length}")
+    val joins = Map("AAA" -> 0, "BBB" -> 0, "CCC" -> 57, "DDD" -> 141,
+      "EEE" -> 141, "FFF" -> 260, "GGG" -> 399)
+    def membership(i: Int): Set[String] =
+      joins.collect { case (m, j) if j <= i => m }.toSet
+    val sampled = ConstituentBisection.sample(axis.length, membership)
+    // every change point localized exactly
+    val intervals = ConstituentBisection.memberIntervals(axis, sampled)
+    assert(intervals.toSet == joins.map { case (m, j) =>
+      (m, axis(j), axis.last) }.toSet, s"wrong intervals: $intervals")
+    // the whole point: fetch count is O(changes · log axis), not O(axis)
+    assert(sampled.fetchCount < axis.length / 5,
+      s"bisection degenerated to linear: ${sampled.fetchCount} of ${axis.length}")
+    assert(sampled.fetchCount >= 5, "implausibly few fetches — recursion broken")
+  }
+
+  test("D7 bisection: equal endpoints hide an interior flip (documented contract)") {
+    import graft.sources.ConstituentBisection
+    import java.time.LocalDate
+    val axis = ConstituentBisection.weekdayAxis(
+      LocalDate.parse("2020-01-01"), LocalDate.parse("2020-12-31"))
+    // XXX leaves at index 100 and re-joins at 200: the enclosing
+    // endpoints are EQUAL, so the recursion declares the whole axis
+    // constant after exactly two fetches and the dip is missed — the
+    // reference's contract (sectorconstituent.py:147-149), exact only
+    // for monotone membership, which is why the oracled query uses
+    // first-activity cohorts.
+    def membership(i: Int): Set[String] =
+      if (i < 100 || i >= 200) Set("XXX", "YYY") else Set("YYY")
+    val sampled = ConstituentBisection.sample(axis.length, membership)
+    assert(sampled.fetchCount == 2, s"expected 2 endpoint fetches, got ${sampled.fetchCount}")
+    val got = ConstituentBisection.memberIntervals(axis, sampled).toSet
+    assert(got == Set(("XXX", axis.head, axis.last), ("YYY", axis.head, axis.last)), got)
+  }
+
   test("watermark-incremental load ≡ full recompute (SURVEY §5.2)") {
     // Split the orders table at a watermark, load base then increment via
     // newerThanSink, and compare against loading everything at once.
