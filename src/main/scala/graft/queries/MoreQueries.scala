@@ -343,6 +343,45 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    "j5_code_mapping" -> ((s, d) => {
+      // J5 — cross-vendor code-mapping build + refresh as a real
+      // pipeline: seed from the wind-side universe, then fold in the
+      // ifind-side universe by normalized-name match (the F7 key),
+      // landing both steps as keyed upserts. Vendors are simulated from
+      // the supplier table with DIFFERENT market suffixes per side so the
+      // output pins the reference's rule that a relink re-derives market
+      // from the ifind code.
+      val windSide = Tables.supplier(s, d)
+        .filter(pmod(col("s_suppkey"), lit(3)) =!= 0)
+        .select(concat(lit("W"), col("s_suppkey"), lit("."),
+            when(pmod(col("s_suppkey"), lit(2)) === 0, "SH").otherwise("SZ")).as("wind_code"),
+          col("s_name").as("full_name"))
+      val ifindSide = Tables.supplier(s, d)
+        .filter(pmod(col("s_suppkey"), lit(2)) === 1)
+        .select(concat(lit("T"), col("s_suppkey"), lit("."),
+            when(pmod(col("s_suppkey"), lit(5)) < 2, "SH").otherwise("SZ")).as("ths_code"),
+          // vendor-side whitespace/case noise the normName key must absorb
+          upper(concat(lit("  "), col("s_name"), lit(" "))).as("full_name"))
+      val base = graft.operators.CodeMapping.fromWind(windSide, "stock")
+      val (updated, inserted) = graft.operators.CodeMapping
+        .refreshFromIfind(base, ifindSide, windSide, "stock")
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_code_mapping"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      // row identity survives the relink (unique_code flips w.→i.), so
+      // the PK is the stable vendor key, not unique_code
+      val spec = graft.core.TableSpec("code_mapping", Seq("row_key"))
+      def keyed(df: DataFrame) =
+        df.withColumn("row_key", coalesce(col("wind_code"), col("ths_code")))
+      store.upsert(spec, keyed(base))
+      store.upsert(spec, keyed(updated.unionByName(inserted)))
+      store.read(spec)
+        .select(col("unique_code"), col("wind_code"), col("ths_code"),
+          col("market"), col("type"))
+        .orderBy(col("unique_code"))
+    }),
+
     "d7_constituent_bisect" -> ((s, d) => {
       // D7 — the bisection driver end-to-end: membership(D) = users whose
       // first-event MONTH has started by D (monotone first-activity
@@ -574,6 +613,32 @@ object MoreQueries {
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
         |  arg_max(value, event_id) AS close, count(*) AS n_ticks
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    "j5_code_mapping" ->
+      """WITH wind AS (
+        |  SELECT 'W' || CAST(s_suppkey AS VARCHAR) || '.' ||
+        |      (CASE WHEN s_suppkey % 2 = 0 THEN 'SH' ELSE 'SZ' END) AS wind_code,
+        |    s_name AS full_name
+        |  FROM supplier WHERE s_suppkey % 3 <> 0),
+        |ifind AS (
+        |  SELECT 'T' || CAST(s_suppkey AS VARCHAR) || '.' ||
+        |      (CASE WHEN s_suppkey % 5 < 2 THEN 'SH' ELSE 'SZ' END) AS ths_code,
+        |    upper('  ' || s_name || ' ') AS full_name
+        |  FROM supplier WHERE s_suppkey % 2 = 1),
+        |m AS (
+        |  SELECT w.wind_code, i.ths_code
+        |  FROM wind w JOIN ifind i ON upper(trim(w.full_name)) = upper(trim(i.full_name)))
+        |SELECT CASE WHEN m.ths_code IS NULL THEN 'w.' || w.wind_code
+        |         ELSE 'i.' || m.ths_code END AS unique_code,
+        |  w.wind_code, m.ths_code,
+        |  CASE WHEN m.ths_code IS NULL THEN split_part(w.wind_code, '.', 2)
+        |    ELSE split_part(m.ths_code, '.', 2) END AS market,
+        |  'stock' AS type
+        |FROM wind w LEFT JOIN m ON w.wind_code = m.wind_code
+        |UNION ALL
+        |SELECT 'i.' || i.ths_code, NULL, i.ths_code, split_part(i.ths_code, '.', 2), 'stock'
+        |FROM ifind i LEFT JOIN m ON i.ths_code = m.ths_code WHERE m.ths_code IS NULL
+        |ORDER BY unique_code""".stripMargin,
 
     "d7_constituent_bisect" ->
       """WITH jm AS (SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS jm

@@ -486,6 +486,26 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(fused.except(full).isEmpty && full.except(fused).isEmpty)
   }
 
+  test("code-mapping refresh skips already-mapped codes and splits update/insert") {
+    import spark.implicits._
+    import graft.operators.CodeMapping
+    val wind = Seq(("W1.SH", "Alpha Fund"), ("W2.SZ", "Beta Fund"))
+      .toDF("wind_code", "full_name")
+    val ifind = Seq(
+      ("T1.SZ", "  alpha fund "),  // name-matches W1.SH → relink
+      ("T3.SH", "Gamma Fund"),     // no wind match → insert
+      ("T9.SH", "Beta Fund"))      // already mapped → must be ignored
+      .toDF("ths_code", "full_name")
+    val base = CodeMapping.fromWind(wind, "fund")
+      .withColumn("ths_code",
+        when(col("wind_code") === "W2.SZ", "T9.SH").otherwise(col("ths_code")))
+    val (upd, ins) = CodeMapping.refreshFromIfind(base, ifind, wind, "fund")
+    assert(upd.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSet == Set(("i.T1.SZ", "W1.SH", "T1.SZ", "SZ")))
+    assert(ins.collect().map(r => (r.getString(0), Option(r.getString(1)), r.getString(2),
+      r.getString(3))).toSet == Set(("i.T3.SH", None, "T3.SH", "SH")))
+  }
+
   test("language id picks the profile with most marker hits") {
     import spark.implicits._
     val docs = Seq(
