@@ -404,6 +404,50 @@ object DomainQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── Streaming: heartbeat liveness rows landed in a keyed sink ────
+    "stream_heartbeat_upsert" -> ((s, d) => {
+      // §1.4 heart_beat end-to-end: the listener folds per-micro-batch
+      // progress into one liveness row per query, and the monitoring
+      // sink is a plain keyed upsert — the reference's one-row table
+      // (tasks/backend/orm.py:58-91), per query instead of global. The
+      // oracle pins the deterministic columns: name, terminal status,
+      // and input_rows == the fixture's full row count; batch ids and
+      // wall-clock stay out of the landed row.
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hb")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$d/events.parquet"), fs,
+        new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val hb = graft.streaming.Heartbeat.attach(s)
+      try {
+        TickBarStream.withShufflePartitions(s, 8) {
+          val raw = s.readStream.schema(
+            s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+          val bars = TickBarStream.bars(Tables.normalizeEventTime(raw, "ts"),
+            Seq("user_id"), "ts", "event_id", "value", "1 hour", "10 minutes")
+          val q = bars.writeStream.outputMode("complete").format("memory")
+            .queryName("graft_hb_bars").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        require(hb.awaitStatus("graft_hb_bars", "terminated", timeoutMs = 15000),
+          "heartbeat termination event not observed")
+        val storeDir = s"$tmpRoot/graft_hb_store"
+        fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+        val store = new graft.core.TableStore(s, storeDir)
+        val spec = graft.core.TableSpec("heartbeats", Seq("name"))
+        store.upsert(spec, hb.snapshot(s)
+          .filter(col("name") === "graft_hb_bars")
+          .select(col("name"), col("status"), col("input_rows")))
+        store.read(spec)
+          .select(col("name"), col("status"), col("input_rows"))
+          .orderBy(col("name"))
+      } finally graft.streaming.Heartbeat.detach(s, hb)
+    }),
+
     // ── Multimodal: partition-wise feature extraction over binary ────
     "mm_media_features" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -693,6 +737,11 @@ object DomainQueries {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(count(DISTINCT event_id % 2) AS INT) AS n_updates
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_heartbeat_upsert" ->
+      """SELECT 'graft_hb_bars' AS name, 'terminated' AS status,
+        |  CAST(count(*) AS BIGINT) AS input_rows
+        |FROM events""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -69,6 +69,21 @@ final class Heartbeat extends StreamingQueryListener {
     beats.values.asScala
       .filter(b => b.status != "terminated" && nowMs - b.last_beat_ms > maxAgeMs)
       .toSeq
+
+  /** Block until the named query's beat reaches `status` (listener
+    * delivery is async — after `query.stop()` the terminated event is
+    * still in flight). The streaming bus delivers in order, so once the
+    * terminal status is visible every earlier progress event has been
+    * folded in and `input_rows` is final. */
+  def awaitStatus(name: String, status: String, timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (beats.values.asScala.exists(b => b.name == name && b.status == status))
+        return true
+      Thread.sleep(20)
+    }
+    false
+  }
 }
 
 object Heartbeat {
