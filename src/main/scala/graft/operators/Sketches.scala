@@ -60,17 +60,20 @@ object Sketches {
     * certain absence, true is presence up to the standard false-positive
     * rate. The filter densifies to an `Array[Long]` on the driver
     * (m/63 longs — model-sized, the k-means-centroid precedent) and
-    * rides the closure; the probe itself is a fused map-only kernel,
-    * zero shuffles and O(k) per row, because membership at 100 TB must
-    * not cost a join against the key set — that join is exactly what
-    * the sketch exists to delete. The kernel hashes with
-    * [[Md5Hash.h1h2]], the same windows [[bloomBuild]]'s Column algebra
-    * uses, so probe and build can never disagree on a position.
+    * ships as a BROADCAST referenced by a native codegen'd expression
+    * ([[graft.plans.BloomProbeExpr]]): tasks serialize the broadcast id,
+    * executors fetch the words once, and the probe stays inside
+    * whole-stage codegen — zero shuffles and O(k) per row, because
+    * membership at 100 TB must not cost a join against the key set —
+    * that join is exactly what the sketch exists to delete. The kernel
+    * hashes with [[Md5Hash.h1h2]], the same windows [[bloomBuild]]'s
+    * Column algebra uses, so probe and build can never disagree on a
+    * position.
     */
   def bloomMightContain(sketch: DataFrame, probes: DataFrame,
       valueCol: Column, mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
     // 2^30 bits → ~17M longs ≈ 136 MB densified: the ceiling for a
-    // driver-held, closure-shipped model (beyond it, ship the sparse
+    // driver-held, broadcast-shipped model (beyond it, ship the sparse
     // sketch and broadcast-join instead).
     require(mBits > 0 && mBits <= (1L << 30), s"mBits=$mBits out of range")
     require(k >= 1 && k <= 16, s"k=$k out of the overflow-safe range 1..16")
@@ -80,22 +83,11 @@ object Sketches {
       .collect()
       .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     val bc = probes.sparkSession.sparkContext.broadcast(words)
-    val probe = udf { s: String =>
-      if (s == null) false
-      else {
-        val (h1, h2) = Md5Hash.h1h2(s)
-        val w = bc.value
-        var i = 0
-        var ok = true
-        while (ok && i < k) {
-          val pos = (h1 + i * h2) % mBits // h1, h2 ≥ 0 → % equals pmod
-          ok = (w((pos / 63).toInt) & (1L << (pos % 63).toInt)) != 0L
-          i += 1
-        }
-        ok
-      }
-    }
-    probes.withColumn("might_contain", probe(valueCol.cast("string")))
+    val probe = org.apache.spark.sql.classic.GraftPlanBridge.column(
+      graft.plans.BloomProbeExpr(
+        org.apache.spark.sql.classic.GraftPlanBridge.expression(valueCol.cast("string")),
+        bc, mBits, k))
+    probes.withColumn("might_contain", probe)
   }
 
   /** Equi-width histogram of `valueCol` over [lo, hi): `(bin, cnt)`

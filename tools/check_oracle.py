@@ -22,8 +22,20 @@ def main(sf_dir, out_dir):
         )
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Verify-side execution errors: surface them as explicit FAIL rows so
+    # an erroring query can never silently vanish from the gate.
+    try:
+        with open(f"{out_dir}/errors.json") as f:
+            errors = json.load(f)
+    except FileNotFoundError:
+        errors = {}
     n_pass = n_fail = 0
+    for name, err in sorted(errors.items()):
+        n_fail += 1
+        print(f"FAIL {name}: query errored during Verify: {err}")
     for name, sql in sorted(oracles.items()):
+        if name in errors:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
