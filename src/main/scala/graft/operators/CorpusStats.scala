@@ -259,6 +259,42 @@ object CorpusStats {
           - col("start_off")).as("doc_slice_end"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/context-window
+    * preprocessing step: split each document into windows of
+    * `windowTokens` whitespace tokens advancing by `strideTokens`
+    * (stride < window ⇒ overlap). Chunk count is
+    * `1 + max(0, ceil((n - window) / stride))`, so every token is
+    * covered and only the final chunk may run short — the Hugging-Face
+    * `return_overflowing_tokens` convention.
+    *
+    * Map-only: tokenize + per-row bounded explode, no shuffle, no
+    * driver state — embarrassingly parallel at any corpus size. Chunk
+    * ids are per-document, so re-chunking is reproducible under any
+    * partitioning. Empty documents emit one empty chunk (chunk_id 0),
+    * keeping doc_id coverage total.
+    *
+    * Returns (idCol, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, "window must be positive")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      "stride must be in (0, window]")
+    val t = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", coalesce(size(col("__toks")), lit(0)).cast("long"))
+      .withColumn("__nc", lit(1L) + greatest(lit(0L),
+        ceil((col("__n") - lit(windowTokens)).cast("double") / strideTokens).cast("long")))
+    t.select(col(idCol), col("__toks"), col("__n"),
+      explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(windowTokens.toLong), col("__n") - col("chunk_id") * strideTokens)
+          .as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("chunk_id") * strideTokens + 1).cast("int"),
+            lit(windowTokens))).as("chunk_text"))
+  }
+
   /** C4-style blocklist scrub: drop blocklisted tokens from each
     * document. Returns (id, clean_text, n_tokens, n_removed). The
     * blocklist is a literal array in the plan (codegen'd `array_contains`
@@ -351,6 +387,42 @@ object CorpusStats {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__quota"))
       .drop("__quota", "__rk")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * Inf. Proc. Letters 2006): item i gets key −ln(uᵢ)/wᵢ and the n
+    * SMALLEST keys are the sample — inclusion probability proportional
+    * to weight, drawn in one pass with no rejection loop. uᵢ is a
+    * deterministic md5-window uniform of the id (the house trick every
+    * sampler here uses), so membership is a pure function of (id,
+    * weight, n): reproducible at any partitioning and replayable by the
+    * oracle. Keys are rounded to 12 decimals before ranking (id
+    * tie-break) so a last-ulp libm difference between engines can't
+    * flip a rank.
+    *
+    * Scale shape: map-side key computation + distributed top-n
+    * (`orderBy.limit` plans TakeOrderedAndProject — per-partition heaps,
+    * no global sort); the rank window afterwards runs on n rows only.
+    * The 100 TB use: quality-weighted corpus subsampling where w =
+    * quality score or token count.
+    *
+    * Returns (idCol, weightCol, key, rank), rank 1..n by ascending key.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (pmod(h, lit(1000000000L)).cast("double") + 0.5) / 1e9
+    val key = round(-log(u) / col(weightCol), 12)
+    val top = docs
+      .filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("key"))
+      .orderBy(col("key").asc, col(idCol).asc)
+      .limit(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").asc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** HyperLogLog registers over a column: `(idx, rho)` with

@@ -54,6 +54,43 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * centroid ([[Similarity.ivfAssign]]), then inside each cell mark as
+    * duplicate any vector whose cosine to a LOWER-id cell-mate is
+    * ≥ `eps` — the upper-triangular greedy of the public reference
+    * implementation (facebookresearch/SemDeDup, `dedup` over the
+    * cluster-local similarity matrix). Reference analogue: the
+    * cross-vendor near-duplicate reconciliation family
+    * (`tasks/merge/delete_duplicate_ticks.py:15-67` deduplicates exact
+    * keys; this is its semantic-space counterpart for training corpora).
+    *
+    * Scale shape: clustering bounds the quadratic pair scan to
+    * within-cell — O(Σ|cell|²), not O(n²). At 100 TB pick
+    * k ∝ n / targetCellSize so each cell's self-join fits one executor;
+    * the only wide exchange is the self-join on the cell id (centroids
+    * are broadcast by [[Similarity.ivfAssign]]).
+    *
+    * Returns one row per input vector: (idCol, cell, kept 1/0) —
+    * filtering `kept = 1` yields the deduplicated corpus.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centId: String, centVec: String,
+      eps: Double): DataFrame = {
+    val assigned = graft.operators.Similarity
+      .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec)
+    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")) >= eps)
+      .select(col("__idb").as(idCol)).distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(1)), Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"),
+        when(col("__dup").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
   /** MinHash signature: `numHashes` permutations from the
     * Kirsch–Mitzenmacher family `g_k(s) = h1(s) + k·h2(s)` over MD5
     * windows ([[graft.functions.Md5Hash]] — chosen so the DuckDB oracle

@@ -212,6 +212,32 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // W10: gap-based sessionization — the classic event-log operator a
+    // 100 TB pipeline runs daily: split each user's event stream at
+    // inactivity gaps, then aggregate per session. One shuffle on
+    // user_id (lag, running sum, and the final groupBy all share that
+    // partitioning); the 24 h gap matches this fixture's event density
+    // (~67 events/user/month). Gap math in integer microseconds so both
+    // engines compare exactly.
+    "w10_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("__us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 24L * 3600L * 1000000L
+      val sess = ev
+        .withColumn("new_s",
+          when(lag(col("__us"), 1).over(w).isNull ||
+            col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     "w3_running_windows" -> ((s, d) => {
       // W3 cumprod (back-adjust factor chains) + W4 cumsum + W5 ffill.
       val li = Tables.lineitem(s, d)

@@ -67,6 +67,17 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Retrieval/context-window chunking: 64-token windows, stride 48
+    // (25 % overlap). Chunk text is fingerprinted so the value check
+    // covers every chunk's exact content without hauling the text.
+    "t_chunk_windows" -> ((s, d) =>
+      graft.operators.CorpusStats.chunkTokenWindows(
+        Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+        windowTokens = 64, strideTokens = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "dd_exact_groups" -> ((s, d) => {
       // scatter: the corpus parquet is one snappy split; without a
       // round-robin exchange the tokenize+md5 fingerprint kernel runs
@@ -146,6 +157,15 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Weighted sampling without replacement (A-ES): 50 docs drawn with
+    // probability ∝ n_chars; exact membership and rank are replayed by
+    // the oracle from the md5-derived uniforms.
+    "t_weighted_sample" -> ((s, d) =>
+      graft.operators.CorpusStats.weightedSample(
+        Tables.documents(s, d), "doc_id", "n_chars", n = 50)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("rank"))),
+
     // Deterministic train/valid/test assignment: split = hash-bucket of
     // the doc id (80/10/10). Like t_stratified_sample, membership is a
     // pure function of the id — reproducible at any scale, partitioning,
@@ -199,6 +219,21 @@ object TextQueries {
       Dedup.embeddingCosinePairs(e, "vec_id", "v", "label", minCosine = 0.3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup: coarse-cluster the embedding space (8 deterministic
+    // low-id centroids — at scale, kmeansTrain output), then drop any
+    // vector with a ≥eps lower-id neighbor in its own cell. eps = 0.3 is
+    // this fixture's near-duplicate band (max within-cell cosine ≈ 0.49;
+    // real corpora run ≥ 0.95) — same float-safe cutoff dd_embed_cosine
+    // proved engine-portable.
+    "dd_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      Dedup.semDedup(e, "vec_id", "v", centroids, "cent_id", "cv", eps = 0.3)
+        .orderBy(col("vec_id"))
     }),
 
     "v_knn_bruteforce" -> ((s, d) => {
@@ -492,6 +527,31 @@ object TextQueries {
       s"""SELECT doc_id, md5(array_to_string($toksLower, ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    1 + greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)) AS nc
+         |  FROM t),
+         |c AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  least(64, n - chunk_id * 48) AS n_tokens,
+         |  md5(array_to_string(
+         |    toks[CAST(chunk_id * 48 + 1 AS INT) : CAST(chunk_id * 48 + 64 AS INT)],
+         |    ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000000 + 0.5) / 1e9 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars, round(-ln(u) / n_chars, 12) AS key FROM s),
+        |r AS (SELECT doc_id, n_chars, key,
+        |    row_number() OVER (ORDER BY key ASC, doc_id ASC) AS rank FROM k)
+        |SELECT doc_id, n_chars, key, rank FROM r WHERE rank <= 50
+        |ORDER BY rank""".stripMargin,
+
     "t_stratified_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source,
@@ -698,6 +758,32 @@ object TextQueries {
         |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id > a.vec_id) p
         |WHERE cos_raw >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup oracle: replay the coarse assignment (v_ivf_assign's
+    // argmin CTEs), then the upper-triangular within-cell greedy.
+    "dd_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS dist
+        |  FROM e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        |    FROM d) t WHERE rn = 1),
+        |eb AS (SELECT e.vec_id, e.v, b.cell FROM e JOIN best b USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM eb a JOIN eb b ON a.cell = b.cell AND b.vec_id > a.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))) >= 0.3)
+        |SELECT eb.vec_id, eb.cell,
+        |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM eb LEFT JOIN dup ON eb.vec_id = dup.vec_id
+        |ORDER BY eb.vec_id""".stripMargin,
 
     "v_ivf_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -352,6 +352,68 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, 0L, m(15.2, 15.4)), (1, 1L, m(27.2, 27.4))))
   }
 
+  test("weightedSample: ranks replay the documented A-ES key formula") {
+    import spark.implicits._
+    val weights = Map(1L -> 10L, 2L -> 100L, 3L -> 1L, 4L -> 50L, 5L -> 7L)
+    val docs = weights.toSeq.toDF("doc_id", "w")
+    val got = graft.operators.CorpusStats.weightedSample(docs, "doc_id", "w", n = 3)
+      .orderBy("rank").collect().map(_.getLong(0))
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val u = (h % 1000000000L + 0.5) / 1e9
+      BigDecimal(-math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = weights.toSeq.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(3).map(_._1)
+    assert(got.toSeq == expect)
+  }
+
+  test("chunkTokenWindows: HF overflow convention incl. short tail and empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i"), // 9 tokens → 3 chunks, short tail
+      (2L, "x y z"), // under one window → 1 chunk
+      (3L, "")).toDF("doc_id", "text") // empty → 1 empty chunk
+    val got = graft.operators.CorpusStats
+      .chunkTokenWindows(docs, "doc_id", "text", windowTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g"), (1L, 2L, 3L, "g h i"),
+      (2L, 0L, 3L, "x y z"),
+      (3L, 0L, 0L, "")))
+  }
+
+  test("semDedup: within-cell greedy keeps lowest id; cells isolate pairs") {
+    import spark.implicits._
+    // Two well-separated cells. Cell of c0=(1,0,0,0): v10 ≡ c0 (dup of
+    // the lower-id cell-mate), v11 orthogonal-ish (kept). Cell of
+    // c1=(0,0,1,0): v20 ≡ c1 but can't pair with v10 across cells.
+    // Chain semantics: v12 is similar to v11 but NOT to v10 — the
+    // upper-triangular greedy still removes it (matches the public
+    // SemDeDup reference, which thresholds against ALL lower-id rows,
+    // removed or not).
+    val vecs = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0), // centroid 0
+      1L -> Seq(0.0, 0.0, 1.0, 0.0), // centroid 1
+      10L -> Seq(1.0, 0.01, 0.0, 0.0), // dup of 0 (cos≈1)
+      11L -> Seq(0.6, 0.8, 0.0, 0.0), // cell 0, cos≈0.6 vs 0 → kept at eps=0.9
+      12L -> Seq(0.55, 0.84, 0.0, 0.0), // cos≈0.997 vs 11 → removed via chain
+      20L -> Seq(0.0, 0.0, 1.0, 0.01) // dup of 1, other cell
+    ).toDF("vec_id", "v")
+    val cents = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val got = Dedup.semDedup(vecs, "vec_id", "v", cents, "cent_id", "cv", eps = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L), (1L, 1L, 1L), (10L, 0L, 0L),
+      (11L, 0L, 1L), (12L, 0L, 0L), (20L, 1L, 0L)))
+  }
+
   test("lshNeighborPairs drops mega-buckets over the cap") {
     import spark.implicits._
     // 8 identical vectors land in one SRP bucket; with the cap below 8
