@@ -77,8 +77,17 @@ object Dedup {
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centId: String, centVec: String,
       eps: Double): DataFrame = {
-    val assigned = graft.operators.Similarity
-      .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec)
+    // The assignment subtree (scan + broadcast argmin + top-1 window) is
+    // consumed three times (both self-join sides + the final keep join);
+    // materialize it once — Catalyst shares no plans across join
+    // branches, and at corpus scale three assignment passes would triple
+    // the operator's only per-vector shuffle.
+    val key = s"$idCol|$vecCol|$eps|${vectors.queryExecution.analyzed.semanticHash()}" +
+      s"|${centroids.queryExecution.analyzed.semanticHash()}"
+    val assigned = graft.core.Scratch.materialize(
+      graft.operators.Similarity
+        .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec),
+      "semdedup_cells", key)
     val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
     val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
     val dups = a.join(b, Seq("cell"))

@@ -87,4 +87,62 @@ object LanguageModel {
         col("__h").as("cross_entropy"),
         exp(col("__h")).as("ppl"))
   }
+
+  /** PMI collocation mining (Church & Hanks 1990): score every adjacent
+    * word pair by pointwise mutual information
+    * `ln( p(w1,w2) / (p(w1)·p(w2)) )` with p from exact corpus counts
+    * (unigrams over tokens, joints over adjacent bigrams), keep pairs
+    * seen ≥ `minCount` times, return the `topK` by PMI — the classic
+    * fixed-phrase detector ("new york"-style collocations) a tokenizer-
+    * training or phrase-mining pass runs over the whole corpus.
+    *
+    * Scale shape: tokens are materialized once to scratch; unigram and
+    * bigram count tables (vocab-sized, partial-aggregated) are
+    * materialized too, because the scoring join consumes each twice and
+    * the totals row once — re-reads of a vocab-sized parquet instead of
+    * three corpus re-tokenizations. The top-k is `orderBy.limit`
+    * (distributed heaps), ranked by the 6-decimal-rounded PMI with a
+    * (w1, w2) tie-break so a libm ulp can't flip a rank; the rank
+    * window afterwards touches `topK` rows only.
+    *
+    * Returns (w1, w2, c12, pmi, rank).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(topK > 0, "topK must be positive")
+    val key = s"pmi|$idCol|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    val toks = Scratch.materialize(
+      docs.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__lt")),
+      "pmi_toks", key)
+    val uni = Scratch.materialize(
+      toks.select(explode(col("__lt")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")),
+      "pmi_uni", key)
+    val big = Scratch.materialize(
+      toks.filter(size(col("__lt")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__lt) - 2), i -> named_struct('w1', __lt[i], 'w2', __lt[i + 1]))"
+        )).as("__b"))
+        .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      "pmi_big", key)
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_tok"))
+      .crossJoin(big.agg(sum(col("c12")).cast("double").as("n_big")))
+    val scored = big.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      // one fixed expression shape in both engines: products before the
+      // division, ln last, round to 6 before ranking
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_big") * col("c1").cast("double") * col("c2").cast("double"))), 6))
+    val top = scored.select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    top.withColumn("rank", row_number().over(w))
+  }
 }

@@ -90,6 +90,15 @@ object CorpusQueries {
           round(col("ppl"), 6).as("ppl"))
         .orderBy(col("doc_id"))),
 
+    // PMI collocation mining: top fixed phrases by pointwise mutual
+    // information over exact corpus counts (pairs seen ≥ 5 times).
+    "t_pmi_bigrams" -> ((s, d) =>
+      LanguageModel.pmiCollocations(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+          minCount = 5L, topK = 100)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("rank"))),
+
     // Pretraining-mix rebalance: largest subset hitting the target
     // language shares, membership pinned per language by id checksums.
     "t_mixture_resample" -> ((s, d) => {
@@ -303,6 +312,30 @@ object CorpusQueries {
          |SELECT doc_id, n_bigrams, ${jr6("h")} AS cross_entropy,
          |  ${jr6("exp(h)")} AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "t_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(lt) AS tok FROM t) GROUP BY 1),
+         |big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM (SELECT unnest(list_transform(range(0, len(lt) - 1),
+         |      i -> struct_pack(w1 := lt[i + 1], w2 := lt[i + 2]))) AS b
+         |    FROM t WHERE len(lt) >= 2)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_tok,
+         |               (SELECT CAST(sum(c12) AS DOUBLE) FROM big) AS n_big),
+         |s AS (SELECT big.w1, big.w2, big.c12,
+         |    round(ln((CAST(big.c12 AS DOUBLE) * tot.n_tok * tot.n_tok) /
+         |      (tot.n_big * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+         |  FROM big
+         |  JOIN uni u1 ON u1.w = big.w1
+         |  JOIN uni u2 ON u2.w = big.w2
+         |  CROSS JOIN tot
+         |  WHERE big.c12 >= 5),
+         |r AS (SELECT w1, w2, c12, pmi,
+         |    row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM s)
+         |SELECT w1, w2, c12, pmi, rank FROM r WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
 
     "t_mixture_resample" ->
       s"""WITH wts(lang, t) AS (VALUES

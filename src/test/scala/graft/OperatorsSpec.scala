@@ -352,6 +352,24 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, 0L, m(15.2, 15.4)), (1, 1L, m(27.2, 27.4))))
   }
 
+  test("pmiCollocations: hand-computed PMI and ranks on a two-doc corpus") {
+    import spark.implicits._
+    // uni: a:2 b:2 c:1 d:1 (N_tok=6); bigrams: (a,b)x2 (b,a)x1 (c,d)x1
+    // (N_big=4). PMI = ln(c12·N_tok² / (N_big·c1·c2)).
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .pmiCollocations(docs, "doc_id", "text", minCount = 1L, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    def pmi(c12: Double, c1: Double, c2: Double): Double =
+      BigDecimal(math.log(c12 * 6.0 * 6.0 / (4.0 * c1 * c2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("c", "d", 1L, pmi(1, 1, 1), 1),
+      ("a", "b", 2L, pmi(2, 2, 2), 2),
+      ("b", "a", 1L, pmi(1, 2, 2), 3)))
+  }
+
   test("weightedSample: ranks replay the documented A-ES key formula") {
     import spark.implicits._
     val weights = Map(1L -> 10L, 2L -> 100L, 3L -> 1L, 4L -> 50L, 5L -> 7L)
