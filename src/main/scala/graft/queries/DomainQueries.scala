@@ -404,6 +404,49 @@ object DomainQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── Streaming: merging session windows across micro-batches ─────
+    "stream_sessionize" -> ((s, d) => {
+      // The event stream split by event_id parity into two staged files,
+      // maxFilesPerTrigger=1 → two micro-batches: batch 1 builds
+      // FRAGMENTED sessions from every other event, and batch 2's
+      // interleaved events must MERGE those session-window states (the
+      // state shape tumbling windows never exercise). Complete mode +
+      // a 40-day watermark (> the fixture's 30-day span) so no event is
+      // late and the final table must equal the batch w11 oracle.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_sess")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_sess_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        ev.filter(pmod(col("event_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val ticks = Tables.normalizeEventTime(raw, "ts")
+        val sessions = ticks
+          .withWatermark("ts", "40 days")
+          .groupBy(col("user_id"), session_window(col("ts"), "24 hours").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        val q = sessions.writeStream.outputMode("complete").format("memory")
+          .queryName("graft_stream_sess").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_sess").orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ── Streaming: heartbeat liveness rows landed in a keyed sink ────
     "stream_heartbeat_upsert" -> ((s, d) => {
       // §1.4 heart_beat end-to-end: the listener folds per-micro-batch
@@ -737,6 +780,24 @@ object DomainQueries {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(count(DISTINCT event_id % 2) AS INT) AS n_updates
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same twin as w11_session_window: streaming must converge to the
+    // batch session set once every event is in.
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 86400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 24 HOURS AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_heartbeat_upsert" ->
       """SELECT 'graft_hb_bars' AS name, 'terminated' AS status,

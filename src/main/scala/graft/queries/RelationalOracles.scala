@@ -174,6 +174,24 @@ object RelationalOracles {
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    // session_window semantics: new session at gap >= 24 h (half-open
+    // windows), end = last ts + gap.
+    "w11_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 86400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 24 HOURS AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "w3_running_windows" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, ship_date,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_qty,

@@ -238,6 +238,22 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // W11: the same sessionization through Spark's NATIVE session_window
+    // operator (one merging-window aggregation instead of two windows +
+    // a groupBy — the form whose state model also runs under Structured
+    // Streaming, see stream_sessionize). Window semantics: a new session
+    // starts when the gap is ≥ 24 h (half-open [ts, ts+gap) windows);
+    // session_end = last ts + gap by definition.
+    "w11_session_window" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "24 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "w3_running_windows" -> ((s, d) => {
       // W3 cumprod (back-adjust factor chains) + W4 cumsum + W5 ffill.
       val li = Tables.lineitem(s, d)
