@@ -92,6 +92,26 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(shuffles(df) == 2, s"window spec stopped being shared:\n${simple(df)}")
   }
 
+  test("w10 sessionization rides one data shuffle (lag + run-sum + agg co-partitioned)") {
+    // lag, the running session counter, and the per-session groupBy all
+    // key on user_id: one window Exchange, and the aggregate reuses it
+    // (grouping on (user_id, session_idx) is a superset of the window
+    // partitioning). Plus the presentation orderBy — two planned total.
+    val df = SparkEntry.queries("w10_sessionize")(spark, sf)
+    assert(shuffles(df) == 2,
+      s"sessionize stopped sharing the user_id partitioning:\n${simple(df)}")
+  }
+
+  test("weighted sample plans a distributed top-n, not a global sort") {
+    // orderBy.limit must stay TakeOrderedAndProject (per-partition heaps
+    // merged on the driver); a full-sort regression would shuffle the
+    // whole corpus to rank 50 rows.
+    val df = graft.operators.CorpusStats.weightedSample(
+      Tables.documents(spark, sf), "doc_id", "n_chars", n = 50)
+    assert(simple(df).contains("TakeOrderedAndProject"),
+      s"top-n degenerated to a global sort:\n${simple(df)}")
+  }
+
   test("d5 profiler job count is independent of candidate-column count") {
     // The column verdicts must come from ONE melted (explode) plan: the
     // number of Spark jobs a profiler call runs must NOT scale with the
