@@ -88,6 +88,71 @@ object LanguageModel {
         exp(col("__h")).as("ppl"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016): learn `numMerges`
+    * byte-pair merges from corpus word frequencies — the corpus-level
+    * job behind every subword tokenizer. The industry shape: ONE corpus
+    * pass builds the word-frequency table, then training iterates on
+    * that table alone (top `vocabWords` words by count), never touching
+    * the corpus again. Each iteration counts adjacent symbol pairs
+    * weighted by word count (overlapping positions count, the standard
+    * convention), picks the argmax pair with a (count DESC, pair)
+    * tie-break, and merges it greedily left-to-right in every word.
+    *
+    * Scale shape: the corpus pass is a partial-aggregated token count +
+    * distributed top-V; per-iteration work is one vocab-sized
+    * explode/groupBy (materialized each round so pass i+1 reads parquet
+    * instead of replaying i string rewrites); the driver holds exactly
+    * one winning pair per iteration — the model, nothing else.
+    *
+    * Determinism: symbol strings are sentinel-framed (U+001F around
+    * every symbol) so a merge pattern can only match at symbol
+    * boundaries, and `replace` is greedy-left-nonoverlapping in both
+    * this engine and the oracle's. Words are restricted to `[a-z]+`
+    * (post-lowercase) so the sentinel and the `</w>` end-of-word marker
+    * can't collide with symbol text.
+    *
+    * Returns the learned merge table: (merge_rank, lhs, rhs, pair_count).
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      vocabWords: Int, numMerges: Int): DataFrame = {
+    require(vocabWords > 0, "vocabWords must be positive")
+    require(numMerges > 0, "numMerges must be positive")
+    val SEP = "\u001f"
+    val key = s"bpe|$idCol|$textCol|$vocabWords|$numMerges|" +
+      docs.queryExecution.analyzed.semanticHash()
+    val words = Scratch.materialize(
+      docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(vocabWords),
+      "bpe_words", key)
+    var cur = words.select(col("w"), col("c"),
+      concat(lit(SEP),
+        concat_ws(SEP + SEP, concat(split(col("w"), ""), array(lit("</w>")))),
+        lit(SEP)).as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (i <- 1 to numMerges) {
+      cur = Scratch.materialize(cur, "bpe_iter", s"$key|$i")
+      val top = cur
+        .select(col("c"),
+          split(expr(s"trim(BOTH '$SEP' FROM s)"), SEP + SEP).as("l"))
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(l) - 2), i -> named_struct('a', l[i], 'b', l[i + 1]))"
+        )).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i, a, b, cnt))
+      cur = cur.withColumn("s",
+        expr(s"replace(s, '$SEP$a$SEP$SEP$b$SEP', '$SEP$a$b$SEP')"))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** PMI collocation mining (Church & Hanks 1990): score every adjacent
     * word pair by pointwise mutual information
     * `ln( p(w1,w2) / (p(w1)·p(w2)) )` with p from exact corpus counts

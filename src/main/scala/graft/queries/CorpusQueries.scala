@@ -90,6 +90,15 @@ object CorpusQueries {
           round(col("ppl"), 6).as("ppl"))
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer training: 8 merges learned from the top-300 word
+    // frequencies; the oracle replays every iteration (pair count →
+    // argmax → greedy merge) so each learned merge is value-checked.
+    "t_bpe_merges" -> ((s, d) =>
+      LanguageModel.bpeTrain(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+          vocabWords = 300, numMerges = 8)
+        .orderBy(col("merge_rank"))),
+
     // PMI collocation mining: top fixed phrases by pointwise mutual
     // information over exact corpus counts (pairs seen ≥ 5 times).
     "t_pmi_bigrams" -> ((s, d) =>
@@ -192,7 +201,40 @@ object CorpusQueries {
   private val cmsStops = graft.functions.TextFunctions.englishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** One BPE training iteration as CTEs: adjacent-pair counts over the
+    * current symbolization `prev`, argmax with (count DESC, pair)
+    * tie-break, greedy sentinel-framed merge. chr(31) = the U+001F
+    * sentinel [[graft.operators.LanguageModel.bpeTrain]] frames symbols
+    * with.
+    */
+  private def bpeIter(prev: String, i: Int): String =
+    s"""p$i AS (SELECT l[x] AS a, l[x + 1] AS b, c FROM (
+       |    SELECT c, l, unnest(range(1, len(l))) AS x FROM (
+       |      SELECT c, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS l
+       |      FROM $prev) q0) q1),
+       |best$i AS (SELECT a, b, cnt FROM (
+       |    SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt,
+       |      row_number() OVER (ORDER BY sum(c) DESC, a, b) AS rn
+       |    FROM p$i GROUP BY a, b) z WHERE rn = 1),
+       |w$i AS (SELECT w, c,
+       |    replace(s, chr(31) || a || chr(31) || chr(31) || b || chr(31),
+       |      chr(31) || a || b || chr(31)) AS s
+       |  FROM w${i - 1} CROSS JOIN best$i)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "t_bpe_merges" ->
+      s"""WITH w0 AS (SELECT w, c,
+         |    chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),
+         |      chr(31) || chr(31)) || chr(31) AS s
+         |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT unnest($toksLower) AS tok FROM documents) u
+         |    WHERE regexp_matches(tok, '^[a-z]+${"$"}')
+         |    GROUP BY 1 ORDER BY c DESC, w LIMIT 300) t),
+         |${(1 to 8).map(i => bpeIter(s"w${i - 1}", i)).mkString(",\n")}
+         |${(1 to 8).map(i =>
+             s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM best$i")
+             .mkString("\n UNION ALL ")}
+         |ORDER BY merge_rank""".stripMargin,
     // Rebuild the identical 4×1024 CMS grid (same MD5-window
     // Kirsch–Mitzenmacher hashes, same mod), then replay the min-of-4
     // point estimates and the exact counts.

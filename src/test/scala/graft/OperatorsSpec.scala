@@ -352,6 +352,21 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, 0L, m(15.2, 15.4)), (1, 1L, m(27.2, 27.4))))
   }
 
+  test("bpeTrain: hand-computed merges incl. argmax tie-break and </w> marker") {
+    import spark.implicits._
+    // words: low x3, lower x1. Iter 1 pairs: (l,o)=4, (o,w)=4, ... —
+    // count tie broken by pair order → (l,o). Iter 2: (lo,w)=4.
+    // Iter 3: (low,</w>)=3 — the end-of-word marker merges like any
+    // symbol.
+    val docs = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bpeTrain(docs, "doc_id", "text", vocabWords = 10, numMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "</w>", 3L)))
+  }
+
   test("pmiCollocations: hand-computed PMI and ranks on a two-doc corpus") {
     import spark.implicits._
     // uni: a:2 b:2 c:1 d:1 (N_tok=6); bigrams: (a,b)x2 (b,a)x1 (c,d)x1
