@@ -153,6 +153,45 @@ object LanguageModel {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** BPE encoding — the inference side of [[bpeTrain]]: segment every
+    * document's `[a-z]+` words by replaying the learned merges in rank
+    * order (same sentinel-framed greedy `replace` the trainer used, so
+    * encode ∘ train is self-consistent). Map-only: the merge table is a
+    * plan literal (tokenizer models are KBs — never a join), the whole
+    * kernel is one codegen'd expression chain per row; this is the
+    * shape that tokenizes a 100 TB corpus.
+    *
+    * Returns (idCol, n_words, n_subwords, seg_fp) — seg_fp an md5 of
+    * the canonical rendering (subwords `+`-joined within a word, words
+    * space-joined), so a value check covers the exact segmentation.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u001f"
+    val toks = filter(TextFunctions.tokens(lower(col(textCol))),
+      w => w.rlike("^[a-z]+$"))
+    val segmented = transform(toks, w => {
+      val wrapped = concat(lit(SEP),
+        concat_ws(SEP + SEP, concat(split(w, ""), array(lit("</w>")))),
+        lit(SEP))
+      merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        call_function("replace", c,
+          lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+      }
+    })
+    docs.select(col(idCol), segmented.as("__seg"))
+      .select(col(idCol),
+        size(col("__seg")).cast("long").as("n_words"),
+        coalesce(aggregate(col("__seg"), lit(0L),
+          (acc, s) => acc + size(split(
+            call_function("btrim", s, lit(SEP)), SEP + SEP))), lit(0L))
+          .as("n_subwords"),
+        md5(concat_ws(" ", transform(col("__seg"), s =>
+          call_function("replace",
+            call_function("btrim", s, lit(SEP)),
+            lit(SEP + SEP), lit("+"))))).as("seg_fp"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990): score every adjacent
     * word pair by pointwise mutual information
     * `ln( p(w1,w2) / (p(w1)·p(w2)) )` with p from exact corpus counts

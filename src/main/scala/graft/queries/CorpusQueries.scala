@@ -99,6 +99,22 @@ object CorpusQueries {
           vocabWords = 300, numMerges = 8)
         .orderBy(col("merge_rank"))),
 
+    // BPE encoding: segment the corpus with the 8 merges learned by
+    // t_bpe_merges (train → collect the KB-sized model → map-only
+    // encode). The oracle re-derives the same merges and replays the
+    // same greedy replaces, so n_subwords and the segmentation
+    // fingerprint are value-checked per document.
+    "t_bpe_encode" -> ((s, d) => {
+      val merges = LanguageModel.bpeTrain(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+          vocabWords = 300, numMerges = 8)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      LanguageModel.bpeEncode(Tables.scatter(Tables.documents(s, d)),
+          "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // PMI collocation mining: top fixed phrases by pointwise mutual
     // information over exact corpus counts (pairs seen ≥ 5 times).
     "t_pmi_bigrams" -> ((s, d) =>
@@ -221,7 +237,38 @@ object CorpusQueries {
        |      chr(31) || a || b || chr(31)) AS s
        |  FROM w${i - 1} CROSS JOIN best$i)""".stripMargin
 
+  /** The 8-merge replay applied to a wrapped word `$w` (nested greedy
+    * replaces, innermost = merge 1), correlated to best1..best8 rows.
+    */
+  private def bpeApply(w: String): String =
+    (1 to 8).foldLeft(
+      s"chr(31) || array_to_string(list_append(string_split($w, ''), '</w>'), chr(31) || chr(31)) || chr(31)"
+    )((acc, i) =>
+      s"replace($acc, chr(31) || b$i.a || chr(31) || chr(31) || b$i.b || chr(31), chr(31) || b$i.a || b$i.b || chr(31))")
+
   val oracleSql: Map[String, String] = Map(
+    "t_bpe_encode" ->
+      s"""WITH w0 AS (SELECT w, c,
+         |    chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),
+         |      chr(31) || chr(31)) || chr(31) AS s
+         |  FROM (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT unnest($toksLower) AS tok FROM documents) u
+         |    WHERE regexp_matches(tok, '^[a-z]+${"$"}')
+         |    GROUP BY 1 ORDER BY c DESC, w LIMIT 300) t),
+         |${(1 to 8).map(i => bpeIter(s"w${i - 1}", i)).mkString(",\n")},
+         |enc AS (SELECT doc_id,
+         |    list_transform(
+         |      list_filter($toksLower, x -> regexp_matches(x, '^[a-z]+${"$"}')),
+         |      w -> ${bpeApply("w")}) AS seg
+         |  FROM documents ${(1 to 8).map(i => s"CROSS JOIN best$i b$i").mkString(" ")})
+         |SELECT doc_id, CAST(len(seg) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(seg,
+         |    s -> len(string_split(trim(s, chr(31)), chr(31) || chr(31))))), 0) AS BIGINT)
+         |    AS n_subwords,
+         |  md5(array_to_string(list_transform(seg,
+         |    s -> replace(trim(s, chr(31)), chr(31) || chr(31), '+')), ' ')) AS seg_fp
+         |FROM enc ORDER BY doc_id""".stripMargin,
+
     "t_bpe_merges" ->
       s"""WITH w0 AS (SELECT w, c,
          |    chr(31) || array_to_string(list_append(string_split(w, ''), '</w>'),

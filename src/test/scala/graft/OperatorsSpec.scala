@@ -367,6 +367,23 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "</w>", 3L)))
   }
 
+  test("bpeEncode: segmentation replays the learned merges") {
+    import spark.implicits._
+    // merges from the bpeTrain spec: low → one token "low</w>";
+    // lower → low + e + r + </w>. Non-[a-z] words drop out entirely.
+    val docs = Seq((1L, "low lower"), (2L, "Zürich42 99")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val got = graft.operators.LanguageModel
+      .bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      (1L, 2L, 5L, m("low</w> low+e+r+</w>")),
+      (2L, 0L, 0L, m(""))))
+  }
+
   test("pmiCollocations: hand-computed PMI and ranks on a two-doc corpus") {
     import spark.implicits._
     // uni: a:2 b:2 c:1 d:1 (N_tok=6); bigrams: (a,b)x2 (b,a)x1 (c,d)x1
