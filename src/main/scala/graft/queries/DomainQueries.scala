@@ -404,6 +404,38 @@ object DomainQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── Streaming: stream-static broadcast enrichment join ──────────
+    "stream_enrich" -> ((s, d) => {
+      // The J13 dimension-lookup shape under Structured Streaming: each
+      // micro-batch joins the event stream to a broadcast static dim
+      // (customer segment keyed by user_id) before aggregating — no
+      // stream-side shuffle for the join, state only in the final agg.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val streamDir = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich")
+      fs.delete(streamDir, true)
+      fs.mkdirs(streamDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(
+          s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
+        val enriched = raw
+          .join(broadcast(cust), col("user_id") === col("c_custkey"), "left_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        val q = enriched.writeStream.outputMode("complete").format("memory")
+          .queryName("graft_stream_enrich").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_enrich").orderBy(col("segment"))
+    }),
+
     // ── Streaming: merging session windows across micro-batches ─────
     "stream_sessionize" -> ((s, d) => {
       // The event stream split by event_id parity into two staged files,
@@ -780,6 +812,13 @@ object DomainQueries {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(count(DISTINCT event_id % 2) AS INT) AS n_updates
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // Same twin as w11_session_window: streaming must converge to the
     // batch session set once every event is in.
