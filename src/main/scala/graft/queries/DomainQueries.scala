@@ -404,6 +404,56 @@ object DomainQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── Streaming: stream-stream interval join (attribution) ────────
+    "stream_join_attrib" -> ((s, d) => {
+      // view→purchase attribution: join two event-time streams on
+      // user_id with a [view_ts, view_ts + 1 h] range — the stream-
+      // stream join state shape (both sides buffered, matches emitted
+      // on arrival). Two parity-split micro-batches force CROSS-BATCH
+      // matches (a view in batch 1 pairs with a purchase in batch 2),
+      // and the over-span watermark keeps state live so the append
+      // output must equal the batch join oracle. At production scale
+      // the watermark is tight (hours) and bounds both buffers; here it
+      // must out-span the fixture so no row is late.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_attrib")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_attrib_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        ev.filter(pmod(col("event_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val ticks = Tables.normalizeEventTime(raw, "ts")
+        val views = ticks.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("view_ts", "40 days")
+        val buys = ticks.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+            col("event_id").as("buy_id"))
+          .withWatermark("buy_ts", "40 days")
+        val joined = views.join(buys,
+          expr("user_id = buy_user AND buy_ts >= view_ts AND buy_ts <= view_ts + interval 1 hour"))
+          .select(col("user_id"), col("view_id"), col("buy_id"))
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName("graft_stream_attrib").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_attrib")
+        .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+    }),
+
     // ── Streaming: stream-static broadcast enrichment join ──────────
     "stream_enrich" -> ((s, d) => {
       // The J13 dimension-lookup shape under Structured Streaming: each
@@ -812,6 +862,14 @@ object DomainQueries {
         |  min(value) AS min_value, max(value) AS max_value,
         |  CAST(count(DISTINCT event_id % 2) AS INT) AS n_updates
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_join_attrib" ->
+      """SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        |  AND v.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY v.user_id, view_id, buy_id""".stripMargin,
 
     "stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
