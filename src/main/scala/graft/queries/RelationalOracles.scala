@@ -159,6 +159,20 @@ object RelationalOracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "p10_zorder_layout" ->
+      """WITH z AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      ((l_suppkey >> i) & 1) * (1::BIGINT << (2 * i + 1))
+        |      + ((l_partkey >> i) & 1) * (1::BIGINT << (2 * i)))) AS z
+        |  FROM lineitem),
+        |b AS (SELECT l_suppkey, l_partkey,
+        |    CAST(ntile(32) OVER (ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        |  FROM z)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "w10_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, event_id, ts, value,

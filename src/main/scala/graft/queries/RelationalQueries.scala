@@ -196,6 +196,29 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // P10: z-order layout audit — cluster lineitem by the Morton code
+    // of (l_suppkey, l_partkey) into 32 equal buckets (one per would-be
+    // file) and report each bucket's min/max span on BOTH dimensions.
+    // Z-ordered buckets cover small rectangles (~√32 of each axis), so
+    // parquet min/max stats would prune point scans on either column;
+    // a plain sort clusters only its leading column. ntile over the
+    // unique (z, orderkey, linenumber) order stands in deterministically
+    // for the production mechanism (repartitionByRange on the z-value,
+    // whose sampled bounds aren't engine-replayable).
+    "p10_zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("l_partkey"))
+        .withColumn("z", graft.functions.ZOrder.zValue(col("l_suppkey"), col("l_partkey")))
+      val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("bucket", ntile(32).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"))
+        .orderBy(col("bucket"))
+    }),
+
     // ── W-family: windows ─────────────────────────────────────────────
     "w1_lead_lag" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -367,6 +367,28 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "</w>", 3L)))
   }
 
+  test("zValue interleaves bits; z-buckets cover aligned rectangles") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // z(5, 3): a-bits → odd positions (2 + 32), b-bits → even (1 + 4).
+    val z53 = Seq((5, 3)).toDF("a", "b")
+      .select(graft.functions.ZOrder.zValue($"a", $"b")).head().getLong(0)
+    assert(z53 == 39L)
+    // Full 64×64 grid into 16 z-buckets of 256 points: the curve tiles
+    // the grid into aligned 16×16 quadrants — span exactly 15 on BOTH
+    // dims. A lexicographic (a, b) sort would give span 63 on b.
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    val spans = grid
+      .withColumn("z", graft.functions.ZOrder.zValue($"a", $"b"))
+      .withColumn("bucket", ntile(16).over(Window.orderBy($"z")))
+      .groupBy($"bucket")
+      .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+      .collect()
+    assert(spans.length == 16)
+    assert(spans.forall(r => r.getInt(1) == 15 && r.getInt(2) == 15),
+      spans.mkString(","))
+  }
+
   test("bpeEncode: segmentation replays the learned merges") {
     import spark.implicits._
     // merges from the bpeTrain spec: low → one token "low</w>";
