@@ -53,6 +53,12 @@ object Bench {
       spark.catalog.clearCache()
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      // Streaming queries leave their state-store providers loaded in
+      // the executor JVM after stop() (HDFS-backed maps the maintenance
+      // thread keeps alive) — with 8 streaming queries in the suite that
+      // residue taxes every later query's GC. Unload them; the next
+      // streaming query transparently reloads from its checkpoint.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
       (name, elapsed, ok)
     }

@@ -113,13 +113,30 @@ object LanguageModel {
     *
     * Returns the learned merge table: (merge_rank, lhs, rhs, pair_count).
     */
+  /** Train-once memo: the model is a handful of tuples and training is
+    * deterministic in the key, so the second consumer in a session
+    * (t_bpe_encode trains, t_bpe_merges reads back -- or vice versa)
+    * must not replay the iteration loop.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
       vocabWords: Int, numMerges: Int): DataFrame = {
     require(vocabWords > 0, "vocabWords must be positive")
     require(numMerges > 0, "numMerges must be positive")
-    val SEP = "\u001f"
     val key = s"bpe|$idCol|$textCol|$vocabWords|$numMerges|" +
       docs.queryExecution.analyzed.semanticHash()
+    val merges = bpeCache.computeIfAbsent(key,
+      _ => trainMerges(docs, idCol, textCol, vocabWords, numMerges, key))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  private def trainMerges(docs: DataFrame, idCol: String, textCol: String,
+      vocabWords: Int, numMerges: Int, key: String): Seq[(Int, String, String, Long)] = {
+    val SEP = "\u001f"
     val words = Scratch.materialize(
       docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
@@ -148,9 +165,7 @@ object LanguageModel {
       cur = cur.withColumn("s",
         expr(s"replace(s, '$SEP$a$SEP$SEP$b$SEP', '$SEP$a$b$SEP')"))
     }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    merges.toSeq
   }
 
   /** BPE encoding — the inference side of [[bpeTrain]]: segment every
