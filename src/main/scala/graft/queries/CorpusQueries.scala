@@ -99,6 +99,38 @@ object CorpusQueries {
           vocabWords = 300, numMerges = 8)
         .orderBy(col("merge_rank"))),
 
+    // The production curation pipeline as ONE composed query: injected
+    // duplicate slice → exact dedup (content-fingerprint canonical) →
+    // Gopher quality gate → per-source yield report. Proves the
+    // operators compose the way the real corpus build runs them; the
+    // oracle recomputes every stage.
+    "t_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      val dups = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("n_chars"), col("text"))
+      val inp = Tables.scatter(base.unionAll(dups))
+      val fps = inp.select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val canon = fps.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      val quality = CorpusStats
+        .gopherQuality(Tables.scatter(Tables.documents(s, d)), "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      canon.join(quality, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .join(inp.groupBy(col("source")).agg(count(lit(1)).as("n_input")), Seq("source"))
+        .select(col("source"), col("n_input"), col("n_unique"),
+          col("n_kept"), col("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
     // BPE encoding: segment the corpus with the 8 merges learned by
     // t_bpe_merges (train → collect the KB-sized model → map-only
     // encode). The oracle re-derives the same merges and replays the
@@ -268,6 +300,36 @@ object CorpusQueries {
          |  md5(array_to_string(list_transform(seg,
          |    s -> replace(trim(s, chr(31)), chr(31) || chr(31), '+')), ' ')) AS seg_fp
          |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // Pipeline oracle: replay dedup over base ∪ injected-duplicate
+    // slice, the Gopher keep rule, and the per-source rollup.
+    "t_curation_pipeline" ->
+      s"""WITH inp AS (
+         |  SELECT doc_id, source, n_chars, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source, n_chars, text
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |fp AS (SELECT doc_id, source, n_chars,
+         |    md5(array_to_string($toksLower, ' ')) AS fp FROM inp),
+         |canon AS (SELECT doc_id, source, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM fp) z WHERE rn = 1),
+         |t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),
+         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    max(c) AS top_c, count(*) AS n_uniq FROM tc GROUP BY 1),
+         |k AS (SELECT d.doc_id,
+         |    coalesce(CAST(uni.top_c AS DOUBLE) / uni.n_tokens <= 0.1
+         |      AND CAST(uni.n_uniq AS DOUBLE) / uni.n_tokens >= 0.4, false) AS keep
+         |  FROM documents d LEFT JOIN uni ON uni.doc_id = d.doc_id)
+         |SELECT c.source,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM inp i WHERE i.source = c.source) AS n_input,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(coalesce(sum(CASE WHEN k.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN k.keep THEN c.n_chars ELSE 0 END), 0) AS BIGINT) AS kept_chars
+         |FROM canon c JOIN k ON k.doc_id = c.doc_id
+         |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "t_bpe_merges" ->
       s"""WITH w0 AS (SELECT w, c,

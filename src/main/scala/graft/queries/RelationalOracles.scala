@@ -159,6 +159,16 @@ object RelationalOracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Bloom pruning is invisible to the result (no false negatives;
+    // the exact join removes false positives) — the oracle is the
+    // plain join.
+    "p11_bloom_join_prune" ->
+      """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 3 = 0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
     "p10_zorder_layout" ->
       """WITH z AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
         |    list_sum(list_transform(range(0, 16), i ->

@@ -219,6 +219,35 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // P11: Bloom-pruned shuffle join — runtime-filter pushdown as an
+    // explicit operator (what Spark's Bloom join hint / runtime
+    // row-group filtering do internally): build a Bloom filter over the
+    // small side's keys, probe the fact scan with the codegen'd
+    // BloomProbeExpr BEFORE the shuffle, and let the exact equi-join
+    // delete the false positives — so the result provably equals the
+    // plain join while only ~|small side| of the fact rows reach the
+    // exchange. At 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the matching third.
+    "p11_bloom_join_prune" -> ((s, d) => {
+      import graft.operators.Sketches
+      val keep = col("s_suppkey") % 3 === 0
+      val supp = Tables.supplier(s, d).filter(keep)
+        .select(col("s_suppkey"), col("s_name"))
+      val sketch = Sketches.bloomBuild(
+        Tables.supplier(s, d).filter(keep),
+        col("s_suppkey").cast("string"), mBits = 1L << 16, k = 5)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val pruned = Sketches.bloomMightContain(sketch, li,
+        col("l_suppkey").cast("string"), mBits = 1L << 16, k = 5)
+        .filter(col("might_contain"))
+      pruned.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ── W-family: windows ─────────────────────────────────────────────
     "w1_lead_lag" -> ((s, d) => {
       val o = Tables.orders(s, d)
