@@ -119,6 +119,54 @@ object Sketches {
     * construction, like the CMS grid, never data-sized. Returns
     * `(q, est)` per requested quantile.
     */
+  /** Per-group [[histogram]]: `(grp, bin, cnt)` — one partial-aggregated
+    * count keyed by (group, bin), so a billion-group histogram is one
+    * shuffle of sketch-sized rows, and group shards merge by addition
+    * exactly like the global sketch.
+    */
+  def histogramBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad histogram range [$lo,$hi)/$nBins")
+    val w = (hi - lo) / nBins
+    df.select(groupCol.as("grp"), valueCol.cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .select(col("grp"),
+        least(greatest(floor((col("__x") - lo) / w), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group [[histQuantiles]]: interpolated quantile estimates from a
+    * [[histogramBy]] result — `(grp, q, est)`. The cumulative window and
+    * rank run per group over ≤ nBins rows each; group count is unbounded
+    * but every row is sketch-sized.
+    */
+  def histQuantilesBy(hist: DataFrame, qs: Seq[Double],
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / nBins
+    val cumW = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val totals = cum.groupBy(col("grp")).agg(max(col("cum")).as("__n"))
+    val qdf = qs.toDF("q")
+    val hit = Window.partitionBy(col("grp"), col("q")).orderBy(col("bin"))
+    cum.join(totals, Seq("grp"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("target", col("q") * col("__n"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("__rn", row_number().over(hit))
+      .filter(col("__rn") === 1)
+      .select(col("grp"), col("q"),
+        (lit(lo) + lit(w) * (col("bin") +
+          (col("target") - col("prev")) / col("cnt"))).as("est"))
+  }
+
   def histQuantiles(hist: DataFrame, qs: Seq[Double],
       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs $qs")

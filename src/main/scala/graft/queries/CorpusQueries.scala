@@ -226,6 +226,17 @@ object CorpusQueries {
         .orderBy(col("q"))
     }),
 
+    // Per-source length quantiles from the grouped histogram sketch —
+    // the shape that answers "p50/p95 doc length per domain" over a
+    // billion-group corpus in one sketch-row shuffle.
+    "t_hist_grouped_quantiles" -> ((s, d) => {
+      val h = Sketches.histogramBy(Tables.documents(s, d),
+        col("source"), col("n_chars"), lo = 0.0, hi = 1024.0, nBins = 64)
+      Sketches.histQuantilesBy(h, Seq(0.5, 0.9, 0.99), 0.0, 1024.0, 64)
+        .select(col("grp").as("source"), col("q"), round(col("est"), 6).as("est"))
+        .orderBy(col("source"), col("q"))
+    }),
+
     "t_cms_counts" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.scatter(Tables.documents(s, d))
@@ -418,6 +429,23 @@ object CorpusQueries {
          |  FROM qs JOIN c ON cum >= q * (SELECT n FROM tot))
          |SELECT q, ${jr6("0.0 + 8.0 * (bin + (target - prev) / cnt)")} AS est
          |FROM pick WHERE rn = 1 ORDER BY q""".stripMargin,
+
+    "t_hist_grouped_quantiles" ->
+      s"""WITH b AS (SELECT source AS grp,
+         |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 16.0), 0.0), 63.0) AS INT) AS bin
+         |  FROM documents),
+         |h AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+         |c AS (SELECT grp, bin, cnt,
+         |    sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum FROM h),
+         |tot AS (SELECT grp, max(cum) AS n FROM c GROUP BY 1),
+         |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+         |pick AS (SELECT c.grp, q, bin, cnt, cum - cnt AS prev,
+         |    q * tot.n AS target,
+         |    row_number() OVER (PARTITION BY c.grp, q ORDER BY bin) AS rn
+         |  FROM qs CROSS JOIN c JOIN tot ON tot.grp = c.grp
+         |  WHERE cum >= q * tot.n)
+         |SELECT grp AS source, q, ${jr6("0.0 + 16.0 * (bin + (target - prev) / cnt)")} AS est
+         |FROM pick WHERE rn = 1 ORDER BY source, q""".stripMargin,
 
     "t_hll_distinct" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
