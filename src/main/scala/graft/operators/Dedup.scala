@@ -285,6 +285,74 @@ object Dedup {
     out
   }
 
+  /** Incremental MinHash dedup of a NEW batch against an EXISTING
+    * corpus index — the continuous-ingest shape: the index side's
+    * banded signatures are precomputed once (at scale, a persisted
+    * table partitioned by (band, band_hash)), and each arriving batch
+    * joins its own bands against the index only. Asymmetric by design:
+    * no within-batch and no within-index pairs — those are [[
+    * minHashDupPairs]]'s job at bootstrap; this is the steady-state
+    * operator that keeps a trillion-token corpus deduplicated without
+    * re-pairing it. Mirrors the reference's incremental ingestion
+    * discipline (watermark loads, `tasks/tushare/tushare_stock_daily/
+    * stock.py:124-150`) applied to near-dup state.
+    *
+    * The mega-bucket cap applies to INDEX-side buckets (the index is
+    * the big side); batch buckets are batch-sized by construction.
+    * Returns (new_id, index_id, jaccard) for verified matches.
+    */
+  def minHashDupAgainstIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val rowsPerBand = numHashes / bands
+    def perDocOf(df: DataFrame) = graft.core.Tables.scatter(df)
+      .select(col(idCol).as("__id"),
+        sigAndHashedShingles(shingleLen, numHashes)(col(textCol)).as("__c"))
+      .select(col("__id"), col("__c._1").as("sig"), col("__c._2").as("__sh"))
+    def bandedOf(sigs: DataFrame) = sigs.select(col("__id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>").cast("string"))
+      }: _*)).as(Seq("band", "band_hash")))
+    val idxDoc = perDocOf(index).persist()
+    val newDoc = perDocOf(batch).persist()
+    val idxBand0 = bandedOf(idxDoc.select(col("__id"), col("sig")))
+    val okBuckets = idxBand0.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val idxBand = idxBand0.join(okBuckets, Seq("band", "band_hash"), "left_semi")
+    val newBand = bandedOf(newDoc.select(col("__id"), col("sig")))
+    val cand = newBand.select(col("band"), col("band_hash"), col("__id").as("new_id"))
+      .join(idxBand.select(col("band"), col("band_hash"), col("__id").as("index_id")),
+        Seq("band", "band_hash"))
+      .select("new_id", "index_id")
+      .dropDuplicates("new_id", "index_id")
+    val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
+    val withSigs = cand
+      .join(newDoc.select(col("__id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(idxDoc.select(col("__id").as("index_id"), col("sig").as("sig_i")), Seq("index_id"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_n"), col("sig_i"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est") >= estCutoff)
+      .select("new_id", "index_id")
+    val pairs = withSigs
+      .join(newDoc.select(col("__id").as("new_id"), col("__sh").as("sh_n")), Seq("new_id"))
+      .join(idxDoc.select(col("__id").as("index_id"), col("__sh").as("sh_i")), Seq("index_id"))
+      .withColumn("jaccard", jaccardOfSortedLongs(col("sh_n"), col("sh_i")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("new_id", "index_id", "jaccard")
+    val out = pairs.persist()
+    out.count()
+    idxDoc.unpersist()
+    newDoc.unpersist()
+    out
+  }
+
   /** 60-bit SimHash of words: per-bit weighted vote packed into a long;
     * near-dups differ in few bits (hamming distance). 60 bits because the
     * word hash is the MD5-window `h1` ([[graft.functions.Md5Hash]]),

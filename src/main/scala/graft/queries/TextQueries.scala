@@ -211,6 +211,22 @@ object TextQueries {
         .orderBy(col("cluster"))
     }),
 
+    // Continuous-ingest dedup: a new batch (the doc_id % 37 slice,
+    // re-keyed) checked against the EXISTING corpus as a banded index —
+    // no within-batch or within-index pairs. Every batch doc has its
+    // verbatim source in the index (jaccard 1), so the match set is
+    // non-vacuous at every SF.
+    "dd_incremental_index" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minHashDupAgainstIndex(base, batch, "doc_id", "text",
+          shingleLen = 5, numHashes = 16, bands = 4,
+          jaccardThreshold = 0.4, maxBucketSize = 100)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
     "dd_embed_cosine" -> ((s, d) => {
       // Embedding-cosine near-dup: same-label blocking (at scale the
       // block is an IVF cell), exact cosine verify, keep lower id.
@@ -744,6 +760,54 @@ object TextQueries {
         |SELECT id_a, id_b, round(cos_raw, 6) AS cosine
         |FROM pairs WHERE cos_raw >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Asymmetric replay of the minhash pipeline over base ∪ re-keyed
+    // batch: bucket cap on index-side bands only, candidates cross the
+    // index/batch boundary only.
+    "dd_incremental_index" ->
+      s"""WITH inp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0),
+         |t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM inp),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
+         |      i -> substr(norm, i + 1, 5))) AS shingles
+         |  FROM t),
+         |hs AS (SELECT doc_id, shingles,
+         |    list_transform(shingles, s ->
+         |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
+         |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
+         |  FROM sh),
+         |sigs AS (SELECT doc_id,
+         |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
+         |    list_transform(range(0, 16),
+         |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
+         |  FROM hs),
+         |banded AS (SELECT doc_id, b.range AS band,
+         |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
+         |  FROM sigs, range(0, 4) b),
+         |ok AS (SELECT band, bh FROM banded WHERE doc_id < 1000000
+         |  GROUP BY 1, 2 HAVING count(*) <= 100),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
+         |  FROM banded a JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+         |  JOIN banded b ON b.band = a.band AND b.bh = a.bh
+         |  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000),
+         |est AS (SELECT new_id, index_id
+         |  FROM cand
+         |  JOIN sigs sn ON sn.doc_id = cand.new_id
+         |  JOIN sigs si ON si.doc_id = cand.index_id
+         |  WHERE CAST(len(list_filter(range(1, 17), i -> sn.sig[i] = si.sig[i])) AS DOUBLE) / 16 >= 0.15),
+         |prs AS (SELECT new_id, index_id,
+         |    CASE WHEN len(list_distinct(list_concat(sn.hl, si.hl))) > 0 THEN
+         |      CAST(len(list_intersect(sn.hl, si.hl)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sn.hl, si.hl))) ELSE 0.0 END AS jac
+         |  FROM est
+         |  JOIN sigs sn ON sn.doc_id = est.new_id
+         |  JOIN sigs si ON si.doc_id = est.index_id)
+         |SELECT new_id, index_id, round(jac, 6) AS jaccard
+         |FROM prs WHERE jac >= 0.4
+         |ORDER BY new_id, index_id""".stripMargin,
 
     "dd_embed_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
