@@ -71,4 +71,38 @@ object CodeMapping {
         lit(capType).as("type"))
     (updated, inserted)
   }
+
+  /** Fuzzy name matching for the mapping rows exact [[normName]] equality
+    * misses — vendor names differ by typos/truncations, so the last
+    * resort is a bounded-edit-distance match. Exhaustive name×name is
+    * quadratic; the standard entity-resolution fix is BLOCKING: names
+    * only compare inside (first character, length band) blocks, with
+    * the right side exploded to adjacent bands so a ≤`maxDistance`
+    * length change can't cross out of reach (band width > maxDistance).
+    * Assumes edits preserve the first character — the usual trade-off;
+    * recall lost to first-char typos is the price of not being O(n²).
+    *
+    * Returns (name_l, name_r, dist) for pairs with levenshtein ≤
+    * `maxDistance`.
+    */
+  def fuzzyNameMatch(left: DataFrame, right: DataFrame,
+      leftName: String, rightName: String, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 4,
+      s"maxDistance=$maxDistance out of the blocking-safe range 0..3")
+    val bandW = maxDistance + 2 // band width > maxDistance
+    val l = left.select(col(leftName).as("name_l"))
+      .withColumn("__c", substring(col("name_l"), 1, 1))
+      .withColumn("__band", (length(col("name_l")) / bandW).cast("int"))
+    val r = right.select(col(rightName).as("name_r"))
+      .withColumn("__c", substring(col("name_r"), 1, 1))
+      .withColumn("__b0", (length(col("name_r")) / bandW).cast("int"))
+      .withColumn("__band",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    l.join(r, Seq("__c", "__band"))
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("name_l"), col("name_r"), col("dist").cast("long").as("dist"))
+      .dropDuplicates("name_l", "name_r")
+  }
 }

@@ -159,6 +159,26 @@ object RelationalOracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Replays the blocked fuzzy pipeline: same perturbation, same
+    // (first-char, length-band ±1) blocking, same distance cutoff.
+    "j5b_fuzzy_name_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |alt AS (SELECT DISTINCT
+        |    substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS alt_name
+        |  FROM (SELECT p_name,
+        |      CAST(2 + ('0x' || substr(md5(p_name), 1, 15))::BIGINT % (len(p_name) - 1) AS INT) AS pos
+        |    FROM names) t),
+        |l AS (SELECT p_name AS name_l, substr(p_name, 1, 1) AS c,
+        |    CAST(floor(len(p_name) / 4.0) AS INT) AS band FROM names),
+        |r AS (SELECT name_r, c, unnest([b0 - 1, b0, b0 + 1]) AS band
+        |  FROM (SELECT alt_name AS name_r, substr(alt_name, 1, 1) AS c,
+        |      CAST(floor(len(alt_name) / 4.0) AS INT) AS b0 FROM alt) x)
+        |SELECT DISTINCT name_l, name_r,
+        |  CAST(levenshtein(name_l, name_r) AS BIGINT) AS dist
+        |FROM l JOIN r USING (c, band)
+        |WHERE levenshtein(name_l, name_r) <= 2
+        |ORDER BY name_l, name_r""".stripMargin,
+
     // Bloom pruning is invisible to the result (no false negatives;
     // the exact join removes false positives) — the oracle is the
     // plain join.

@@ -196,6 +196,25 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // J5b: fuzzy name matching — the last-resort mapping step when
+    // exact normalized-name equality (j5_code_mapping) misses: a second
+    // vendor's names carry one deterministic char deletion, and the
+    // blocked edit-distance join recovers them without the O(n²) name
+    // cross product.
+    "j5b_fuzzy_name_match" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val h = expr("CAST(conv(substring(md5(p_name), 1, 15), 16, 10) AS BIGINT)")
+      val perturbed = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("__pos",
+          (lit(2) + pmod(h, length(col("p_name")) - 1)).cast("int"))
+        .select(concat(expr("substring(p_name, 1, __pos - 1)"),
+          expr("substring(p_name, __pos + 1, 1000)")).as("alt_name"))
+        .distinct()
+      graft.operators.CodeMapping.fuzzyNameMatch(
+          names, perturbed, "p_name", "alt_name", maxDistance = 2)
+        .orderBy(col("name_l"), col("name_r"))
+    }),
+
     // P10: z-order layout audit — cluster lineitem by the Morton code
     // of (l_suppkey, l_partkey) into 32 equal buckets (one per would-be
     // file) and report each bucket's min/max span on BOTH dimensions.
