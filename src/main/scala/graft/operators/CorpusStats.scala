@@ -484,6 +484,51 @@ object CorpusStats {
           .otherwise(col("__e")).as("est"))
   }
 
+  /** Per-group [[hllRegisters]]: `(grp, idx, rho)` — the register grid
+    * keyed by group, one partial-aggregated max per (group, register).
+    * A billion-group COUNT(DISTINCT) becomes one shuffle of
+    * 2^p-rows-per-group sketch rows that merge by register-wise max.
+    */
+  def hllRegistersBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val rest = 60 - p
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 15), 16, 10).cast("long")
+    df.select(groupCol.as("grp"), h.as("__h"))
+      .select(col("grp"), shiftright(col("__h"), rest).as("idx"),
+        (col("__h").bitwiseAND(lit((1L << rest) - 1))).as("__r"))
+      .select(col("grp"), col("idx"),
+        when(col("__r") === 0, lit(rest + 1))
+          .otherwise(lit(rest + 1) - length(bin(col("__r"))))
+          .cast("int").as("rho"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group [[hllEstimate]]: `(grp, m, n_present, est)` — the same
+    * exact-integer harmonic sum and linear-counting correction, one row
+    * per group.
+    */
+  def hllEstimateBy(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = math.pow(2.0, maxRho)
+    registers
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - rho)")).as("__si"))
+      .select(col("grp"), lit(m).as("m"), col("n_present"),
+        (lit(alpha * m.toDouble * m) /
+          (col("__si").cast("double") / lit(scale) +
+            (lit(m) - col("n_present")))).as("__e"),
+        (lit(m) - col("n_present")).cast("double").as("__z"))
+      .select(col("grp"), col("m"), col("n_present"),
+        when(col("__e") <= lit(2.5 * m) && col("__z") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__z")))
+          .otherwise(col("__e")).as("est"))
+  }
+
   /** Point estimates from a [[cmsSketch]]: est(token) = min over the
     * depth rows of that token's cell counts (absent cell = 0). The
     * sketch is tiny (≤ depth·width rows) and broadcasts; probes stream.

@@ -183,6 +183,21 @@ object CorpusQueries {
           round(col("est"), 6).as("est"), col("exact_distinct"))
     }),
 
+    // Grouped HLL: distinct users per event type from per-group register
+    // grids — COUNT(DISTINCT) per group in one sketch-row shuffle, with
+    // the exact witness joined alongside.
+    "t_hll_grouped" -> ((s, d) => {
+      val regs = CorpusStats.hllRegistersBy(Tables.events(s, d),
+        col("event_type"), col("user_id"), p = 8)
+      val est = CorpusStats.hllEstimateBy(regs, p = 8)
+      val exact = Tables.events(s, d).groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("m"), col("n_present"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bloom-filter membership at corpus scale: build over the bigram
     // shingles of the blocklist slice (doc_id % 37 — the decontaminate
     // fixture trick; bigrams because the synthetic corpus has a
@@ -467,6 +482,31 @@ object CorpusQueries {
          |  ${jr6("CASE WHEN e <= 640.0 AND z > 0 THEN 256.0 * ln(256.0 / z) ELSE e END")} AS est,
          |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS exact_distinct
          |FROM est""".stripMargin,
+
+    "t_hll_grouped" ->
+      s"""WITH h AS (SELECT event_type AS grp,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT grp, h >> 52 AS idx,
+         |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+         |         ELSE 53 - CAST(length(bin(h & 4503599627370495)) AS INT)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (SELECT grp, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+         |agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_present,
+         |    sum(1::BIGINT << (53 - rho)) AS si FROM regs GROUP BY 1),
+         |est AS (SELECT grp, n_present,
+         |    (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 /
+         |      (CAST(si AS DOUBLE) / 9007199254740992.0 + (256 - n_present)) AS e,
+         |    CAST(256 - n_present AS DOUBLE) AS z
+         |  FROM agg),
+         |ex AS (SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT est.grp AS event_type, CAST(256 AS INT) AS m, n_present,
+         |  ${jr6("CASE WHEN e <= 640.0 AND z > 0 THEN 256.0 * ln(256.0 / z) ELSE e END")} AS est,
+         |  exact_distinct
+         |FROM est JOIN ex ON ex.grp = est.grp
+         |ORDER BY event_type""".stripMargin,
 
     "t_bigram_ppl" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
