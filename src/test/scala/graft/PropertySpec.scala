@@ -111,6 +111,78 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("chunkTokenWindows covers every token; overlap = window − stride") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(7)
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(rnd.nextInt(40))("t" + rnd.nextInt(9)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (w, s) = (8, 5)
+    val chunks = graft.operators.CorpusStats
+      .chunkTokenWindows(docs, "doc_id", "text", w, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nTokens = docs.select($"doc_id",
+      size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nTokens.foreach { case (id, n) =>
+      val cs = chunks(id).sortBy(_._2)
+      // chunk i starts at i·s and holds min(w, n − i·s) tokens — so the
+      // union of [i·s, i·s + len) covers [0, n) with no gaps
+      cs.foreach { case (_, i, len) =>
+        assert(len == math.max(0L, math.min(w.toLong, n - i * s)), s"doc $id chunk $i")
+      }
+      val covered = cs.map { case (_, i, len) => i * s + len }.max
+      assert(covered == math.max(n, 0L) || (n == 0 && cs.length == 1), s"doc $id coverage")
+    }
+  }
+
+  test("sessionization partitions events; gaps split iff over threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(11)
+    val gapUs = 1000L
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextLong().abs % 100000L)
+    }.toDF("user_id", "event_id", "us")
+    // replicate w10's shape on a raw microsecond column
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = events
+      .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
+        $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val rows = sess.select($"user_id", $"us", $"sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // partition property: every event in exactly one session (trivially
+    // true by construction) + boundary property on the sorted stream
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, t1, s1), (_, t2, s2)) =>
+          if (t2 - t1 > gapUs) assert(s2 == s1 + 1, s"user $u: gap must split")
+          else assert(s2 == s1, s"user $u: within-gap must not split")
+        case _ =>
+      }
+    }
+    val total = rows.length
+    assert(total == 400)
+  }
+
+  test("weightedSample: sample size, membership, and rank ordering") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val docs = (1L to 200L).map(id => (id, 1L + rnd.nextInt(1000))).toDF("id", "w")
+    val got = graft.operators.CorpusStats.weightedSample(docs, "id", "w", n = 25)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 25)
+    assert(got.map(_._1).distinct.length == 25, "no repeats (without replacement)")
+    assert(got.map(_._3).toSeq == (1 to 25), "dense ranks")
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "ascending keys")
+  }
+
   test("D1/D2 invariants hold on random bar panels") {
     import spark.implicits._
     import graft.analytics.ContinuousFutures
