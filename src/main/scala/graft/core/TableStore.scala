@@ -482,7 +482,21 @@ final class TableStore(spark: SparkSession, root: String) {
     * Same manifest-commit path as upsert, so readers never see a
     * half-compacted table.
     */
-  def compact(spec: TableSpec, targetFileSizeBytes: Long = 128L * 1024 * 1024): Unit = {
+  /** `clusterBy = Seq(a, b)` additionally Z-ORDERS the rewrite: rows are
+    * range-partitioned and sorted by the Morton code of (a, b)
+    * ([[graft.functions.ZOrder.zValue]]), so every output file covers a
+    * small RECTANGLE of the (a, b) space and parquet min/max stats
+    * prune point scans on EITHER column — the Delta/Iceberg `ZORDER BY`
+    * maintenance pass as a compaction option. Unpartitioned tables
+    * only (a partitioned table already clusters its partition key;
+    * compose by choosing z columns orthogonal to it in a follow-up).
+    */
+  def compact(spec: TableSpec, targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || clusterBy.size == 2,
+      "z-order clustering takes exactly two columns")
+    require(clusterBy.isEmpty || spec.partitionBy.isEmpty,
+      "z-order compaction supports unpartitioned tables")
     val f = fs
     val cur = current(f, spec).getOrElse(
       throw new IOException(s"TableStore: nothing to compact for ${spec.name}"))
@@ -498,7 +512,14 @@ final class TableStore(spark: SparkSession, root: String) {
     val compacted =
       if (spec.partitionBy.isEmpty) {
         val total = bytesUnder(new Path(path(spec.name)))
-        df.repartition(math.max(1, math.ceil(total.toDouble / targetFileSizeBytes).toInt))
+        val n = math.max(1, math.ceil(total.toDouble / targetFileSizeBytes).toInt)
+        if (clusterBy.nonEmpty) {
+          val z = graft.functions.ZOrder.zValue(col(clusterBy(0)), col(clusterBy(1)))
+          df.withColumn("__z", z)
+            .repartitionByRange(n, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        } else df.repartition(n)
       } else {
         val perPart: Map[String, Long] = cur.pairs
           .map { case (d, p) =>

@@ -88,6 +88,51 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.read(spec).orderBy("k").collect().toSeq == before)
   }
 
+  test("z-order compaction bounds every file's span on BOTH cluster columns") {
+    import spark.implicits._
+    val store = freshStore("zorder")
+    val spec = TableSpec("t", Seq("k"))
+    // 64×64 grid, shuffled on write — an unclustered layout gives every
+    // file the full 0..63 span on at least one dimension
+    val rnd = new scala.util.Random(3)
+    val rows = rnd.shuffle(for (a <- 0 until 64; b <- 0 until 64)
+      yield (a * 64 + b, a, b))
+    store.upsert(spec, rows.toDF("k", "a", "b"))
+    val before = store.read(spec).orderBy("k").collect().toSeq
+    store.compact(spec, targetFileSizeBytes = 1536, clusterBy = Seq("a", "b"))
+    assert(store.read(spec).orderBy("k").collect().toSeq == before,
+      "compaction must not change content")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("t")), true)
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) files += p.toString
+    }
+    assert(files.size >= 4, s"need multiple files to test clustering, got ${files.size}")
+    // Files cover small rectangles of the grid (a z-range that straddles
+    // a quadrant boundary may be wide on ONE dim, so the guarantee is
+    // aggregate): mean span well under the full 63 on BOTH dims, and no
+    // file's bounding box covers more than half the grid area. An
+    // unclustered layout fails all three (every file spans ~63×63).
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.max($"a") - org.apache.spark.sql.functions.min($"a"),
+          org.apache.spark.sql.functions.max($"b") - org.apache.spark.sql.functions.min($"b"))
+        .head()
+      (r.getInt(0), r.getInt(1))
+    }
+    val avgA = spans.map(_._1).sum.toDouble / spans.size
+    val avgB = spans.map(_._2).sum.toDouble / spans.size
+    val avgArea = spans.map { case (sa, sb) => sa.toDouble * sb }.sum / spans.size
+    assert(avgA <= 40 && avgB <= 40, s"mean spans a=$avgA b=$avgB — not clustered")
+    assert(avgArea <= 63.0 * 63 / 3,
+      s"mean bounding-box area $avgArea ≈ unclustered (63×63)")
+    spans.foreach { case (sa, sb) =>
+      assert(sa.toLong * sb <= 63L * 63 / 2, s"file box $sa x $sb covers over half the grid")
+    }
+  }
+
   test("in-batch duplicates keep the new-wins row deterministically") {
     import spark.implicits._
     val store = freshStore("dup")
