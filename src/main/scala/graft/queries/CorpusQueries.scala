@@ -183,6 +183,32 @@ object CorpusQueries {
           round(col("est"), 6).as("est"), col("exact_distinct"))
     }),
 
+    // Pack purity: after sequence packing, how language-pure is each
+    // pack? Token-weighted language shares per pack, dominant language
+    // by (tokens, lang) tie-break — the mixing metric a pretraining
+    // pipeline reports after packing.
+    "t_pack_purity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val packs = CorpusStats.packSequences(
+        Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+        "source", "doc_id", packTokens = 128)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val perLang = packs.join(langs, Seq("doc_id"))
+        .withColumn("slice_tokens", col("doc_slice_end") - col("doc_slice_start"))
+        .groupBy(col("shard"), col("pack_id"), col("lang"))
+        .agg(sum(col("slice_tokens")).as("lang_tokens"))
+      val w = Window.partitionBy(col("shard"), col("pack_id"))
+      val rankW = w.orderBy(col("lang_tokens").desc, col("lang").desc)
+      perLang
+        .withColumn("pack_tokens", sum(col("lang_tokens")).over(w))
+        .withColumn("__rn", row_number().over(rankW))
+        .filter(col("__rn") === 1)
+        .select(col("shard"), col("pack_id"), col("pack_tokens"),
+          col("lang").as("dominant_lang"),
+          round(col("lang_tokens").cast("double") / col("pack_tokens"), 6).as("purity"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // Grouped HLL: distinct users per event type from per-group register
     // grids — COUNT(DISTINCT) per group in one sketch-row shuffle, with
     // the exact witness joined alongside.
@@ -686,6 +712,39 @@ object CorpusQueries {
          |  greatest(start_off, pack_id * 128) - start_off AS doc_slice_start,
          |  least(end_off, (pack_id + 1) * 128) - start_off AS doc_slice_end
          |FROM e ORDER BY shard, doc_id, pack_id""".stripMargin,
+
+    // Pack-purity oracle: the t_pack_sequences replay joined to langs,
+    // token-weighted shares, dominant by (tokens DESC, lang DESC).
+    "t_pack_purity" ->
+      s"""WITH t AS (SELECT source AS shard, doc_id,
+         |    CAST(coalesce(len($toksLower), 0) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (SELECT shard, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM t),
+         |f AS (SELECT shard, doc_id, n_tokens, end_off,
+         |    end_off - n_tokens AS start_off,
+         |    (end_off - n_tokens) // 128 AS first_pack,
+         |    (end_off - 1) // 128 AS last_pack
+         |  FROM o WHERE n_tokens > 0),
+         |e AS (SELECT shard, doc_id, start_off, end_off,
+         |    unnest(range(first_pack, last_pack + 1)) AS pack_id
+         |  FROM f),
+         |sl AS (SELECT e.shard, e.pack_id, d.lang,
+         |    least(end_off, (pack_id + 1) * 128) - greatest(start_off, pack_id * 128) AS slice_tokens
+         |  FROM e JOIN documents d USING (doc_id)),
+         |g AS (SELECT shard, pack_id, lang,
+         |    CAST(sum(slice_tokens) AS BIGINT) AS lang_tokens
+         |  FROM sl GROUP BY 1, 2, 3),
+         |d2 AS (SELECT shard, pack_id, lang, lang_tokens,
+         |    CAST(sum(lang_tokens) OVER (PARTITION BY shard, pack_id) AS BIGINT) AS pack_tokens,
+         |    row_number() OVER (PARTITION BY shard, pack_id
+         |      ORDER BY lang_tokens DESC, lang DESC) AS rn
+         |  FROM g)
+         |SELECT shard, pack_id, pack_tokens, lang AS dominant_lang,
+         |  round(CAST(lang_tokens AS DOUBLE) / pack_tokens, 6) AS purity
+         |FROM d2 WHERE rn = 1 ORDER BY shard, pack_id""".stripMargin,
 
     "t_pii_scrub" ->
       """WITH t AS (

@@ -160,6 +160,24 @@ object MoreQueries {
         .orderBy(col("n_name"))
     }),
 
+    "k8_orc_roundtrip" -> ((s, d) => {
+      // Columnar-format breadth: ORC export + re-read through the same
+      // summary as k7 — the store is format-agnostic at the edges even
+      // though parquet is the house format.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_export"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.orc(dir)
+      s.read.orc(dir)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(dec)).cast("double").as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
     "a9_rolling_mean" -> ((s, d) => {
       // Trailing 4-row mean (rowsBetween(-3,0)) — the secondary-contract
       // smoother (/root/reference/tasks/tushare/tushare_future/continuse_contract_md.py:195-201).
@@ -520,6 +538,13 @@ object MoreQueries {
         |FROM b5 GROUP BY 1, 2 ORDER BY event_type, bar_ts""".stripMargin,
 
     "k7_json_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // ORC roundtrips losslessly, so the oracle is the same plain join.
+    "k8_orc_roundtrip" ->
       """SELECT n_name, count(*) AS n_suppliers,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
