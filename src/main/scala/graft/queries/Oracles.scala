@@ -9,7 +9,14 @@ private[queries] object Oracles {
     * shortest-roundtrip VARCHAR, so casting through VARCHAR→DECIMAL
     * reproduces it exactly (a plain DuckDB `round(d, 6)` rounds the
     * binary value instead and can differ by 1 ulp at grid boundaries).
+    *
+    * Scale 25, not 18: a small double's shortest representation can
+    * carry more than 18 FRACTIONAL digits (17 significant digits plus
+    * leading zeros — e.g. -0.00037249999999999995), and DECIMAL(38,18)
+    * would round it up to the .5 boundary first, flipping the 6-digit
+    * rounding. 25 fractional digits hold the full shortest form of any
+    * |x| ≥ 1e-8; 13 integer digits remain, ample for every metric here.
     */
   def jr6(e: String): String =
-    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)"
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,25)), 6) AS DOUBLE)"
 }

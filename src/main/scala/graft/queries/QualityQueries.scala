@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.QualityFilters
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model- and rule-based quality filters
+  * ([[graft.operators.QualityFilters]]) on the `documents` table:
+  * C4-style line cleaning, DSIR importance weights, hashed linear
+  * classifier inference.
+  */
+object QualityQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // C4-style line cleaning over a deterministically line-injected
+    // corpus (the synthetic docs are single-line, so each gets the one
+    // real line with terminal punctuation plus doc_id-keyed specimen
+    // lines: a javascript/cookie boilerplate line, a lorem-ipsum
+    // placeholder, a `{` code line, a too-short line, and an
+    // unterminated call-to-action — exercising every rule; the oracle
+    // injects identically).
+    "t_c4_line_clean" -> ((s, d) => {
+      val injected = Tables.scatter(Tables.documents(s, d)).withColumn("text2",
+        concat(col("text"), lit("."),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nplease enable javascript and cookies to continue."))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit("\nlorem ipsum dolor sit amet."))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit("\nif (x) { return y; }"))
+            .otherwise(lit("\nok fine.")),
+          lit("\nshare this article now today everyone")))
+      QualityFilters.c4LineClean(injected, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights with lang='en' as the target slice: docs
+    // whose hashed-unigram distribution looks English-like score
+    // positive. 256 buckets; the oracle rebuilds both histograms and
+    // every per-bucket log-ratio.
+    "t_dsir_weights" -> ((s, d) =>
+      QualityFilters.dsirWeights(Tables.scatter(Tables.documents(s, d)),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 256)
+        .orderBy(col("doc_id"))),
+
+    // Hashed linear quality classifier: fastText-shaped sigmoid over
+    // 512 hashed bag-of-words features with deterministic pseudo-
+    // weights; the oracle replays the hash, the weight formula, and
+    // the inference arithmetic per document.
+    "t_linear_quality" -> ((s, d) =>
+      QualityFilters.hashedLinearQuality(Tables.scatter(Tables.documents(s, d)),
+        "doc_id", "text", buckets = 512)
+        .orderBy(col("doc_id")))
+  )
+
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+
+  import Oracles.jr6
+
+  val oracleSql: Map[String, String] = Map(
+    "t_c4_line_clean" ->
+      s"""WITH inj AS (SELECT doc_id, text || '.' ||
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 0 THEN chr(10) || 'please enable javascript and cookies to continue.'
+         |      WHEN 1 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+         |      WHEN 2 THEN chr(10) || 'if (x) { return y; }'
+         |      ELSE chr(10) || 'ok fine.'
+         |    END || chr(10) || 'share this article now today everyone' AS t2
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM inj),
+         |k AS (SELECT doc_id, ls,
+         |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), x -> len(x) > 0)) >= 4
+         |      AND NOT contains(lower(l), 'javascript')
+         |      AND NOT contains(lower(l), 'cookie')) AS kept,
+         |    (len(list_filter(ls, l -> contains(lower(l), 'lorem ipsum'))) > 0
+         |      OR len(list_filter(ls, l -> contains(lower(l), '{'))) > 0) AS pagebad
+         |  FROM ls)
+         |SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  (NOT pagebad AND len(kept) > 0) AS keep_page,
+         |  CASE WHEN NOT pagebad THEN array_to_string(kept, chr(10)) END AS clean_text
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "t_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksLower AS lt FROM documents),
+         |tok AS (SELECT doc_id, tgt, unnest(lt) AS w FROM t),
+         |tb AS (SELECT doc_id, tgt,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b FROM tok),
+         |db AS (SELECT doc_id, b, bool_or(tgt) AS tgt, count(*) AS c
+         |  FROM tb GROUP BY 1, 2),
+         |hist AS (SELECT b, sum(c) AS n_raw,
+         |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS n_tgt FROM db GROUP BY 1),
+         |tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM hist),
+         |lr AS (SELECT b,
+         |    CAST(round(${jr6("ln((n_tgt + 1.0) / (tt + 256.0)) - ln((n_raw + 1.0) / (tr + 256.0))")}
+         |      * 1000000.0) AS BIGINT) AS lr
+         |  FROM hist CROSS JOIN tot),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * lr) AS BIGINT) AS s2
+         |  FROM db JOIN lr USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  ${jr6("(CAST(s2 AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)")} AS dsir_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "t_linear_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),
+         |tb AS (SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 512 AS b FROM tok),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+         |wt AS (SELECT doc_id, c,
+         |    ('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001
+         |      - 1000 AS w
+         |  FROM db),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * w) AS BIGINT) AS s2 FROM wt GROUP BY 1),
+         |sc AS (SELECT doc_id, n_tokens,
+         |    -0.1 + (CAST(s2 AS DOUBLE) / 1000.0) / CAST(n_tokens AS DOUBLE) AS s
+         |  FROM agg)
+         |SELECT doc_id, n_tokens, ${jr6("s")} AS score,
+         |  ${jr6(s"1.0 / (1.0 + exp(-${jr6("s")}))")} AS prob,
+         |  ${jr6("s")} >= 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
+  )
+}

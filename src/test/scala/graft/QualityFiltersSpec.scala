@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.Md5Hash
+import graft.operators.QualityFilters
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
+
+  test("c4LineClean: every line and page rule fires") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean page: one good line, one unterminated, one too-short
+      (1L, "this page has a fine first sentence.\nno terminal punctuation here at all\nok fine."),
+      // boilerplate line dropped, rest kept
+      (2L, "a good long sentence stays right here.\nplease enable javascript to continue."),
+      // lorem ipsum kills the page even though its lines pass line rules
+      (3L, "a good long sentence stays right here.\nlorem ipsum dolor sit amet."),
+      // code brace kills the page
+      (4L, "a good long sentence stays right here.\nif (x) { return y; }"),
+      // nothing survives the line rules -> keep_page false, clean_text ''
+      (5L, "too short.\nno punct at the end of this one")
+    ).toDF("id", "text")
+    val got = QualityFilters.c4LineClean(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 3 && got(0).getLong(2) == 1 && got(0).getBoolean(3))
+    assert(got(0).getString(4) == "this page has a fine first sentence.")
+    assert(got(1).getLong(2) == 1 && got(1).getBoolean(3))
+    assert(got(1).getString(4) == "a good long sentence stays right here.")
+    assert(!got(2).getBoolean(3) && got(2).isNullAt(4)) // lorem ipsum page
+    assert(!got(3).getBoolean(3) && got(3).isNullAt(4)) // brace page
+    assert(got(4).getLong(2) == 0 && !got(4).getBoolean(3) && got(4).getString(4) == "")
+  }
+
+  /** Independent plain-Scala replay of the hashed-feature arithmetic. */
+  private def bucket(tok: String, buckets: Int): Long = {
+    val h = Md5Hash.h1(tok)
+    ((h % buckets) + buckets) % buckets
+  }
+
+  test("hashedLinearQuality: score replays the weight formula") {
+    import spark.implicits._
+    val text = "alpha beta beta gamma"
+    val docs = Seq((7L, text)).toDF("id", "text")
+    val got = QualityFilters.hashedLinearQuality(docs, "id", "text", buckets = 512)
+      .collect()(0)
+    val counts = text.split(" ").groupBy(t => bucket(t, 512)).view.mapValues(_.length)
+    val sumMilli = counts.map { case (b, c) =>
+      c * (Md5Hash.h1("w" + b) % 2001 - 1000)
+    }.sum
+    val n = 4.0
+    val score = -0.1 + (sumMilli.toDouble / 1000.0) / n
+    val expect = BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 4)
+    assert(got.getDouble(2) == expect)
+    assert(got.getBoolean(4) == (expect >= 0))
+  }
+
+  test("dsirWeights: target-slice docs score above disjoint-vocab docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "aa bb cc aa bb cc aa bb"),
+      (2L, "en", "aa bb cc dd aa bb cc dd"),
+      (3L, "xx", "zz yy ww vv zz yy ww vv"),
+      (4L, "xx", "aa bb cc aa bb cc aa bb") // raw doc wearing target vocab
+    ).toDF("id", "lang", "text")
+    val got = QualityFilters.dsirWeights(docs, "id", "text",
+        isTarget = col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target-vocab docs (1, 2, and the imitator 4) must outscore the
+    // disjoint-vocab doc 3, and 4 scores exactly like 1 (same text)
+    assert(got(1L) > got(3L) && got(2L) > got(3L) && got(4L) > got(3L))
+    assert(got(4L) == got(1L))
+    // every doc appears, token counts flow through
+    assert(got.size == 4)
+  }
+}
