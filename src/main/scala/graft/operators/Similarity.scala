@@ -460,4 +460,132 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Java-exact `round(x, 6)` for driver/executor-side Scala kernels —
+    * the same shortest-representation HALF_UP that Spark's `round`
+    * column function performs, so scores computed in a typed kernel
+    * compare equal to scores computed in column algebra.
+    */
+  private def jround6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Same accumulation as the native cosine expression
+    * ([[graft.plans.CosineSimilarity]]): one left-to-right fused loop,
+    * 0 when a norm is 0. */
+  private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking of the exact top-`poolSize` candidates:
+    * greedily select `k` results, each step maximizing
+    * `λ·relevance − (1−λ)·max_{s∈selected} sim(candidate, s)` — the
+    * standard redundancy-pruning pass a retrieval pipeline runs after
+    * ANN search.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]] (or any
+    * ANN variant — the rerank only sees its output); the greedy state
+    * per query is the `poolSize`-row candidate list, a model-sized
+    * group handled in one `flatMapGroups` with NO cross-query state, so
+    * reranking parallelizes per query and never holds more than
+    * `poolSize²` similarities. All comparisons run on 6-digit-rounded
+    * scores (both engines compute identical summands); ties break on
+    * higher relevance, then lower neighbor id.
+    *
+    * Returns `(query_id, neighbor_id, relevance, mmr, rank)`,
+    * `rank ∈ [1, k]` in selection order.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, poolSize: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec,
+      k = poolSize, rankRound = Some(6))
+    val withVec = cand
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cVec).cast("array<double>").as("__cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine"), col("__cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2)) // rel DESC, id ASC
+        val n = cands.length
+        val selected = Array.fill(n)(false)
+        val out = Vector.newBuilder[(Long, Long, Double, Double, Long)]
+        var picked = 0
+        while (picked < math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!selected(i)) {
+              var maxSim = 0.0
+              var any = false
+              var j = 0
+              while (j < n) {
+                if (selected(j)) {
+                  val s = jround6(cosineLocal(cands(i)._4, cands(j)._4))
+                  if (!any || s > maxSim) { maxSim = s; any = true }
+                }
+                j += 1
+              }
+              val score = jround6(
+                lambda * cands(i)._3 - (if (any) (1 - lambda) * maxSim else 0.0))
+              // strict > with rel-DESC/id-ASC scan order = lowest-id argmax
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          selected(best) = true
+          picked += 1
+          out += ((qid, cands(best)._2, cands(best)._3, bestScore, picked.toLong))
+        }
+        out.result()
+      }
+      .toDF("query_id", "neighbor_id", "relevance", "mmr", "rank")
+  }
+
+  /** Int8 scalar quantization of an embedding column — the standard
+    * 4× storage compression for vector stores: per-vector symmetric
+    * scale `max|v_i| / 127`, codes `round(v_i·127 / max|v_i|)` clamped
+    * to [-127, 127]. Map-only column algebra (no UDF, no shuffle);
+    * reports the per-vector L2 reconstruction error so the quality cost
+    * is auditable. Codes are fingerprinted (md5 of the joined code
+    * string) — at 100 TB the fingerprint is also what a downstream
+    * equality audit would ship, not the code arrays themselves.
+    *
+    * Returns `(id, n_dims, scale, codes_fp, recon_err)`; zero vectors
+    * pass through with scale 0 and all-zero codes.
+    */
+  def int8Quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val vmax = array_max(transform(v, x => abs(x)))
+    val codes = when(vmax > 0,
+      transform(v, x =>
+        greatest(lit(-127L), least(lit(127L), round(x * lit(127.0) / vmax).cast("long")))))
+      .otherwise(transform(v, _ => lit(0L)))
+    val recon = aggregate(
+      zip_with(v, codes, (x, q) => {
+        val d = x - q.cast("double") * vmax / lit(127.0)
+        d * d
+      }),
+      lit(0.0d), (acc, e) => acc + e)
+    vectors.select(col(idCol),
+      size(v).cast("long").as("n_dims"),
+      round(vmax / lit(127.0), 6).as("scale"),
+      md5(array_join(codes, "-")).as("codes_fp"),
+      round(when(vmax > 0, sqrt(recon)).otherwise(lit(0.0)), 6).as("recon_err"))
+  }
 }

@@ -374,7 +374,29 @@ object TextQueries {
         m = 4, nprobe = 2, k = 3, distRound = Some(6))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
-    }))
+    }),
+
+    // MMR diversified re-ranking over the exact top-10 pool: greedy
+    // λ=0.7 relevance-vs-redundancy selection of 4 results per query.
+    // The oracle unrolls the greedy loop step by step (same pattern as
+    // the BPE-merge replay), so every selection and score is
+    // value-checked.
+    "v_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.mmrRerank(q, e, "vec_id", "v", "vec_id", "v",
+        k = 4, poolSize = 10, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Int8 scalar quantization of every embedding: per-vector scale,
+    // fingerprinted codes, and L2 reconstruction error — all replayed
+    // cell-exact by the oracle.
+    "v_int8_quant" -> ((s, d) =>
+      Similarity.int8Quantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))))
 
   private val toksExpr =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"""
@@ -972,5 +994,90 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
         |  FROM s) t
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "v_mmr_rerank" -> mmrOracle(k = 4, pool = 10),
+
+    "v_int8_quant" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS vmax FROM e),
+         |c AS (SELECT vec_id, v, vmax,
+         |    CASE WHEN vmax > 0 THEN list_transform(v,
+         |        x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+         |          CAST(round(x * 127.0 / vmax) AS BIGINT))))
+         |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+         |  FROM m),
+         |r AS (SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, vmax, codes,
+         |    list_sum(list_transform(range(1, len(v) + 1),
+         |      i -> (v[i] - codes[i] * vmax / 127.0) * (v[i] - codes[i] * vmax / 127.0))) AS se
+         |  FROM c)
+         |SELECT vec_id, n_dims, ${Oracles.jr6("vmax / 127.0")} AS scale,
+         |  md5(array_to_string(codes, '-')) AS codes_fp,
+         |  ${Oracles.jr6("CASE WHEN vmax > 0 THEN sqrt(se) ELSE 0.0 END")} AS recon_err
+         |FROM r ORDER BY vec_id""".stripMargin)
+
+  /** Inline DuckDB cosine over 64-dim DOUBLE[] columns (same shape as
+    * the v_knn oracle). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+       |    (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+       |     sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
+
+  /** Unrolled greedy-MMR replay (the BPE-iteration pattern): step t
+    * scores every unchosen candidate `0.7·rel − (1.0−0.7)·max sim to
+    * the chosen set` and takes the argmax (mmr DESC, rel DESC, id ASC —
+    * the engine's scan order). The λ constants are CAST AS DOUBLE:
+    * DuckDB evaluates bare `1.0 - 0.7` in exact DECIMAL (= 0.3), while
+    * the engine computes `1 - lambda` in doubles
+    * (= 0.30000000000000004) — without the casts the two scores differ
+    * by 1 ulp at 6-digit boundaries.
+    */
+  private def mmrOracle(k: Int, pool: Int): String = {
+    val steps = (2 to k).map { t =>
+      s"""sc$t AS (SELECT c.query_id, c.neighbor_id, c.rel,
+         |    ${Oracles.jr6(s"CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max(sm.s)")} AS mmr
+         |  FROM cand c
+         |  JOIN sims sm ON sm.query_id = c.query_id AND sm.aid = c.neighbor_id
+         |  JOIN ch${t - 1} p ON p.query_id = sm.query_id AND p.neighbor_id = sm.bid
+         |  WHERE NOT EXISTS (SELECT 1 FROM ch${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |s$t AS (SELECT query_id, neighbor_id, rel, mmr, $t AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr DESC, rel DESC, neighbor_id ASC) AS rn FROM sc$t) t
+         |  WHERE rn = 1),
+         |ch$t AS (SELECT * FROM ch${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(t => s"SELECT query_id, neighbor_id, rel, mmr, $t AS rank FROM s$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${Oracles.jr6(cosSql("q.v", "c.v"))} AS rel
+       |  FROM (SELECT * FROM e WHERE vec_id < 20) q
+       |  JOIN e c ON q.vec_id <> c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id ASC) AS rn FROM sc) t
+       |  WHERE rn <= $pool),
+       |cv AS (SELECT cand.query_id, cand.neighbor_id, cand.rel, e.v
+       |  FROM cand JOIN e ON e.vec_id = cand.neighbor_id),
+       |sims AS (SELECT a.query_id, a.neighbor_id AS aid, b.neighbor_id AS bid,
+       |    ${Oracles.jr6(cosSql("a.v", "b.v"))} AS s
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, rel,
+       |    ${Oracles.jr6("CAST(0.7 AS DOUBLE) * rel")} AS mmr, 1 AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand) t
+       |  WHERE rn = 1),
+       |ch1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |SELECT query_id, neighbor_id, rel AS relevance, mmr,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM ($union)
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -56,6 +56,53 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(got.getBoolean(4) == (expect >= 0))
   }
 
+  test("mmrRerank: diversification demotes the near-duplicate") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // query 100 at e1; candidates: 1 and 2 nearly identical high-rel,
+    // 3 diverse mid-rel. Pure relevance ranks (1, 2, 3); diversity-
+    // heavy MMR (λ=0.3) must pick the diverse 3 at rank 2 because 2
+    // duplicates the chosen 1.
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val c = Seq(
+      (1L, Seq(1.0, 0.05, 0.0)),
+      (2L, Seq(1.0, 0.06, 0.0)),
+      (3L, Seq(0.5, 0.0, 0.8))).toDF("id", "v")
+    val got = Similarity.mmrRerank(q, c, "id", "v", "id", "v",
+      k = 3, poolSize = 3, lambda = 0.3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // rank-1 score is λ·rel; later scores subtract the redundancy term
+    assert(got(0).getDouble(3) == BigDecimal(0.3 * got(0).getDouble(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2).getDouble(3) < 0.3 * got(2).getDouble(2))
+  }
+
+  test("int8Quantize: codes, scale, and reconstruction error by hand") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "emb")
+    val got = Similarity.int8Quantize(df, "id", "emb").orderBy("id").collect()
+    // vmax=1.0 → codes (127, -64, 32, 0): -63.5 rounds HALF_UP to -64
+    val codes = Seq(127L, -64L, 32L, 0L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(codes.mkString("-").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0).getString(3) == md)
+    val scale = 1.0 / 127.0
+    val err = math.sqrt(Seq(1.0, -0.5, 0.25, 0.0).zip(codes)
+      .map { case (x, q) => val d = x - q * 1.0 / 127.0; d * d }.sum)
+    assert(got(0).getDouble(2) == BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(got(0).getDouble(4) - err) < 2e-6)
+    // zero vector: scale 0, zero codes, zero error
+    assert(got(1).getDouble(2) == 0.0 && got(1).getDouble(4) == 0.0)
+    val zeroMd = java.security.MessageDigest.getInstance("MD5")
+      .digest("0-0-0-0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1).getString(3) == zeroMd)
+  }
+
   test("dsirWeights: target-slice docs score above disjoint-vocab docs") {
     import spark.implicits._
     val docs = Seq(
