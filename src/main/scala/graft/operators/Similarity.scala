@@ -160,6 +160,15 @@ object Similarity {
     * raw seed codebook. Returns (sub_id, cent_id, centroid) — m·kSub
     * tiny rows; cent_id is the seeding vector's id.
     */
+  /** Train-once memo (same contract as the BPE merge cache): the
+    * codebook is m·kSub·subDim doubles, training is deterministic in
+    * the key, and three consumers per session (encode / ADC search /
+    * fused IVF-PQ) train the identical model — without the memo each
+    * re-runs the seed collect plus `iters` corpus passes.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[(Long, Array[Double])]]]()
+
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, kSub: Int, iters: Int = 0): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -167,6 +176,12 @@ object Similarity {
     val subDim = dim / m
     val spark = vectors.sparkSession
     import spark.implicits._
+    val cacheKey =
+      s"${vectors.queryExecution.analyzed.semanticHash()}|$idCol|$vecCol|$dim|$m|$kSub|$iters"
+    val cached = pqCache.get(cacheKey)
+    if (cached != null)
+      return (for (s0 <- 0 until m; (cid, cv) <- cached(s0)) yield (s0, cid, cv.toSeq))
+        .toDF("sub_id", "cent_id", "centroid")
     val base = vectors.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val seeds = base.orderBy(col("__id")).limit(kSub).collect()
@@ -231,6 +246,7 @@ object Similarity {
         cb(s0).map { case (cid, old) => (cid, updated.getOrElse((s0, cid), old)) }
       }
     }
+    pqCache.put(cacheKey, cb)
     (for (s0 <- 0 until m; (cid, cv) <- cb(s0)) yield (s0, cid, cv.toSeq))
       .toDF("sub_id", "cent_id", "centroid")
   }
