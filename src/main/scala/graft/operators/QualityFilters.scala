@@ -125,6 +125,52 @@ object QualityFilters {
           col("n_tokens").cast("double"), 6).as("dsir_score"))
   }
 
+  /** Token-distribution drift report: per-group KL divergence between
+    * the group's hashed-unigram distribution and the whole corpus's —
+    * the mixture-drift monitor a pipeline runs when a new crawl
+    * snapshot or source lands (`KL(p_group ‖ p_corpus)` over hashed
+    * token buckets, add-one smoothed). Near-zero = the group looks like
+    * the corpus; large = vocabulary drift worth a look.
+    *
+    * Plan shape: one tokenize → per-(group, bucket) partial-agg counts;
+    * the corpus histogram derives from the group histogram (sum over
+    * groups — `groups × buckets` rows, not a second corpus pass); KL
+    * sums over the FULL group × bucket grid (model-sized), not just the
+    * observed support — under add-one smoothing the unobserved buckets
+    * carry positive mass, and dropping them biases KL negative; the
+    * per-bucket KL term is rounded to integer micro-nats so the
+    * per-group sum is exact and order-independent.
+    *
+    * Returns `(group, n_tokens, kl_divergence)` — KL in nats, one row
+    * per group.
+    */
+  def tokenDriftReport(docs: DataFrame, textCol: String, groupCol: Column,
+      buckets: Int = 256): DataFrame = {
+    val tok = docs
+      .select(groupCol.as("__g"), explode(toks(col(textCol))).as("__tok"))
+      .select(col("__g"), bucketOf(col("__tok"), buckets).as("__b"))
+    val gb = tok.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("c"))
+    val gt = gb.groupBy(col("__g")).agg(sum(col("c")).as("tg"))
+    val corpus = gb.groupBy(col("__b")).agg(sum(col("c")).as("cc"))
+    val tot = corpus.agg(sum(col("cc")).as("tc"))
+    val b = lit(buckets.toDouble)
+    val pg = (col("c") + lit(1.0)) / (col("tg") + b)
+    val pc = (col("cc") + lit(1.0)) / (col("tc") + b)
+    gt.select(col("__g"), col("tg"), // groups × ALL-buckets grid
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("__b"))
+      .join(broadcast(corpus), Seq("__b"), "left_outer")
+      .na.fill(0L, Seq("cc"))
+      .join(gb, Seq("__g", "__b"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g"), col("tg"),
+        round(pg * log(pg / pc) * lit(1000000.0)).cast("long").as("term"))
+      .groupBy(col("__g"))
+      .agg(max(col("tg")).as("n_tokens"), sum(col("term")).as("__kl"))
+      .select(col("__g").as("group"), col("n_tokens"),
+        round(col("__kl").cast("double") / lit(1000000.0), 6).as("kl_divergence"))
+  }
+
   /** Hashed-linear quality classifier (the fastText inference shape):
     * tokens hash into `buckets` bag-of-words features, the score is
     * `bias + Σ_b tf_b · w_b` with tf the within-doc bucket frequency,

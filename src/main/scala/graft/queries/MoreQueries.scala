@@ -361,6 +361,67 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    "stream_hll_upsert" -> ((s, d) => {
+      // Streaming sketch upkeep: each micro-batch builds HLL registers
+      // over its slice and folds them into a keyed store by
+      // register-wise MAX — the HLL merge — so the table always holds
+      // the sketch of everything seen so far. Two parity-split batches
+      // force a real cross-batch merge; because max is associative, the
+      // stored registers must equal the whole-corpus batch build, which
+      // is exactly what the oracle replays (same SQL as t_hll_grouped).
+      // This is the production shape for continuous distinct-count
+      // dashboards: per-batch work is one partial-agg pass, store size
+      // is groups × 2^p rows regardless of stream volume.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hll_src")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hll_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        ev.filter(pmod(col("event_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      val storeDir = s"$tmpRoot/graft_stream_hll_store"
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("hll_regs", Seq("grp", "idx"))
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = raw.writeStream.outputMode("update").queryName("graft_stream_hll")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val regs = graft.operators.CorpusStats.hllRegistersBy(
+                batch.toDF(), col("event_type"), col("user_id"), p = 8)
+              val merged =
+                if (store.exists(spec))
+                  regs.join(store.read(spec).withColumnRenamed("rho", "rho_old"),
+                      Seq("grp", "idx"), "full_outer")
+                    .select(col("grp"), col("idx"),
+                      greatest(coalesce(col("rho"), lit(0)),
+                        coalesce(col("rho_old"), lit(0))).as("rho"))
+                else regs
+              store.upsert(spec, merged)
+            }
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val est = graft.operators.CorpusStats.hllEstimateBy(store.read(spec), p = 8)
+      val exact = Tables.events(s, d).groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("m"), col("n_present"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     "j5_code_mapping" -> ((s, d) => {
       // J5 — cross-vendor code-mapping build + refresh as a real
       // pipeline: seed from the wind-side universe, then fold in the
@@ -486,6 +547,11 @@ object MoreQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // The streaming register-max merge must land exactly the registers
+    // a whole-corpus batch build produces (HLL max-merge is
+    // associative), so the oracle IS the batch replay.
+    "stream_hll_upsert" -> CorpusQueries.oracleSql("t_hll_grouped"),
+
     "j6_three_way_merge" ->
       """WITH s1 AS (SELECT l_orderkey AS k1, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v1
         |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1),

@@ -52,7 +52,16 @@ object QualityQueries {
     "t_linear_quality" -> ((s, d) =>
       QualityFilters.hashedLinearQuality(Tables.scatter(Tables.documents(s, d)),
         "doc_id", "text", buckets = 512)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Token-distribution drift: KL(source ‖ corpus) over hashed-unigram
+    // buckets per source — the mixture-drift monitor. The oracle
+    // rebuilds both histograms, the full source × support grid, and
+    // every micro-nat KL term.
+    "t_token_drift" -> ((s, d) =>
+      QualityFilters.tokenDriftReport(Tables.scatter(Tables.documents(s, d)),
+        "text", groupCol = col("source"), buckets = 256)
+        .orderBy(col("group")))
   )
 
   private val toksLower =
@@ -125,6 +134,31 @@ object QualityQueries {
          |SELECT doc_id, n_tokens, ${jr6("s")} AS score,
          |  ${jr6(s"1.0 / (1.0 + exp(-${jr6("s")}))")} AS prob,
          |  ${jr6("s")} >= 0 AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t_token_drift" ->
+      s"""WITH t AS (SELECT source AS g, $toksLower AS lt FROM documents),
+         |tok AS (SELECT g, unnest(lt) AS w FROM t),
+         |tb AS (SELECT g, ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b FROM tok),
+         |gb AS (SELECT g, b, count(*) AS c FROM tb GROUP BY 1, 2),
+         |gt AS (SELECT g, sum(c) AS tg FROM gb GROUP BY 1),
+         |corpus AS (SELECT b, sum(c) AS cc FROM gb GROUP BY 1),
+         |tot AS (SELECT sum(cc) AS tc FROM corpus),
+         |bb AS (SELECT range AS b FROM range(0, 256)),
+         |grid AS (SELECT gt.g, gt.tg, bb.b, coalesce(corpus.cc, 0) AS cc,
+         |    coalesce(gb.c, 0) AS c
+         |  FROM gt CROSS JOIN bb
+         |  LEFT JOIN corpus ON corpus.b = bb.b
+         |  LEFT JOIN gb ON gb.g = gt.g AND gb.b = bb.b),
+         |term AS (SELECT g, tg,
+         |    CAST(round(((c + 1.0) / (tg + 256.0))
+         |      * ln(((c + 1.0) / (tg + 256.0)) / ((cc + 1.0) / (tc + 256.0)))
+         |      * 1000000.0) AS BIGINT) AS term
+         |  FROM grid CROSS JOIN tot),
+         |agg AS (SELECT g, CAST(max(tg) AS BIGINT) AS n_tokens,
+         |    CAST(sum(term) AS BIGINT) AS kl FROM term GROUP BY 1)
+         |SELECT g AS "group", n_tokens,
+         |  ${jr6("CAST(kl AS DOUBLE) / 1000000.0")} AS kl_divergence
+         |FROM agg ORDER BY g""".stripMargin
   )
 }

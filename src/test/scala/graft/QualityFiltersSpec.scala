@@ -103,6 +103,20 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getString(3) == zeroMd)
   }
 
+  test("tokenDriftReport: dominant source near zero, disjoint source drifts") {
+    import spark.implicits._
+    // source A carries ~90% of the corpus → its distribution IS the
+    // corpus (KL ≈ 0); source B has a disjoint vocabulary → large KL
+    val docs = (1 to 9).map(i => (i.toLong, "A", "aa bb cc dd aa bb cc dd")) :+
+      (10L, "B", "zz yy xx ww zz yy xx ww")
+    val got = QualityFilters.tokenDriftReport(docs.toDF("id", "src", "text"),
+        "text", groupCol = col("src"), buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") < got("B"))
+    assert(got("A") < 0.1 && got("B") > 0.5)
+    assert(got.size == 2)
+  }
+
   test("dsirWeights: target-slice docs score above disjoint-vocab docs") {
     import spark.implicits._
     val docs = Seq(
