@@ -180,11 +180,13 @@ object QualityFilters {
     * trained weights changes ONE projected expression — or a broadcast
     * weight-table join for vocabularies too wide for a literal.
     *
-    * Plan shape: tokenize → bucket → per-(doc, bucket) partial-agg
-    * count → weight lookup as pure column algebra → one shuffle on the
-    * doc id. No driver state, no UDF. Weights stay in integer
-    * milli-units through the sum (exact, order-independent) and only
-    * become doubles in the final per-doc division.
+    * Plan shape: tokenize → bucket → per-token weight as pure column
+    * algebra → ONE partial-aggregated shuffle on the doc id (summing
+    * per-token weights directly equals the Σ_b tf_b·w_b formulation
+    * exactly because the sums are integer milli-units — and saves the
+    * per-(doc, bucket) pre-aggregation's second exchange; pinned by
+    * PlanAuditSpec). No driver state, no UDF; weights only become
+    * doubles in the final per-doc division.
     *
     * Returns `(id, n_tokens, score, prob, keep)` per document with at
     * least one token.
@@ -199,10 +201,9 @@ object QualityFilters {
       .cast("long"), lit(2001L)) - lit(1000L)
     val score = lit(bias) +
       (col("__sum").cast("double") / lit(1000.0)) / col("n_tokens").cast("double")
-    tok.groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("c"))
-      .select(col("__id"), col("c"), wMilli.as("w"))
+    tok.select(col("__id"), wMilli.as("w"))
       .groupBy(col("__id"))
-      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("w")).as("__sum"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("__sum"))
       .select(col("__id").as(idCol), col("n_tokens"),
         round(score, 6).as("score"),
         round(lit(1.0) / (lit(1.0) + exp(-round(score, 6))), 6).as("prob"),

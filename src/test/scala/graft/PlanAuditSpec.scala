@@ -233,4 +233,61 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
         s"$q kernel has no scatter exchange:\n$p")
     }
   }
+
+  test("c4 line cleaning and int8 quantization stay map-only") {
+    // Per-row rewrites: any Join or wide Exchange beyond the scatter /
+    // presentation sort means the linear scan broke.
+    val c4 = graft.operators.QualityFilters.c4LineClean(
+      Tables.documents(spark, sf), "doc_id", "text")
+    assert(shuffles(c4) == 0, s"c4LineClean grew an exchange:\n${simple(c4)}")
+    assert(!simple(c4).contains("Join"))
+    val q8 = graft.operators.Similarity.int8Quantize(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    assert(shuffles(q8) == 0, s"int8Quantize grew an exchange:\n${simple(q8)}")
+    assert(!simple(q8).contains("Join"))
+  }
+
+  test("linear quality classifier: one doc-id shuffle, partial agg, no join") {
+    val df = graft.operators.QualityFilters.hashedLinearQuality(
+      Tables.documents(spark, sf), "doc_id", "text", buckets = 512)
+    val p = simple(df)
+    assert(shuffles(df) == 1, s"expected exactly the doc-id shuffle:\n$p")
+    assert(!p.contains("Join"), s"weights must be column algebra, not a join:\n$p")
+    assert(p.contains("partial_"), s"count must combine map-side:\n$p")
+  }
+
+  test("dsir scoring joins model tables by broadcast only") {
+    // The bucket log-ratio table and totals are model-sized: if either
+    // ever plans as a SortMergeJoin the corpus is shuffling on model
+    // keys.
+    val df = graft.operators.QualityFilters.dsirWeights(
+      Tables.documents(spark, sf), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 256)
+    val p = simple(df)
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on a model key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded cross join:\n$p")
+  }
+
+  test("token drift: grid joins broadcast, corpus tokenized once per agg tree") {
+    val df = graft.operators.QualityFilters.tokenDriftReport(
+      Tables.documents(spark, sf), "text", groupCol = col("source"), buckets = 64)
+    val p = simple(df)
+    assert(!p.contains("SortMergeJoin"), s"grid join shuffled the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbounded cross join:\n$p")
+  }
+
+  test("mmr rerank: candidate generation broadcasts the corpus side only once") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = graft.operators.Similarity.mmrRerank(q, e, "vec_id", "v",
+      "vec_id", "v", k = 2, poolSize = 4)
+    val p = simple(df)
+    assert(!p.contains("CartesianProduct"), s"rerank plans a cartesian:\n$p")
+    // greedy state is the per-query group: exactly one shuffle for the
+    // groupByKey plus at most one for the candidate top-k window
+    assert(shuffles(df) <= 3, s"rerank grew extra exchanges:\n$p")
+  }
 }
