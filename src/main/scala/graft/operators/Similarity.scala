@@ -573,6 +573,47 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "relevance", "mmr", "rank")
   }
 
+  /** Feature-hashed document embedding (the hashing trick, Weinberger
+    * et al. 2009): each token adds ±1 (sign from a second hash window)
+    * to one of `dim` buckets, giving an integer signed-count vector; a
+    * unit-normalized copy rides along for cosine search. This is the
+    * fully-in-engine embedding that lets the whole ANN/semantic-dedup
+    * stack run on raw text with no external model — swap in a real
+    * encoder by replacing this one operator.
+    *
+    * Plan shape: tokenize → (bucket, sign) column algebra → ONE
+    * partial-aggregated shuffle on (id, bucket) → per-doc dense
+    * assembly via a sorted-map projection (map-only). The integer
+    * components are exact at any partitioning; only the normalized copy
+    * is floating-point (computed per-element from the exact integers,
+    * so it is deterministic too).
+    *
+    * Returns `(id, n_tokens, vec, unit)` — `vec` the integer
+    * signed-count array, `unit` its L2-normalized double copy (zero
+    * vector passes through).
+    */
+  def hashedDocEmbedding(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("__id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("__tok"))
+    val m5 = md5(col("__tok"))
+    val h1 = conv(substring(m5, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(m5, 16, 14), 16, 10).cast("long")
+    val cells = tok.select(col("__id"),
+        pmod(h1, lit(dim.toLong)).as("__j"),
+        (pmod(h2, lit(2L)) * 2 - 1).as("__s"))
+      .groupBy(col("__id"), col("__j"))
+      .agg(count(lit(1)).as("__c"), sum(col("__s")).as("__v"))
+    val dense = cells.groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        map_from_entries(collect_list(struct(col("__j"), col("__v")))).as("__m"))
+      .select(col("__id"), col("n_tokens"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          j => coalesce(element_at(col("__m"), j), lit(0L))).as("vec"))
+    dense.select(col("__id").as(idCol), col("n_tokens"), col("vec"),
+      VectorFunctions.normalized(transform(col("vec"), _.cast("double"))).as("unit"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the standard
     * 4× storage compression for vector stores: per-vector symmetric
     * scale `max|v_i| / 127`, codes `round(v_i·127 / max|v_i|)` clamped

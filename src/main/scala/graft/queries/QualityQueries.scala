@@ -61,7 +61,39 @@ object QualityQueries {
     "t_token_drift" -> ((s, d) =>
       QualityFilters.tokenDriftReport(Tables.scatter(Tables.documents(s, d)),
         "text", groupCol = col("source"), buckets = 256)
-        .orderBy(col("group")))
+        .orderBy(col("group"))),
+
+    // Feature-hashed document embeddings: 32-dim signed-count vectors
+    // straight from text (integer components — fingerprint-exact), with
+    // the L2 norm as the floating witness.
+    "t_hashed_embed" -> ((s, d) =>
+      graft.operators.Similarity.hashedDocEmbedding(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text", dim = 32)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(col("vec"), "-")).as("vec_fp"),
+          round(graft.functions.VectorFunctions.norm(
+            transform(col("vec"), x => x.cast("double"))), 6).as("norm"))
+        .orderBy(col("doc_id"))),
+
+    // The text→vector loop closed: exact top-3 cosine neighbors among
+    // DOCUMENTS using the in-engine hashed embeddings — the whole
+    // retrieval stack with no external model. Integer vectors make
+    // every dot product exact, so the oracle replays embedding and
+    // search bit-for-bit.
+    "v_doc_knn_hashed" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      val q = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      Similarity.bruteForceTopK(q, e, "doc_id", "v", "doc_id", "v",
+        k = 3, rankRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   private val toksLower =
@@ -159,6 +191,53 @@ object QualityQueries {
          |    CAST(sum(term) AS BIGINT) AS kl FROM term GROUP BY 1)
          |SELECT g AS "group", n_tokens,
          |  ${jr6("CAST(kl AS DOUBLE) / 1000000.0")} AS kl_divergence
-         |FROM agg ORDER BY g""".stripMargin
+         |FROM agg ORDER BY g""".stripMargin,
+
+    "t_hashed_embed" ->
+      s"""$hashedVecCtes
+         |nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM cells GROUP BY 1)
+         |SELECT v.doc_id, nt.n_tokens,
+         |  md5(array_to_string(v.vec, '-')) AS vec_fp,
+         |  ${jr6("sqrt(list_sum(list_transform(v.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS norm
+         |FROM vecs v JOIN nt USING (doc_id) ORDER BY v.doc_id""".stripMargin,
+
+    "v_doc_knn_hashed" ->
+      s"""$hashedVecCtes
+         |s AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |    CASE WHEN sqrt(list_sum(list_transform(q.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         |      THEN list_sum(list_transform(range(1, 33),
+         |          i -> CAST(q.vec[i] AS DOUBLE) * CAST(c.vec[i] AS DOUBLE))) /
+         |        (sqrt(list_sum(list_transform(q.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |          * sqrt(list_sum(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |      ELSE 0.0 END AS cos_raw
+         |  FROM (SELECT * FROM vecs WHERE doc_id < 20) q
+         |  JOIN vecs c ON q.doc_id <> c.doc_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
+         |  FROM s) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared CTE chain: text → 32-dim hashed signed-count vectors
+    * (zero-filled via the doc × dim grid, assembled in j order). */
+  private def hashedVecCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+       |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 32 AS j,
+       |    (('0x' || substr(md5(w), 16, 14))::BIGINT % 2) * 2 - 1 AS s
+       |  FROM tok),
+       |cells AS (SELECT doc_id, j, count(*) AS c, sum(s) AS v
+       |  FROM h GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, r.range AS j
+       |  FROM (SELECT DISTINCT doc_id FROM cells) d CROSS JOIN range(0, 32) r),
+       |dense AS (SELECT g.doc_id, g.j, coalesce(cells.v, 0) AS v
+       |  FROM grid g LEFT JOIN cells ON cells.doc_id = g.doc_id AND cells.j = g.j),
+       |vecs AS (SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY j) AS vec
+       |  FROM dense GROUP BY 1),""".stripMargin
 }

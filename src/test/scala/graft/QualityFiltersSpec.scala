@@ -103,6 +103,26 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getString(3) == zeroMd)
   }
 
+  test("hashedDocEmbedding: components replay the hash-and-sign formula") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val text = "alpha beta beta gamma"
+    val docs = Seq((5L, text)).toDF("id", "text")
+    val got = Similarity.hashedDocEmbedding(docs, "id", "text", dim = 16)
+      .collect()(0)
+    val expect = Array.fill(16)(0L)
+    text.split(" ").foreach { t =>
+      val (h1, h2) = Md5Hash.h1h2(t)
+      expect((h1 % 16).toInt) += (h2 % 2) * 2 - 1
+    }
+    assert(got.getLong(1) == 4)
+    assert(got.getSeq[Long](2).toArray.toSeq == expect.toSeq)
+    // unit copy: norm 1 unless the vector is all-zero
+    val unit = got.getSeq[Double](3)
+    val n2 = unit.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-9)
+  }
+
   test("tokenDriftReport: dominant source near zero, disjoint source drifts") {
     import spark.implicits._
     // source A carries ~90% of the corpus → its distribution IS the
