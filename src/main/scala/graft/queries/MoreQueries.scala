@@ -361,6 +361,54 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // Winsorized (percentile-clipped) per-group stats: the standard
+    // numeric-cleaning pass before aggregating a heavy-tailed metric.
+    // Exact interpolated percentiles per group (model-sized, broadcast
+    // back), clip, then count clips and sum the clipped values in
+    // integer micro-units so the report is exact at any partitioning.
+    "a14_winsorize" -> ((s, d) => {
+      val pcts = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.01)).as("p01"),
+          percentile(col("value"), lit(0.99)).as("p99"))
+      val clipped = Tables.events(s, d).join(broadcast(pcts), Seq("event_type"))
+        .withColumn("__clip", least(greatest(col("value"), col("p01")), col("p99")))
+      clipped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+          max(col("p01")).as("__p01"), max(col("p99")).as("__p99"),
+          sum(round(col("__clip") * lit(1000000.0)).cast("long")).as("__sum"))
+        .select(col("event_type"), col("n"), col("n_low"), col("n_high"),
+          round(col("__p01"), 6).as("p01"), round(col("__p99"), 6).as("p99"),
+          round((col("__sum").cast("double") / lit(1000000.0)) /
+            col("n").cast("double"), 6).as("mean_clipped"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Funnel analysis over first-occurrence event times: how many users
+    // progress view → click → purchase in time order — the product-
+    // analytics staple on the same events table the sessionization and
+    // attribution queries use.
+    "a15_funnel" -> ((s, d) => {
+      val f = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val s1 = col("tv").isNotNull
+      val s2 = s1 && col("tc").isNotNull && col("tc") >= col("tv")
+      val s3 = s2 && col("tp").isNotNull && col("tp") >= col("tc")
+      f.agg(sum(when(s1, 1L).otherwise(0L)).as("n_view"),
+          sum(when(s2, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(s3, 1L).otherwise(0L)).as("n_funnel"))
+        .select(col("n_view"), col("n_view_click"), col("n_funnel"),
+          round(col("n_view_click").cast("double") / col("n_view").cast("double"), 6)
+            .as("rate_click"),
+          round(col("n_funnel").cast("double") / col("n_view_click").cast("double"), 6)
+            .as("rate_purchase"))
+    }),
+
     "stream_hll_upsert" -> ((s, d) => {
       // Streaming sketch upkeep: each micro-batch builds HLL registers
       // over its slice and folds them into a keyed store by
@@ -551,6 +599,48 @@ object MoreQueries {
     // a whole-corpus batch build produces (HLL max-merge is
     // associative), so the oracle IS the batch replay.
     "stream_hll_upsert" -> CorpusQueries.oracleSql("t_hll_grouped"),
+
+    "a14_winsorize" ->
+      s"""WITH p AS (SELECT event_type,
+         |    quantile_cont(value, 0.01) AS p01,
+         |    quantile_cont(value, 0.99) AS p99
+         |  FROM events GROUP BY 1),
+         |c AS (SELECT e.event_type, e.value, p.p01, p.p99,
+         |    least(greatest(e.value, p.p01), p.p99) AS clip
+         |  FROM events e JOIN p USING (event_type)),
+         |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |    CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |    max(p01) AS p01r, max(p99) AS p99r,
+         |    CAST(sum(CAST(round(clip * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM c GROUP BY 1)
+         |SELECT event_type, n, n_low, n_high,
+         |  ${Oracles.jr6("p01r")} AS p01, ${Oracles.jr6("p99r")} AS p99,
+         |  ${Oracles.jr6("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)")} AS mean_clipped
+         |FROM agg ORDER BY event_type""".stripMargin,
+
+    "a15_funnel" ->
+      s"""WITH f AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+         |    min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+         |  GROUP BY 1),
+         |fl AS (SELECT
+         |    (tv IS NOT NULL) AS s1,
+         |    (tv IS NOT NULL AND tc IS NOT NULL AND tc >= tv) AS s2,
+         |    (tv IS NOT NULL AND tc IS NOT NULL AND tc >= tv
+         |      AND tp IS NOT NULL AND tp >= tc) AS s3
+         |  FROM f),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+         |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+         |  FROM fl)
+         |SELECT n_view, n_view_click, n_funnel,
+         |  ${Oracles.jr6("CAST(n_view_click AS DOUBLE) / CAST(n_view AS DOUBLE)")} AS rate_click,
+         |  ${Oracles.jr6("CAST(n_funnel AS DOUBLE) / CAST(n_view_click AS DOUBLE)")} AS rate_purchase
+         |FROM agg""".stripMargin,
 
     "j6_three_way_merge" ->
       """WITH s1 AS (SELECT l_orderkey AS k1, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS v1
