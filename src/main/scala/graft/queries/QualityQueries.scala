@@ -93,6 +93,23 @@ object QualityQueries {
         k = 3, rankRound = Some(6))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SemDeDup on RAW TEXT: hashed embeddings → IVF-cell blocking →
+    // within-cell cosine dedup, every stage in-engine. Integer vectors
+    // make the cell assignment and the ≥ eps comparisons exact, so the
+    // oracle replays the full chain.
+    "dd_doc_semdedup" -> ((s, d) => {
+      import graft.operators.{Dedup, Similarity}
+      val e = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      val cents = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .filter(col("doc_id") < 8)
+        .select(col("doc_id").as("cent_id"), transform(col("vec"), x => x.cast("double")).as("cv"))
+      Dedup.semDedup(e, "doc_id", "v", cents, "cent_id", "cv", eps = 0.9)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -220,7 +237,32 @@ object QualityQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
          |  FROM s) t
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "dd_doc_semdedup" ->
+      s"""$hashedVecCtes
+         |e2 AS (SELECT doc_id, list_transform(vec, x -> CAST(x AS DOUBLE)) AS v FROM vecs),
+         |c AS (SELECT doc_id AS cent_id, v AS cv FROM e2 WHERE doc_id < 8),
+         |dd AS (
+         |  SELECT e2.doc_id, c.cent_id,
+         |    sqrt(list_sum(list_transform(range(1, 33),
+         |      i -> (e2.v[i] - c.cv[i]) * (e2.v[i] - c.cv[i])))) AS dist
+         |  FROM e2 CROSS JOIN c),
+         |best AS (
+         |  SELECT doc_id, cent_id AS cell FROM (
+         |    SELECT doc_id, cent_id,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, cent_id ASC) AS rn
+         |    FROM dd) t WHERE rn = 1),
+         |eb AS (SELECT e2.doc_id, e2.v, b.cell FROM e2 JOIN best b USING (doc_id)),
+         |dup AS (SELECT DISTINCT b.doc_id
+         |  FROM eb a JOIN eb b ON a.cell = b.cell AND b.doc_id > a.doc_id
+         |  WHERE list_sum(list_transform(range(1, 33), i -> a.v[i] * b.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, 33), i -> a.v[i] * a.v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, 33), i -> b.v[i] * b.v[i])))) >= 0.9)
+         |SELECT eb.doc_id, eb.cell,
+         |  CAST(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM eb LEFT JOIN dup ON eb.doc_id = dup.doc_id
+         |ORDER BY eb.doc_id""".stripMargin
   )
 
   /** Shared CTE chain: text → 32-dim hashed signed-count vectors
