@@ -72,4 +72,45 @@ object Resample {
         when(col("total_amount") =!= 0,
           (col("big_buy_amount") + col("big_sell_amount")) / col("total_amount")))
   }
+
+  /** Per-key EWMA — the classic infinite-memory indicator no window
+    * frame expresses (every output depends on ALL prior rows):
+    * `e_1 = x_1`, `e_t = α·x_t + (1−α)·e_{t−1}` in (orderCol, tieCol)
+    * order.
+    *
+    * Shape: ONE shuffle on the key, then a sequential in-order fold per
+    * group (the d1/adj-factor typed-kernel pattern — per-key series fit
+    * a task; the fold is O(n) with O(1) state). Doubles fold in row
+    * order with the α constants fixed, so the series is deterministic
+    * at any partitioning and replayable by the oracle's recursive CTE.
+    * Event time is compared in exact integer micros (a timestamp→double
+    * cast would lose sub-second order at 2^53).
+    *
+    * Returns `(key, tie, value, ewma)` with the raw (unrounded) fold
+    * value — presentation rounding is the caller's choice.
+    */
+  def ewma(events: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("__k"),
+        unix_micros(col(orderCol)).as("__o"),
+        col(tieCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var prev = 0.0
+        var first = true
+        rows.iterator.map { r =>
+          val e = if (first) { first = false; r._4 }
+          else alpha * r._4 + (1 - alpha) * prev
+          prev = e
+          (k, r._3, r._4, e)
+        }
+      }
+      .toDF(keyCol, tieCol, valueCol, "ewma")
+  }
 }

@@ -361,6 +361,16 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // EWMA per user over event time: the stateful per-key fold no
+    // window frame expresses; the oracle replays the recursion row by
+    // row with a recursive CTE.
+    "w12_ewma" -> ((s, d) =>
+      graft.operators.Resample.ewma(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value", alpha = 0.2)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // Winsorized (percentile-clipped) per-group stats: the standard
     // numeric-cleaning pass before aggregating a heavy-tailed metric.
     // Exact interpolated percentiles per group (model-sized, broadcast
@@ -599,6 +609,20 @@ object MoreQueries {
     // a whole-corpus batch build produces (HLL max-merge is
     // associative), so the oracle IS the batch replay.
     "stream_hll_upsert" -> CorpusQueries.oracleSql("t_hll_grouped"),
+
+    "w12_ewma" ->
+      s"""WITH RECURSIVE s AS (SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, event_id, value, rn, value AS ewma
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.event_id, s.value, s.rn,
+         |    CAST(0.2 AS DOUBLE) * s.value + CAST(0.8 AS DOUBLE) * r.ewma
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         |SELECT user_id, event_id, value, ${Oracles.jr6("ewma")} AS ewma
+         |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "a14_winsorize" ->
       s"""WITH p AS (SELECT event_type,

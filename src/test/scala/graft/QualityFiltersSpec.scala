@@ -103,6 +103,30 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getString(3) == zeroMd)
   }
 
+  test("ewma: hand-computed fold, order set by (ts, tie)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new Timestamp(t0.getTime + s * 1000L)
+    // second and third rows share a timestamp — event_id breaks the tie
+    val df = Seq(
+      (1L, ts(0), 10L, 10.0),
+      (1L, ts(1), 12L, 4.0),
+      (1L, ts(1), 11L, 1.0),
+      (2L, ts(0), 20L, 7.0)).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.Resample
+      .ewma(df, "user_id", "ts", "event_id", "value", alpha = 0.5)
+      .orderBy("user_id", "event_id").collect()
+    // user 1 order: id10 (10.0), id11 (1.0), id12 (4.0)
+    val e1 = 10.0
+    val e2 = 0.5 * 1.0 + 0.5 * e1 // 5.5
+    val e3 = 0.5 * 4.0 + 0.5 * e2 // 4.75
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L, 20L))
+    assert(got(0).getDouble(3) == e1 && got(1).getDouble(3) == e2)
+    assert(got(2).getDouble(3) == e3)
+    assert(got(3).getDouble(3) == 7.0) // each key folds independently
+  }
+
   test("hashedDocEmbedding: components replay the hash-and-sign formula") {
     import spark.implicits._
     import graft.operators.Similarity
