@@ -113,4 +113,45 @@ class StreamingParitySpec extends AnyFunSuite with SharedSpark {
     assert(rows(1L) == ((3L, 60.0, 2)), s"user 1 state not carried: $rows")
     assert(rows(2L) == ((1L, 5.0, 1)), s"user 2 over-updated: $rows")
   }
+
+  test("streaming bars ≡ batch bars under the RocksDB state store") {
+    // The 100 TB state-store story: HDFS-backed in-memory maps cap at
+    // executor heap, RocksDB spills state to local disk. The pipeline
+    // must produce identical bars under either provider (state layout
+    // is provider-internal; results are not). rocksdbjni ships with the
+    // Spark 4 distribution, so this is config, not code.
+    val sfDir = "/root/testdata/sf0.001"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = Resample
+        .ticksToBars(Tables.events(spark, sfDir).withColumn("one", lit(1.0)),
+          Seq("user_id"), "ts", "event_id", "value", "one", "1 hour")
+        .select("user_id", "bar_start", "open", "high", "low", "close", "n_ticks")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rocksdb_parity"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet"), fs,
+        new org.apache.hadoop.fs.Path(dir, "events.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val streamed = TickBarStream.replayParquet(spark, dir, schema,
+        raw => TickBarStream.bars(Tables.normalizeEventTime(raw, "ts"),
+          Seq("user_id"), "ts", "event_id", "value", "1 hour",
+          watermark = "10 minutes"),
+        queryName = "rocksdb_parity_bars")
+        .select("user_id", "bar_start", "open", "high", "low", "close", "n_ticks")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
 }
