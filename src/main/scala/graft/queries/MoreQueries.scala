@@ -361,6 +361,42 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // K8 — the report-rendering task itself: the reference computes a
+    // per-sector interval-median pivot and ships it as an Excel file
+    // (/root/reference/tasks/report/stock/industry_classified.py:61-104
+    // `pivot → median → to_excel('median.xls')`). Here the same shape —
+    // monthly median order value per region, pivoted wide — renders
+    // through the engine's own BIFF8 writer and is read back through
+    // the BIFF8 source; the oracle replays the computation, so the
+    // workbook round-trip is value-checked. Empty cells carry 0.0 (the
+    // sheet is headerless numeric; the reference writes NaN blanks).
+    // matplotlib plotting stays out of scope — the workbook is the
+    // data deliverable.
+    "k8_excel_report" -> ((s, d) => {
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("double").as("yyyymm"), col("r_name"), col("o_totalprice"))
+      val wide = joined.groupBy(col("yyyymm"))
+        .pivot("r_name", regions)
+        .agg(round(median(col("o_totalprice")), 6))
+        .select(col("yyyymm") +: regions.map(r =>
+          coalesce(col(s"`$r`"), lit(0.0)).as(r.toLowerCase.replace(" ", "_"))): _*)
+        .withColumn("report", lit("median"))
+      val dir = Scratch.path("k8_report", d)
+      val cols = "yyyymm" +: regions.map(_.toLowerCase.replace(" ", "_"))
+      Xls.writeKeyed(wide, dir, "report", Seq("yyyymm"), cols)
+      Xls.headerless(Xls.read(s, s"$dir/median.xls"), cols.length)
+        .select(col("_c0").cast("long").as("yyyymm"),
+          col("_c1").as("africa"), col("_c2").as("america"),
+          col("_c3").as("asia"), col("_c4").as("europe"),
+          col("_c5").as("middle_east"))
+        .orderBy(col("yyyymm"))
+    }),
+
     // EWMA per user over event time: the stateful per-key fold no
     // window frame expresses; the oracle replays the recursion row by
     // row with a recursive CTE.
@@ -609,6 +645,22 @@ object MoreQueries {
     // a whole-corpus batch build produces (HLL max-merge is
     // associative), so the oracle IS the batch replay.
     "stream_hll_upsert" -> CorpusQueries.oracleSql("t_hll_grouped"),
+
+    "k8_excel_report" ->
+      s"""WITH j AS (
+         |  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS yyyymm,
+         |    r.r_name, o.o_totalprice
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+         |SELECT yyyymm,
+         |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'AFRICA' THEN o_totalprice END)")}, 0.0) AS africa,
+         |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'AMERICA' THEN o_totalprice END)")}, 0.0) AS america,
+         |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'ASIA' THEN o_totalprice END)")}, 0.0) AS asia,
+         |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'EUROPE' THEN o_totalprice END)")}, 0.0) AS europe,
+         |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'MIDDLE EAST' THEN o_totalprice END)")}, 0.0) AS middle_east
+         |FROM j GROUP BY 1 ORDER BY yyyymm""".stripMargin,
 
     "w12_ewma" ->
       s"""WITH RECURSIVE s AS (SELECT user_id, event_id, value,
