@@ -397,6 +397,36 @@ object MoreQueries {
         .orderBy(col("yyyymm"))
     }),
 
+    // K8's second report (/root/reference/tasks/report/fund/worst_fund.py
+    // :20-56): point-in-time value at two cutoff dates per entity, the
+    // period return ratio with the reference's HAVING filter
+    // (pct != 1, pct < 2), and describe() over the ratios. Customers
+    // play the funds, their order history plays the NAV series.
+    "k8b_worst_fund" -> ((s, d) => {
+      def pit(cut: String, alias: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") <= lit(cut))
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as(alias))
+      val pct = pit("1994-12-31", "nav_from")
+        .join(pit("1996-12-31", "nav_to"), Seq("o_custkey"))
+        .withColumn("pct", round(col("nav_to") / col("nav_from"), 6))
+        .filter(col("pct") =!= 1.0 && col("pct") < 2.0)
+      pct.agg(count(lit(1)).as("cnt"),
+          sum(round(col("pct") * lit(1000000.0)).cast("long")).as("__s"),
+          round(stddev_samp(col("pct")), 4).as("std"),
+          min(col("pct")).as("min_v"),
+          round(percentile(col("pct"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("pct"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("pct"), lit(0.75)), 6).as("p75"),
+          max(col("pct")).as("max_v"))
+        .select(col("cnt"),
+          round((col("__s").cast("double") / lit(1000000.0)) /
+            col("cnt").cast("double"), 6).as("mean"),
+          col("std"), col("min_v"), col("p25"), col("p50"), col("p75"),
+          col("max_v"))
+    }),
+
     // EWMA per user over event time: the stateful per-key fold no
     // window frame expresses; the oracle replays the recursion row by
     // row with a recursive CTE.
@@ -661,6 +691,28 @@ object MoreQueries {
          |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'EUROPE' THEN o_totalprice END)")}, 0.0) AS europe,
          |  coalesce(${Oracles.jr6("median(CASE WHEN r_name = 'MIDDLE EAST' THEN o_totalprice END)")}, 0.0) AS middle_east
          |FROM j GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+
+    "k8b_worst_fund" ->
+      s"""WITH pf AS (SELECT o_custkey, o_totalprice AS nav_from FROM (
+         |    SELECT o_custkey, o_totalprice, row_number() OVER (
+         |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate <= DATE '1994-12-31') t WHERE rn = 1),
+         |pt AS (SELECT o_custkey, o_totalprice AS nav_to FROM (
+         |    SELECT o_custkey, o_totalprice, row_number() OVER (
+         |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders WHERE o_orderdate <= DATE '1996-12-31') t WHERE rn = 1),
+         |p AS (SELECT ${Oracles.jr6("nav_to / nav_from")} AS pct
+         |  FROM pf JOIN pt USING (o_custkey)),
+         |sel AS (SELECT pct FROM p WHERE pct <> 1.0 AND pct < 2.0)
+         |SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |  ${Oracles.jr6("(CAST(sum(CAST(round(pct * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) / count(*)")} AS mean,
+         |  round(stddev_samp(pct), 4) AS std,
+         |  min(pct) AS min_v,
+         |  ${Oracles.jr6("quantile_cont(pct, 0.25)")} AS p25,
+         |  ${Oracles.jr6("quantile_cont(pct, 0.5)")} AS p50,
+         |  ${Oracles.jr6("quantile_cont(pct, 0.75)")} AS p75,
+         |  max(pct) AS max_v
+         |FROM sel""".stripMargin,
 
     "w12_ewma" ->
       s"""WITH RECURSIVE s AS (SELECT user_id, event_id, value,
