@@ -544,4 +544,37 @@ object CorpusStats {
       .groupBy(col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  /** Per-group [[cmsSketch]]: one `depth × width` grid per group value
+    * (sparse `(grp, d, w, cnt)` rows), still one corpus pass and still
+    * partial-aggregatable — the per-group frequency monitor when the
+    * exact per-(group, token) table is too big. Memory is
+    * O(groups · depth · width); grids of corpus shards merge cell-wise
+    * like the global sketch. Completes the grouped-sketch family next
+    * to [[hllRegistersBy]] and [[Sketches.histogramBy]].
+    */
+  def cmsSketchBy(docs: DataFrame, groupCol: Column, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    docs.select(groupCol.as("grp"), explode(toks(col(textCol))).as("tok"))
+      .select(col("grp"), explode(cmsCells(col("tok"), depth, width)).as("c"))
+      .groupBy(col("grp"), col("c.d").as("d"), col("c.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-group point estimates: min over the depth rows of each group's
+    * grid for every (group, probe token) pair — over the FULL
+    * group × probe-cell grid, because a group whose grid lacks one of
+    * the token's cells must estimate 0, not the min of the cells it
+    * does have. Probes × groups is model-sized; the sketch broadcasts. */
+  def cmsEstimateBy(sketch: DataFrame, probes: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = probes
+      .select(col(tokenCol).as("token"))
+      .select(col("token"), explode(cmsCells(lower(col("token")), depth, width)).as("c"))
+      .select(col("token"), col("c.d").as("d"), col("c.w").as("w"))
+    val groups = sketch.select(col("grp")).distinct()
+    cells.crossJoin(broadcast(groups))
+      .join(broadcast(sketch), Seq("grp", "d", "w"), "left_outer")
+      .groupBy(col("grp"), col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

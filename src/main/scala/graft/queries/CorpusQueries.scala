@@ -291,6 +291,27 @@ object CorpusQueries {
         .select(col("token"), col("est_count"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"))
         .orderBy(col("token"))
+    }),
+
+    // Grouped CMS: one 4×512 grid per source, probed with the stopword
+    // vocabulary per source, exact counts as the witness — the
+    // per-group frequency monitor, completing the grouped-sketch family
+    // (HLL / histogram / CMS).
+    "t_cms_grouped" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.scatter(Tables.documents(s, d))
+      val sketch = CorpusStats.cmsSketchBy(docs, col("source"), "text",
+        depth = 4, width = 512)
+      val probes = graft.functions.TextFunctions.englishStopwords.toDF("token")
+      val exact = docs
+        .select(col("source").as("grp"),
+          explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("exact_count"))
+      CorpusStats.cmsEstimateBy(sketch, probes, "token", depth = 4, width = 512)
+        .join(exact, Seq("grp", "token"), "left_outer")
+        .select(col("grp").as("source"), col("token"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("source"), col("token"))
     }))
 
   private val toksLower =
@@ -399,6 +420,30 @@ object CorpusQueries {
     // Rebuild the identical 4×1024 CMS grid (same MD5-window
     // Kirsch–Mitzenmacher hashes, same mod), then replay the min-of-4
     // point estimates and the exact counts.
+    "t_cms_grouped" ->
+      s"""WITH toks AS (SELECT source AS grp, unnest($toksLower) AS tok FROM documents),
+         |th AS (SELECT grp, tok,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5(tok), 16, 14))::BIGINT AS h2 FROM toks),
+         |cells AS (SELECT grp, r.range AS d, (h1 + r.range * h2) % 512 AS w
+         |  FROM th, range(0, 4) r),
+         |sketch AS (SELECT grp, d, w, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+         |probes AS (SELECT unnest($cmsStops) AS token),
+         |pc AS (SELECT token, r.range AS d,
+         |    (('0x' || substr(md5(token), 1, 15))::BIGINT
+         |     + r.range * ('0x' || substr(md5(token), 16, 14))::BIGINT) % 512 AS w
+         |  FROM probes, range(0, 4) r),
+         |grid AS (SELECT g.grp, pc.token, pc.d, pc.w
+         |  FROM pc CROSS JOIN (SELECT DISTINCT grp FROM sketch) g),
+         |est AS (SELECT grp, token, min(coalesce(cnt, 0)) AS est_count
+         |  FROM grid LEFT JOIN sketch USING (grp, d, w) GROUP BY 1, 2),
+         |ex AS (SELECT grp, tok AS token, count(*) AS exact_count
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT e.grp AS source, e.token, CAST(e.est_count AS BIGINT) AS est_count,
+         |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+         |FROM est e LEFT JOIN ex x USING (grp, token)
+         |ORDER BY source, token""".stripMargin,
+
     "t_cms_counts" ->
       s"""WITH toks AS (SELECT unnest($toksLower) AS tok FROM documents),
          |th AS (SELECT tok,
