@@ -572,4 +572,35 @@ final class TableStore(spark: SparkSession, root: String) {
     case null => "__HIVE_DEFAULT_PARTITION__"
     case other => other.toString
   }
+
+}
+
+/** Instance-free table utilities. */
+object TableStore {
+
+  /** Order-independent content checksum over the named columns: each
+    * row canonicalizes to a `|`-joined string, hashes through the
+    * md5-window family ([[graft.functions.Md5Hash]]), and the SUM of
+    * the 60-bit row hashes — exact DECIMAL(38,0) internally, published
+    * mod 2⁶¹ so the fingerprint rides in a plain BIGINT; partition
+    * order and parallelism can't change it — plus the row count form
+    * the table's fingerprint. This is how two sides of a replication /
+    * migration compare a 100 TB table without moving it: one
+    * partial-aggregated scan each, two numbers over the wire.
+    *
+    * Callers pick columns with engine-stable string forms (integers,
+    * strings, dates); doubles render differently across engines and
+    * belong behind an explicit cast/round. Null canonicalizes to the
+    * empty string (distinct from the literal "null").
+    */
+  def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.select(conv(substring(md5(canon), 1, 15), 16, 10)
+        .cast("decimal(38,0)").as("__h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("__sum"))
+      .select(col("n_rows"),
+        pmod(col("__sum"), lit(BigDecimal(1L << 61)).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
 }

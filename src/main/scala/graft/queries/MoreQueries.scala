@@ -361,6 +361,14 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // D11b — replication/migration audit: the order-independent content
+    // checksum two sides of a copy compare without moving the table.
+    // The DuckDB oracle recomputing the same two numbers IS the other
+    // side of the audit.
+    "d11_table_checksum" -> ((s, d) =>
+      graft.core.TableStore.contentChecksum(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))),
+
     // K8 — the report-rendering task itself: the reference computes a
     // per-sector interval-median pivot and ships it as an Excel file
     // (/root/reference/tasks/report/stock/industry_classified.py:61-104
@@ -675,6 +683,17 @@ object MoreQueries {
     // a whole-corpus batch build produces (HLL max-merge is
     // associative), so the oracle IS the batch replay.
     "stream_hll_upsert" -> CorpusQueries.oracleSql("t_hll_grouped"),
+
+    "d11_table_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substr(md5(
+        |    concat_ws('|',
+        |      coalesce(CAST(o_orderkey AS VARCHAR), ''),
+        |      coalesce(CAST(o_custkey AS VARCHAR), ''),
+        |      coalesce(CAST(o_orderstatus AS VARCHAR), ''),
+        |      coalesce(CAST(o_orderdate AS VARCHAR), ''))), 1, 15))::BIGINT)
+        |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS checksum
+        |FROM orders""".stripMargin,
 
     "k8_excel_report" ->
       s"""WITH j AS (
