@@ -204,6 +204,26 @@ object DomainQueries {
       store.read(spec).orderBy(col("o_orderkey"))
     }),
 
+    // K1 additive schema evolution end-to-end: batch 2 arrives with a
+    // column batch 1 never had; old rows read back null there, updated
+    // rows carry it, and untouched columns survive. The oracle rebuilds
+    // the expected merged table including the null backfill.
+    "k1_schema_evolution" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_evolve"
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_evolve", Seq("o_orderkey"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val batch1 = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      store.upsert(spec, batch1)
+      val batch2 = batch1.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+        .withColumn("priority_flag", lit("HIGH")) // the new column
+      store.upsert(spec, batch2)
+      store.read(spec).orderBy(col("o_orderkey"))
+    }),
+
     "k1_upsert_partitioned" -> ((s, d) => {
       // Partitioned upsert: the second batch must rewrite only the
       // partitions it touches (1997), leaving the rest byte-identical.
@@ -816,6 +836,12 @@ object DomainQueries {
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
         |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
         |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "k1_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.0 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'HIGH' END AS priority_flag
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "k1_upsert_partitioned" ->
