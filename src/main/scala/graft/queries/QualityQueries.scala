@@ -95,6 +95,44 @@ object QualityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Contrastive-training negative sampling: k deterministic
+    // pseudo-random non-self partners per anchor (md5 of anchor:slot
+    // mod corpus size, +1 skip on self-collision) — reproducible at any
+    // partitioning, like the split/sample family.
+    "t_negative_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L), lit(3L))).as("neg_rank"))
+        .withColumn("__h",
+          pmod(conv(substring(md5(concat(col("doc_id"), lit(":"), col("neg_rank"))),
+            1, 15), 16, 10).cast("long"), col("n")))
+        .select(col("doc_id"), col("neg_rank"),
+          when(col("__h") === col("doc_id"), pmod(col("__h") + 1, col("n")))
+            .otherwise(col("__h")).as("neg_id"))
+        .orderBy(col("doc_id"), col("neg_rank"))
+    }),
+
+    // Hard-negative mining: the near-but-not-nearest band of the exact
+    // cosine ranking (ranks 4..8) over the hashed embeddings — the
+    // negatives that actually teach a contrastive model.
+    "v_hard_negatives" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      val q = Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      Similarity.bruteForceTopK(q, e, "doc_id", "v", "doc_id", "v",
+        k = 8, rankRound = Some(6))
+        .filter(col("rank") >= 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SemDeDup on RAW TEXT: hashed embeddings → IVF-cell blocking →
     // within-cell cosine dedup, every stage in-engine. Integer vectors
     // make the cell assignment and the ≥ eps comparisons exact, so the
@@ -238,6 +276,38 @@ object QualityQueries {
          |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
          |  FROM s) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "t_negative_sample" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |g AS (SELECT d.doc_id, r.range AS neg_rank, n.n
+         |  FROM documents d CROSS JOIN range(0, 4) r CROSS JOIN n),
+         |h AS (SELECT doc_id, neg_rank, n,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(neg_rank AS VARCHAR)),
+         |      1, 15))::BIGINT % n AS h
+         |  FROM g)
+         |SELECT doc_id, neg_rank,
+         |  CASE WHEN h = doc_id THEN (h + 1) % n ELSE h END AS neg_id
+         |FROM h ORDER BY doc_id, neg_rank""".stripMargin,
+
+    "v_hard_negatives" ->
+      s"""$hashedVecCtes
+         |s AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |    CASE WHEN sqrt(list_sum(list_transform(q.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |        * sqrt(list_sum(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         |      THEN list_sum(list_transform(range(1, 33),
+         |          i -> CAST(q.vec[i] AS DOUBLE) * CAST(c.vec[i] AS DOUBLE))) /
+         |        (sqrt(list_sum(list_transform(q.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |          * sqrt(list_sum(list_transform(c.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |      ELSE 0.0 END AS cos_raw
+         |  FROM (SELECT * FROM vecs WHERE doc_id < 20) q
+         |  JOIN vecs c ON q.doc_id <> c.doc_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
+         |  FROM s) t
+         |WHERE rank BETWEEN 4 AND 8 ORDER BY query_id, rank""".stripMargin,
 
     "dd_doc_semdedup" ->
       s"""$hashedVecCtes
