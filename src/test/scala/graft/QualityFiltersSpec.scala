@@ -103,6 +103,34 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getString(3) == zeroMd)
   }
 
+  test("partitioning invariance: checksum, ewma, and hashed embedding") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // the determinism claims, tested literally: same values no matter
+    // how the input is partitioned
+    val docs = (0L until 40L).map(i => (i, s"tok${i % 7} alpha tok${i % 5} beta x$i"))
+      .toDF("id", "text")
+    val ck1 = graft.core.TableStore.contentChecksum(docs, Seq("id", "text")).collect()(0)
+    val ck2 = graft.core.TableStore
+      .contentChecksum(docs.repartition(17), Seq("id", "text")).collect()(0)
+    assert(ck1 == ck2)
+
+    val emb = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Similarity.hashedDocEmbedding(df, "id", "text", dim = 16)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](2))).toSeq
+    assert(emb(docs) == emb(docs.repartition(13)))
+
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val ev = (0L until 60L).map(i =>
+      (i % 5, new Timestamp(t0.getTime + i * 1000), i, (i % 11).toDouble * 1.7))
+      .toDF("user_id", "ts", "event_id", "value")
+    val fold = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Resample.ewma(df, "user_id", "ts", "event_id", "value", 0.3)
+        .orderBy("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(fold(ev) == fold(ev.repartition(19)))
+  }
+
   test("ewma: hand-computed fold, order set by (ts, tie)") {
     import spark.implicits._
     import java.sql.Timestamp
