@@ -59,6 +59,10 @@ object Bench {
       // residue taxes every later query's GC. Unload them; the next
       // streaming query transparently reloads from its checkpoint.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      // Terminated queries also stay referenced by the stream manager
+      // (for awaitAnyTermination bookkeeping) — with 10+ streaming
+      // queries that pins every sink/plan until reset.
+      spark.streams.resetTerminated()
       System.gc()
       (name, elapsed, ok)
     }
