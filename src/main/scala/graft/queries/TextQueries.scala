@@ -376,6 +376,25 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The index measuring itself: recall@3 of the IVF search against
+    // the exact scan, per query and with the same tie-breaks — the
+    // quality number an ANN deployment watches when it tunes nprobe.
+    // The oracle composes the two existing replays as subqueries.
+    "v_recall_report" -> ((s, d) => {
+      val exact = queries("v_knn_bruteforce")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = queries("v_ivf_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(col("query_id"), col("k"),
+          round(col("n_found").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // MMR diversified re-ranking over the exact top-10 pool: greedy
     // λ=0.7 relevance-vs-redundancy selection of 4 results per query.
     // The oracle unrolls the greedy loop step by step (same pattern as
@@ -513,7 +532,7 @@ object TextQueries {
        |      i -> (es.sv[i] - c.cv[i]) * (es.sv[i] - c.cv[i]))) AS dd
        |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private def baseOracles: Map[String, String] = Map(
     "t_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents)
          |SELECT doc_id,
@@ -1015,6 +1034,17 @@ object TextQueries {
          |  md5(array_to_string(codes, '-')) AS codes_fp,
          |  ${Oracles.jr6("CASE WHEN vmax > 0 THEN sqrt(se) ELSE 0.0 END")} AS recon_err
          |FROM r ORDER BY vec_id""".stripMargin)
+
+  /** The recall oracle composes the exact-scan and IVF replays as
+    * subqueries — recall is DEFINED against those two result sets, so
+    * the composition is the spec. */
+  val oracleSql: Map[String, String] = baseOracles + ("v_recall_report" ->
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${baseOracles("v_knn_bruteforce")}) t),
+       |iv AS (SELECT query_id, neighbor_id FROM (${baseOracles("v_ivf_topk")}) t)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS k,
+       |  ${Oracles.jr6("CAST(sum(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS recall
+       |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
+       |GROUP BY 1 ORDER BY ex.query_id""".stripMargin)
 
   /** Inline DuckDB cosine over 64-dim DOUBLE[] columns (same shape as
     * the v_knn oracle). */
