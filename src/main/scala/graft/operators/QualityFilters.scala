@@ -66,12 +66,20 @@ object QualityFilters {
     val pageBad = pageBlock
       .map(p => exists(lines, l => lower(l).contains(p)))
       .reduce(_ || _)
-    docs.select(
-      col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(filter(lines, lineKept _)).cast("long").as("n_kept_lines"),
-      (!pageBad && size(filter(lines, lineKept _)) > 0).as("keep_page"),
-      when(!pageBad, array_join(filter(lines, lineKept _), "\n")).as("clean_text"))
+    // kept is materialized ONCE in its own projection: lambda-bearing
+    // expressions are excluded from Spark's subexpression elimination,
+    // so inlining filter(lines, lineKept) into all three outputs would
+    // re-run the per-line regex + tokenize 3× per document (and
+    // CollapseProject won't merge a multiply-referenced non-cheap
+    // alias, so the split survives optimization).
+    docs.select(col(idCol), size(lines).cast("long").as("n_lines"),
+        pageBad.as("__bad"), filter(lines, lineKept _).as("__kept"))
+      .select(
+        col(idCol),
+        col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        (!col("__bad") && size(col("__kept")) > 0).as("keep_page"),
+        when(!col("__bad"), array_join(col("__kept"), "\n")).as("clean_text"))
   }
 
   /** DSIR-style importance weights: per-document average log-ratio of

@@ -165,6 +165,11 @@ object Similarity {
     * the key, and three consumers per session (encode / ADC search /
     * fused IVF-PQ) train the identical model — without the memo each
     * re-runs the seed collect plus `iters` corpus passes.
+    *
+    * The key is the input's analyzed-plan semantic hash, which covers
+    * paths but not file CONTENTS — like the BPE cache, the contract is
+    * session-scoped over immutable inputs; a pipeline that rewrites a
+    * path in place and retrains must use a new path (or session).
     */
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[(Long, Array[Double])]]]()
@@ -483,7 +488,10 @@ object Similarity {
     * compare equal to scores computed in column algebra.
     */
   private def jround6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    // non-finite passes through like Spark's round (BigDecimal.valueOf
+    // would throw and kill the job on one corrupt value)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   /** Same accumulation as the native cosine expression
@@ -642,12 +650,17 @@ object Similarity {
       var i = 0
       while (i < n) { val a = math.abs(v(i)); if (a > vmax) vmax = a; i += 1 }
       val codes = new Array[Long](n)
-      if (vmax > 0) {
+      if (vmax > 0 && !java.lang.Double.isInfinite(vmax)) {
         i = 0
         while (i < n) {
-          val q = java.math.BigDecimal.valueOf(v(i) * 127.0 / vmax)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-          codes(i) = math.max(-127L, math.min(127L, q))
+          val x = v(i) * 127.0 / vmax
+          // one corrupt (non-finite) component quantizes to 0 instead
+          // of killing the job (BigDecimal.valueOf throws on NaN/Inf)
+          codes(i) =
+            if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) 0L
+            else math.max(-127L, math.min(127L,
+              java.math.BigDecimal.valueOf(x)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
           i += 1
         }
       }

@@ -82,15 +82,14 @@ object QualityQueries {
     // search bit-for-bit.
     "v_doc_knn_hashed" -> ((s, d) => {
       import graft.operators.Similarity
+      // query side = filter of the SAME embedding plan (bruteForceTopK
+      // aliases both sides, so the self-join is unambiguous) — a second
+      // hashedDocEmbedding call would plan the corpus embedding twice
       val e = Similarity.hashedDocEmbedding(
           Tables.documents(s, d), "doc_id", "text", dim = 32)
         .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      val q = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .filter(col("doc_id") < 20)
-        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      Similarity.bruteForceTopK(q, e, "doc_id", "v", "doc_id", "v",
-        k = 3, rankRound = Some(6))
+      Similarity.bruteForceTopK(e.filter(col("doc_id") < 20), e,
+        "doc_id", "v", "doc_id", "v", k = 3, rankRound = Some(6))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -122,12 +121,8 @@ object QualityQueries {
       val e = Similarity.hashedDocEmbedding(
           Tables.documents(s, d), "doc_id", "text", dim = 32)
         .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      val q = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .filter(col("doc_id") < 20)
-        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      Similarity.bruteForceTopK(q, e, "doc_id", "v", "doc_id", "v",
-        k = 8, rankRound = Some(6))
+      Similarity.bruteForceTopK(e.filter(col("doc_id") < 20), e,
+        "doc_id", "v", "doc_id", "v", k = 8, rankRound = Some(6))
         .filter(col("rank") >= 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
@@ -142,10 +137,8 @@ object QualityQueries {
       val e = Similarity.hashedDocEmbedding(
           Tables.documents(s, d), "doc_id", "text", dim = 32)
         .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      val cents = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .filter(col("doc_id") < 8)
-        .select(col("doc_id").as("cent_id"), transform(col("vec"), x => x.cast("double")).as("cv"))
+      val cents = e.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("cent_id"), col("v").as("cv"))
       Dedup.semDedup(e, "doc_id", "v", cents, "cent_id", "cv", eps = 0.9)
         .orderBy(col("doc_id"))
     })

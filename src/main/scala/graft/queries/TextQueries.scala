@@ -1046,12 +1046,16 @@ object TextQueries {
        |FROM ex LEFT JOIN iv ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
        |GROUP BY 1 ORDER BY ex.query_id""".stripMargin)
 
-  /** Inline DuckDB cosine over 64-dim DOUBLE[] columns (same shape as
-    * the v_knn oracle). */
+  /** Inline DuckDB cosine over 64-dim DOUBLE[] columns, with the same
+    * zero-norm guard as the engine's cosine kernels (0 when a norm is
+    * 0 — an unguarded division would emit inf/NaN and diverge). */
   private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+    s"""CASE WHEN sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+       |      sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))) > 0
+       |    THEN list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
        |    (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
-       |     sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
+       |     sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))
+       |    ELSE 0.0 END""".stripMargin
 
   /** Unrolled greedy-MMR replay (the BPE-iteration pattern): step t
     * scores every unchosen candidate `0.7·rel − (1.0−0.7)·max sim to
