@@ -78,9 +78,14 @@ object Bench {
     println(line)
     // Structured copy for consumers that can't rely on an untruncated
     // stdout capture (sbt prefixes and log tails have eaten the line
-    // before): one JSON file, same payload.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+    // before — BENCH_r07.json recorded parsed:null and lost ~64 per-query
+    // timings): ALWAYS write one JSON file, same payload, so the round
+    // record is self-describing regardless of the capture. Default lands
+    // in the repo working dir; override with SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -55,6 +55,31 @@ object Scratch {
       "graft-scratch-cleanup"))
   }
 
+  /** Collision-resistant session cache key for a DataFrame input: the
+    * SHA-256 of the canonicalized analyzed plan's string form.
+    * `semanticHash()` is a 32-bit Int — across many memoized models in
+    * one session a collision would silently hand the wrong codebook /
+    * merge table to a consumer; the full digest closes that class. The
+    * immutable-input contract is unchanged: the plan string covers
+    * paths and literals, not file CONTENTS, so a pipeline that rewrites
+    * a cached path in place must use a new path (or session).
+    */
+  def planKey(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.analyzed
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(plan.canonicalized.toString.getBytes("UTF-8"))
+    // A LocalRelation's canonical form (and semanticHash) covers its
+    // SCHEMA but not its rows — two in-memory inputs of the same shape
+    // would otherwise share a key and cross-feed each other's models.
+    // File-backed plans are unaffected (path is in the plan string).
+    plan.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      case _ => ()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def path(kind: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -82,8 +82,8 @@ object Dedup {
     // materialize it once — Catalyst shares no plans across join
     // branches, and at corpus scale three assignment passes would triple
     // the operator's only per-vector shuffle.
-    val key = s"$idCol|$vecCol|$eps|${vectors.queryExecution.analyzed.semanticHash()}" +
-      s"|${centroids.queryExecution.analyzed.semanticHash()}"
+    val key = s"$idCol|$vecCol|$eps|${graft.core.Scratch.planKey(vectors)}" +
+      s"|${graft.core.Scratch.planKey(centroids)}"
     val assigned = graft.core.Scratch.materialize(
       graft.operators.Similarity
         .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec),

@@ -62,7 +62,7 @@ object LanguageModel {
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    val key = s"$idCol|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    val key = s"$idCol|$textCol|${Scratch.planKey(docs)}"
     val toks = Scratch.materialize(
       docs.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__lt")),
       "lm_toks", key)
@@ -99,10 +99,15 @@ object LanguageModel {
     * tie-break, and merges it greedily left-to-right in every word.
     *
     * Scale shape: the corpus pass is a partial-aggregated token count +
-    * distributed top-V; per-iteration work is one vocab-sized
-    * explode/groupBy (materialized each round so pass i+1 reads parquet
-    * instead of replaying i string rewrites); the driver holds exactly
-    * one winning pair per iteration — the model, nothing else.
+    * distributed top-V — the ONLY Spark job. The top-V table is
+    * model-sized by definition (vocabWords rows: 300 here, ≤~1M in a
+    * production trainer), so it is collected once and the merge loop
+    * runs driver-local over it, the standard tokenizer-trainer shape —
+    * the earlier one-Spark-aggregation-per-merge design was 32k jobs at
+    * a production vocab regardless of data size. The per-iteration
+    * local recount is O(V·avg_len); a 1M-word × 32k-merge run would
+    * upgrade it to incremental pair-count deltas + a heap (pure driver
+    * code, no plan change).
     *
     * Determinism: symbol strings are sentinel-framed (U+001F around
     * every symbol) so a merge pattern can only match at symbol
@@ -121,49 +126,99 @@ object LanguageModel {
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
 
+  /** The one-corpus-pass word-frequency table, memoized separately from
+    * the merges so consumers training DIFFERENT merge counts over the
+    * same corpus (t_bpe_merges at 64, t_bpe_encode at 8) share the
+    * single Spark job; the local merge loop re-derives from it in
+    * microseconds.
+    */
+  private val bpeWordsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
+
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
       vocabWords: Int, numMerges: Int): DataFrame = {
     require(vocabWords > 0, "vocabWords must be positive")
     require(numMerges > 0, "numMerges must be positive")
-    val key = s"bpe|$idCol|$textCol|$vocabWords|$numMerges|" +
-      docs.queryExecution.analyzed.semanticHash()
-    val merges = bpeCache.computeIfAbsent(key,
-      _ => trainMerges(docs, idCol, textCol, vocabWords, numMerges, key))
+    val planK = Scratch.planKey(docs)
+    val key = s"bpe|$idCol|$textCol|$vocabWords|$numMerges|$planK"
+    val merges = bpeCache.computeIfAbsent(key, { _ =>
+      val words = bpeWordsCache.computeIfAbsent(
+        s"bpewords|$idCol|$textCol|$vocabWords|$planK",
+        _ => docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(vocabWords)
+          .collect().map(r => (r.getString(0), r.getLong(1))))
+      trainMergesLocal(words, numMerges)
+    })
     val spark = docs.sparkSession
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
-  private def trainMerges(docs: DataFrame, idCol: String, textCol: String,
-      vocabWords: Int, numMerges: Int, key: String): Seq[(Int, String, String, Long)] = {
-    val SEP = "\u001f"
-    val words = Scratch.materialize(
-      docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w")).limit(vocabWords),
-      "bpe_words", key)
-    var cur = words.select(col("w"), col("c"),
-      concat(lit(SEP),
-        concat_ws(SEP + SEP, concat(split(col("w"), ""), array(lit("</w>")))),
-        lit(SEP)).as("s"))
+  /** Driver-local merge loop over the collected top-V table. Each
+    * iteration: count adjacent symbol pairs weighted by word count
+    * (overlapping positions count), argmax with the (count DESC, lhs,
+    * rhs) tie-break — plain code-unit string order, identical to
+    * Spark's and DuckDB's binary collation on these ASCII symbols —
+    * then a greedy left-to-right non-overlapping merge in every word
+    * (exactly what the sentinel-framed `replace` the encoder and the
+    * SQL oracle run does). Stops early if no pair remains, matching the
+    * oracle's empty-CTE tail.
+    */
+  private def trainMergesLocal(words: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val syms: Array[Array[String]] =
+      words.map { case (w, _) => w.split("").toArray :+ "</w>" }
+    val wc: Array[Long] = words.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (i <- 1 to numMerges) {
-      cur = Scratch.materialize(cur, "bpe_iter", s"$key|$i")
-      val top = cur
-        .select(col("c"),
-          split(expr(s"trim(BOTH '$SEP' FROM s)"), SEP + SEP).as("l"))
-        .select(col("c"), explode(expr(
-          "transform(sequence(0, size(l) - 2), i -> named_struct('a', l[i], 'b', l[i + 1]))"
-        )).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
-        .agg(sum(col("c")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((i, a, b, cnt))
-      cur = cur.withColumn("s",
-        expr(s"replace(s, '$SEP$a$SEP$SEP$b$SEP', '$SEP$a$b$SEP')"))
+    var i = 1
+    var exhausted = false
+    while (i <= numMerges && !exhausted) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val c = wc(wi)
+        var j = 0
+        while (j < s.length - 1) {
+          pc.merge((s(j), s(j + 1)), c, (x, y) => java.lang.Long.sum(x, y))
+          j += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bestA: String = null; var bestB: String = null; var bestC = -1L
+        pc.forEach { (pair, cnt) =>
+          val better = cnt > bestC || (cnt == bestC && {
+            val ca = pair._1.compareTo(bestA)
+            ca < 0 || (ca == 0 && pair._2.compareTo(bestB) < 0)
+          })
+          if (better) { bestA = pair._1; bestB = pair._2; bestC = cnt }
+        }
+        merges += ((i, bestA, bestB, bestC))
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == bestA && s(j + 1) == bestB; j += 1
+          }
+          if (has) {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == bestA && s(j + 1) == bestB) {
+                out += bestA + bestB; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            syms(wi) = out.toArray
+          }
+          wi += 1
+        }
+        i += 1
+      }
     }
     merges.toSeq
   }
@@ -230,7 +285,7 @@ object LanguageModel {
       minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1, "minCount must be at least 1")
     require(topK > 0, "topK must be positive")
-    val key = s"pmi|$idCol|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    val key = s"pmi|$idCol|$textCol|${Scratch.planKey(docs)}"
     val toks = Scratch.materialize(
       docs.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__lt")),
       "pmi_toks", key)

@@ -166,8 +166,10 @@ object Similarity {
     * fused IVF-PQ) train the identical model — without the memo each
     * re-runs the seed collect plus `iters` corpus passes.
     *
-    * The key is the input's analyzed-plan semantic hash, which covers
-    * paths but not file CONTENTS — like the BPE cache, the contract is
+    * The key is the SHA-256 of the input's canonicalized analyzed plan
+    * ([[graft.core.Scratch.planKey]]) — collision-resistant, unlike the
+    * 32-bit `semanticHash()` this used before. It covers paths but not
+    * file CONTENTS — like the BPE cache, the contract is
     * session-scoped over immutable inputs; a pipeline that rewrites a
     * path in place and retrains must use a new path (or session).
     */
@@ -182,7 +184,7 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cacheKey =
-      s"${vectors.queryExecution.analyzed.semanticHash()}|$idCol|$vecCol|$dim|$m|$kSub|$iters"
+      s"${graft.core.Scratch.planKey(vectors)}|$idCol|$vecCol|$dim|$m|$kSub|$iters"
     val cached = pqCache.get(cacheKey)
     if (cached != null)
       return (for (s0 <- 0 until m; (cid, cv) <- cached(s0)) yield (s0, cid, cv.toSeq))
@@ -549,7 +551,8 @@ object Similarity {
         val selected = Array.fill(n)(false)
         val out = Vector.newBuilder[(Long, Long, Double, Double, Long)]
         var picked = 0
-        while (picked < math.min(k, n)) {
+        var stalled = false
+        while (!stalled && picked < math.min(k, n)) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
@@ -572,9 +575,16 @@ object Similarity {
             }
             i += 1
           }
-          selected(best) = true
-          picked += 1
-          out += ((qid, cands(best)._2, cands(best)._3, bestScore, picked.toLong))
+          // NaN scores compare false against bestScore, so a corrupt
+          // vector (non-finite component) can leave best = -1 when every
+          // remaining candidate scores NaN — stop picking rather than
+          // index selected(-1) and kill the job on one bad row
+          if (best < 0) stalled = true
+          else {
+            selected(best) = true
+            picked += 1
+            out += ((qid, cands(best)._2, cands(best)._3, bestScore, picked.toLong))
+          }
         }
         out.result()
       }

@@ -90,13 +90,15 @@ object CorpusQueries {
           round(col("ppl"), 6).as("ppl"))
         .orderBy(col("doc_id"))),
 
-    // BPE tokenizer training: 8 merges learned from the top-300 word
-    // frequencies; the oracle replays every iteration (pair count →
-    // argmax → greedy merge) so each learned merge is value-checked.
+    // BPE tokenizer training: 64 merges learned from the top-300 word
+    // frequencies (one corpus pass, then a driver-local merge loop — the
+    // production trainer shape); the oracle replays every iteration
+    // (pair count → argmax → greedy merge) so each learned merge is
+    // value-checked.
     "t_bpe_merges" -> ((s, d) =>
       LanguageModel.bpeTrain(
           Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
-          vocabWords = 300, numMerges = 8)
+          vocabWords = 300, numMerges = 64)
         .orderBy(col("merge_rank"))),
 
     // The production curation pipeline as ONE composed query: injected
@@ -327,17 +329,23 @@ object CorpusQueries {
     * tie-break, greedy sentinel-framed merge. chr(31) = the U+001F
     * sentinel [[graft.operators.LanguageModel.bpeTrain]] frames symbols
     * with.
+    *
+    * `w$i`/`best$i` are MATERIALIZED: each is referenced twice by the
+    * next iteration, so DuckDB's default CTE inlining doubles the
+    * expanded tree per level — fine at 8 merges, an exponential
+    * scan-count blowup ("Too many open files" on the base parquet) at
+    * 64. Materializing pins each level to one evaluation.
     */
   private def bpeIter(prev: String, i: Int): String =
     s"""p$i AS (SELECT l[x] AS a, l[x + 1] AS b, c FROM (
        |    SELECT c, l, unnest(range(1, len(l))) AS x FROM (
        |      SELECT c, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS l
        |      FROM $prev) q0) q1),
-       |best$i AS (SELECT a, b, cnt FROM (
+       |best$i AS MATERIALIZED (SELECT a, b, cnt FROM (
        |    SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt,
        |      row_number() OVER (ORDER BY sum(c) DESC, a, b) AS rn
        |    FROM p$i GROUP BY a, b) z WHERE rn = 1),
-       |w$i AS (SELECT w, c,
+       |w$i AS MATERIALIZED (SELECT w, c,
        |    replace(s, chr(31) || a || chr(31) || chr(31) || b || chr(31),
        |      chr(31) || a || b || chr(31)) AS s
        |  FROM w${i - 1} CROSS JOIN best$i)""".stripMargin
@@ -412,8 +420,8 @@ object CorpusQueries {
          |    FROM (SELECT unnest($toksLower) AS tok FROM documents) u
          |    WHERE regexp_matches(tok, '^[a-z]+${"$"}')
          |    GROUP BY 1 ORDER BY c DESC, w LIMIT 300) t),
-         |${(1 to 8).map(i => bpeIter(s"w${i - 1}", i)).mkString(",\n")}
-         |${(1 to 8).map(i =>
+         |${(1 to 64).map(i => bpeIter(s"w${i - 1}", i)).mkString(",\n")}
+         |${(1 to 64).map(i =>
              s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM best$i")
              .mkString("\n UNION ALL ")}
          |ORDER BY merge_rank""".stripMargin,

@@ -369,6 +369,28 @@ object MoreQueries {
       graft.core.TableStore.contentChecksum(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))),
 
+    // D12 — cross-store schema audit (the reference's mysql↔sqlite
+    // column-match check, /root/reference/tasks/utils/to_sqlite.py:771-917):
+    // customer vs supplier under a strip-the-table-prefix normalizer.
+    // Exercises every audit outcome: matched columns with equal types
+    // (name/nationkey), a matched column whose right side was narrowed
+    // to float (acctbal → type_match = false), and unmatched columns on
+    // both sides (custkey + mktsegment left, suppkey right) carrying
+    // their PK flags. The oracle derives both schemas from DuckDB's own
+    // DESCRIBE of the same inputs, so the audit is value-checked
+    // against a genuinely independent catalog.
+    "d12_schema_audit" -> ((s, d) => {
+      val left = graft.core.SchemaAudit.TableDesc(
+        Tables.customer(s, d).schema, Seq("c_custkey"))
+      val right = graft.core.SchemaAudit.TableDesc(
+        Tables.supplier(s, d)
+          .withColumn("s_acctbal", col("s_acctbal").cast("float")).schema,
+        Seq("s_suppkey"))
+      graft.core.SchemaAudit.audit(s, left, right,
+          normalize = n => n.replaceFirst("^[a-z]_", ""))
+        .orderBy(col("match_key"))
+    }),
+
     // K8 — the report-rendering task itself: the reference computes a
     // per-sector interval-median pivot and ships it as an Excel file
     // (/root/reference/tasks/report/stock/industry_classified.py:61-104
@@ -695,6 +717,31 @@ object MoreQueries {
         |    AS HUGEINT) % 2305843009213693952 AS BIGINT) AS checksum
         |FROM orders""".stripMargin,
 
+    // The oracle's schemas come from DuckDB's DESCRIBE over the same
+    // parquet (and the same float-narrowing select on the right side),
+    // so both engines independently derive name, type, PK, and match
+    // status. DuckDB prints the identical lowercase SQL type names the
+    // engine's canonicalType maps to.
+    "d12_schema_audit" ->
+      """WITH lc AS (SELECT lower(column_name) AS col, lower(column_type) AS typ,
+        |    regexp_replace(lower(column_name), '^[a-z]_', '') AS k
+        |  FROM (DESCRIBE customer)),
+        |rc AS (SELECT lower(column_name) AS col, lower(column_type) AS typ,
+        |    regexp_replace(lower(column_name), '^[a-z]_', '') AS k
+        |  FROM (DESCRIBE SELECT s_suppkey, s_name, s_nationkey,
+        |    CAST(s_acctbal AS FLOAT) AS s_acctbal FROM supplier))
+        |SELECT coalesce(lc.k, rc.k) AS match_key,
+        |  CASE WHEN lc.k IS NOT NULL AND rc.k IS NOT NULL THEN 'matched'
+        |       WHEN lc.k IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS status,
+        |  lc.col AS left_col, lc.typ AS left_type,
+        |  CASE WHEN lc.k IS NULL THEN NULL ELSE lc.col = 'c_custkey' END AS left_pk,
+        |  rc.col AS right_col, rc.typ AS right_type,
+        |  CASE WHEN rc.k IS NULL THEN NULL ELSE rc.col = 's_suppkey' END AS right_pk,
+        |  CASE WHEN lc.k IS NOT NULL AND rc.k IS NOT NULL
+        |       THEN lc.typ = rc.typ ELSE NULL END AS type_match
+        |FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+        |ORDER BY match_key""".stripMargin,
+
     "k8_excel_report" ->
       s"""WITH j AS (
          |  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS yyyymm,
@@ -725,7 +772,7 @@ object MoreQueries {
          |sel AS (SELECT pct FROM p WHERE pct <> 1.0 AND pct < 2.0)
          |SELECT CAST(count(*) AS BIGINT) AS cnt,
          |  ${Oracles.jr6("(CAST(sum(CAST(round(pct * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) / count(*)")} AS mean,
-         |  round(stddev_samp(pct), 4) AS std,
+         |  ${Oracles.jr("stddev_samp(pct)", 4)} AS std,
          |  min(pct) AS min_v,
          |  ${Oracles.jr6("quantile_cont(pct, 0.25)")} AS p25,
          |  ${Oracles.jr6("quantile_cont(pct, 0.5)")} AS p50,
@@ -865,10 +912,10 @@ object MoreQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "a11_describe_stats" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
+      s"""SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
         |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
-        |  round(stddev_samp(o_totalprice), 4) AS std
+        |  ${Oracles.jr("stddev_samp(o_totalprice)", 4)} AS std
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "o2_limit_latest" ->

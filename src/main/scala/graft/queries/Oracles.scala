@@ -17,6 +17,11 @@ private[queries] object Oracles {
     * rounding. 25 fractional digits hold the full shortest form of any
     * |x| ≥ 1e-8; 13 integer digits remain, ample for every metric here.
     */
-  def jr6(e: String): String =
-    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,25)), 6) AS DOUBLE)"
+  def jr6(e: String): String = jr(e, 6)
+
+  /** [[jr6]] at any scale — same VARCHAR→DECIMAL(38,25) replay of
+    * Spark's shortest-representation HALF_UP rounding.
+    */
+  def jr(e: String, scale: Int): String =
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,25)), $scale) AS DOUBLE)"
 }

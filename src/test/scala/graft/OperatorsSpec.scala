@@ -367,6 +367,19 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "</w>", 3L)))
   }
 
+  test("bpeTrain: stops early when every word is a single symbol") {
+    import spark.implicits._
+    // "ab" exhausts after 2 merges ((a,b) then (ab,</w>)); asking for 10
+    // returns just the realized table — same shape as the SQL replay
+    // oracle's empty-CTE tail.
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel
+      .bpeTrain(docs, "doc_id", "text", vocabWords = 10, numMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 1L), (2, "ab", "</w>", 1L)))
+  }
+
   test("zValue interleaves bits; z-buckets cover aligned rectangles") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

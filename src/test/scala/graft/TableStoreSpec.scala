@@ -298,4 +298,37 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     val got = store.read(spec).orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(1)))
     assert(got.toSeq == Seq((1, 1.0), (2, 20.0), (3, 3.0)))
   }
+
+  test("schemaAudit: alias pairs, PK flags, type drift, and one-sided columns") {
+    import graft.core.SchemaAudit
+    import org.apache.spark.sql.types._
+    val left = SchemaAudit.TableDesc(StructType(Seq(
+      StructField("trade_date", DateType), StructField("vol", LongType),
+      StructField("open", DoubleType), StructField("extra", StringType))),
+      Seq("trade_date"))
+    val right = SchemaAudit.TableDesc(StructType(Seq(
+      StructField("Date", DateType), StructField("Volume", LongType),
+      StructField("Open", FloatType), StructField("Close", DoubleType))),
+      Seq("Date"))
+    // the reference's own match_pairs: trade_date↔Date, vol↔Volume
+    val got = SchemaAudit.audit(spark, left, right,
+        aliases = Seq(("trade_date", "Date"), ("vol", "Volume")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(3)).orNull, Option(r.getString(6)).orNull,
+        if (r.isNullAt(8)) None else Some(r.getBoolean(8)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)),
+        if (r.isNullAt(7)) None else Some(r.getBoolean(7))))
+    assert(got.toSeq == Seq(
+      ("close", "right_only", null, "double", None, None, Some(false)),
+      ("extra", "left_only", "varchar", null, None, Some(false), None),
+      ("open", "matched", "double", "float", Some(false), Some(false), Some(false)),
+      ("trade_date", "matched", "date", "date", Some(true), Some(true), Some(true)),
+      ("vol", "matched", "bigint", "bigint", Some(true), Some(false), Some(false))))
+    // ambiguous keys must throw, not pair arbitrarily
+    val clash = SchemaAudit.TableDesc(StructType(Seq(
+      StructField("a_x", LongType), StructField("b_x", LongType))), Nil)
+    assertThrows[IllegalArgumentException] {
+      SchemaAudit.audit(spark, clash, right, normalize = _.drop(2))
+    }
+  }
 }
