@@ -361,6 +361,66 @@ object MoreQueries {
       store.read(spec).orderBy(col("user_id"), col("bar_start"))
     }),
 
+    // §2.11 crash-recovery proof: the reference's idempotent re-run
+    // contract (tasks/backend/__init__.py:18-19 INSERT..ON DUPLICATE)
+    // exercised UNDER FAILURE. The tick stream runs over 4 input files
+    // (maxFilesPerTrigger=1 → 4 micro-batches) with a checkpoint; an
+    // injected crash fires in foreachBatch AFTER batch 0's upsert but
+    // BEFORE Spark commits the batch — the worst-ordered failure, the
+    // side effect landed but the offset log says the batch never ran. A
+    // second start from the same checkpoint replays batch 0 (double
+    // upsert, absorbed by the PK) and drains the rest; the final table
+    // must equal the one-shot batch aggregation. Watermark exceeds the
+    // data span because the round-robin file split interleaves event
+    // time across batches — this query proves recovery, not lateness
+    // (stream_tick_bars covers watermark semantics).
+    "stream_recovery_upsert" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val srcDir = s"$tmp/graft_stream_recovery_src"
+      val ckptDir = s"$tmp/graft_stream_recovery_ckpt"
+      val storeDir = s"$tmp/graft_stream_recovery_store"
+      Seq(srcDir, ckptDir, storeDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("bars", Seq("user_id", "bar_start"))
+      @volatile var injected = false
+      def run(injectCrash: Boolean): Unit =
+        graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          val ticks = graft.core.Tables.normalizeEventTime(raw, "ts")
+          val bars = graft.streaming.TickBarStream.bars(ticks, Seq("user_id"),
+            "ts", "event_id", "value", "1 hour", "3650 days")
+          val q = bars.writeStream.outputMode("update")
+            .queryName("graft_stream_recovery")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                if (!batch.isEmpty) store.upsert(spec, batch.toDF())
+                if (injectCrash && batchId == 0) {
+                  injected = true
+                  throw new RuntimeException(
+                    "injected crash: upsert landed, batch not committed")
+                }
+            }.start()
+          if (injectCrash) {
+            // the crashed run terminates with our exception — swallow it
+            try q.processAllAvailable() catch { case _: Throwable => () }
+            try q.stop() catch { case _: Throwable => () }
+          } else {
+            try q.processAllAvailable() finally q.stop()
+          }
+        }
+      run(injectCrash = true)
+      require(injected, "crash injection never fired — recovery untested")
+      run(injectCrash = false)
+      store.read(spec).orderBy(col("user_id"), col("bar_start"))
+    }),
+
     // D11b — replication/migration audit: the order-independent content
     // checksum two sides of a copy compare without moving the table.
     // The DuckDB oracle recomputing the same two numbers IS the other
@@ -984,6 +1044,15 @@ object MoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "stream_upsert_tick_bars" ->
+      """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+        |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, event_id) AS close, count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bar_start""".stripMargin,
+
+    // Crash + checkpoint-restart must converge to the identical batch
+    // aggregation — the oracle IS that aggregation, same as the
+    // no-failure upsert sink's.
+    "stream_recovery_upsert" ->
       """SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start,
         |  arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
         |  arg_max(value, event_id) AS close, count(*) AS n_ticks
