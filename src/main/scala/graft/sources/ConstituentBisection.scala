@@ -35,9 +35,21 @@ object ConstituentBisection {
     * `[0, nDates)`. Invariant on return: any two CONSECUTIVE sampled
     * indices either hold equal sets or are adjacent on the axis — every
     * detected change is localized to its exact date.
+    *
+    * `exhaustive = true` switches to the reference's linear fallback
+    * (`loop_get_data`, /root/reference/tasks/wind/index_constituent.py:178-199):
+    * fetch EVERY index. O(axis) vendor calls instead of
+    * O(changes · log axis), but exact even for the A→B→A flip strictly
+    * inside an equal-endpoints interval that the bisection's contract
+    * documents as missed — the knob an operator flips when membership
+    * is known to be non-monotone and the axis is short enough to
+    * afford it.
     */
-  def sample[K](nDates: Int, fetch: Int => Set[K]): Sampled[K] = {
+  def sample[K](nDates: Int, fetch: Int => Set[K],
+      exhaustive: Boolean = false): Sampled[K] = {
     require(nDates > 0, "empty date axis")
+    if (exhaustive)
+      return Sampled(SortedMap.from((0 until nDates).map(i => i -> fetch(i))), nDates)
     val memo = mutable.SortedMap.empty[Int, Set[K]]
     var calls = 0
     def get(i: Int): Set[K] =

@@ -290,4 +290,81 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // groupByKey plus at most one for the candidate top-k window
     assert(shuffles(df) <= 3, s"rerank grew extra exchanges:\n$p")
   }
+
+  test("j1 vendor merge under a hot code: pre-agg absorbs skew; raw feed AQE-splits") {
+    // A hot code carrying 30% of all rows. Two layers of defense:
+    //
+    // (1) The vendor-merge shape itself: both sides pre-aggregate on the
+    //     join key, so row skew is absorbed by the map-side partial
+    //     HashAggregate and the full-outer merge joins PK-UNIQUE sides —
+    //     per-reducer load is bounded by distinct keys, not rows. This
+    //     matters because AQE can NOT split a skewed full-outer SMJ
+    //     (OptimizeSkewedJoin handles inner/semi/anti/one-sided-outer
+    //     only): the pre-agg is the only thing standing between a hot
+    //     code and a stuck reducer, so the audit pins it.
+    //
+    // (2) A RAW (non-aggregated) fact feed of the same key shape, where
+    //     the skew genuinely reaches a shuffle join: AQE's skew split
+    //     must engage once broadcast is off and the thresholds match the
+    //     fixture scale.
+    import graft.operators.MergeOps
+    // each side derives from its OWN plan (same-val self-joins trip
+    // Spark's ambiguity check — see the verify-skill gotcha)
+    def skewed() = spark.range(60000).select(
+      when(pmod(col("id"), lit(10)) < 3, lit(7L))
+        .otherwise(pmod(col("id"), lit(500))).as("suppkey"),
+      pmod(col("id"), lit(7)).cast("int").as("lineno"),
+      date_add(lit("2020-01-01").cast("date"),
+        pmod(col("id"), lit(50)).cast("int")).as("ship_date"),
+      pmod(col("id"), lit(1000)).cast("double").as("px"),
+      pmod(col("id"), lit(90)).cast("double").as("qty"))
+    def vendor(maxL: Int, minL: Int) = skewed()
+      .filter(col("lineno") <= maxL && col("lineno") >= minL)
+      .groupBy(col("suppkey"), col("ship_date"))
+      .agg(sum(col("px")).as("px"), sum(col("qty")).as("qty"))
+    val va = vendor(3, 0)
+    val vb = vendor(6, 2)
+    val merged = MergeOps.reconcile(va, vb,
+      Seq("suppkey", "ship_date"), Seq("suppkey", "ship_date"),
+      Seq("suppkey", "ship_date"),
+      rules = Seq(
+        "px" -> ((l, r) => MergeOps.preferLeft(l, r)),
+        "qty" -> ((l, r) => MergeOps.meanValue(l, r))),
+      leftCols = n => va(n), rightCols = n => vb(n))
+    assert(simple(merged).contains("partial_sum"),
+      s"vendor pre-agg lost its map-side combine:\n${simple(merged)}")
+    // PK-unique sides: the merge emits exactly one row per distinct key,
+    // hot code included — skew never multiplies join output
+    val va2 = vendor(3, 0); val vb2 = vendor(6, 2) // fresh plans for the self-join check
+    val expectKeys = va2.select("suppkey", "ship_date")
+      .union(vb2.select("suppkey", "ship_date")).distinct().count()
+    assert(merged.count() == expectKeys, "merge duplicated keys under skew")
+    // vendors' lineno windows ([0,3] ∪ [2,6]) cover every row, so the
+    // hot code contributes exactly its distinct dates — once each
+    val hotDates = skewed().filter(col("suppkey") === 7)
+      .select(col("ship_date")).distinct().count()
+    assert(merged.filter(col("suppkey") === 7).count() == hotDates)
+
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = spark.range(500)
+        .select(col("id").as("suppkey"), (col("id") * 2).cast("double").as("ref_px"))
+      val joined = skewed().select(col("suppkey"), col("px")).join(dim, Seq("suppkey"))
+      // execute THIS df (count() would plan its own QueryExecution and
+      // leave joined's AQE plan unfinalized)
+      assert(joined.collect().length == 60000)
+      val fp = joined.queryExecution.executedPlan.toString
+      assert(fp.contains("skew=true") || fp.contains("isSkewJoin=true"),
+        s"AQE skew split did not engage on the hot partition:\n$fp")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -86,6 +86,14 @@ class SourceSpec extends AnyFunSuite with SharedSpark {
     assert(sampled.fetchCount == 2, s"expected 2 endpoint fetches, got ${sampled.fetchCount}")
     val got = ConstituentBisection.memberIntervals(axis, sampled).toSet
     assert(got == Set(("XXX", axis.head, axis.last), ("YYY", axis.head, axis.last)), got)
+    // the reference's linear fallback (loop_get_data) catches the same
+    // dip the bisection provably missed above, at O(axis) fetch cost
+    val full = ConstituentBisection.sample(axis.length, membership, exhaustive = true)
+    assert(full.fetchCount == axis.length)
+    val exact = ConstituentBisection.memberIntervals(axis, full).toSet
+    assert(exact == Set(
+      ("XXX", axis.head, axis(99)), ("XXX", axis(200), axis.last),
+      ("YYY", axis.head, axis.last)), exact)
   }
 
   test("watermark-incremental load ≡ full recompute (SURVEY §5.2)") {
