@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build a larger scale factor from the driver-generated testdata by
+  * key-shifted replication: each of `copies` copies shifts every
+  * primary/foreign key by a copy-sized constant (consistently across
+  * fact↔dim so joins keep their selectivity), leaving dates, prices,
+  * and text payloads as-is. `region`/`nation` stay fixed, exactly like
+  * TPC-H dims. The result is a distribution-preserving 10× corpus for
+  * SCALING measurements (sf0.1 → "sf1" runtime ratios in BASELINE.md)
+  * — not a substitute for the real generator: replicated document text
+  * means near-dup pair queries see 10 near-identical copies per doc,
+  * so their OUTPUT grows quadratically in the copy count by design.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir dstDir copies]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.core.GraftSession.registerFunctions(
+      graft.core.GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt
+      ).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shifts: Map[String, Map[String, Long]] = Map(
+      "customer" -> Map("c_custkey" -> 1000000L),
+      "supplier" -> Map("s_suppkey" -> 1000000L),
+      "part" -> Map("p_partkey" -> 1000000L),
+      "orders" -> Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L),
+      "lineitem" -> Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+        "l_suppkey" -> 1000000L),
+      "events" -> Map("event_id" -> 10000000L, "user_id" -> 1000000L),
+      "documents" -> Map("doc_id" -> 1000000L),
+      "embeddings" -> Map("vec_id" -> 1000000L))
+
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t copied as-is")
+    }
+    for ((t, shift) <- shifts) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = (0 until copies).map { i =>
+        base.select(base.schema.fields.map { f =>
+          shift.get(f.name) match {
+            case Some(s) => (col(f.name) + lit(s * i)).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t x$copies -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
