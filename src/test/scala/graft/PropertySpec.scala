@@ -231,4 +231,66 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("bpeTrain ≡ naive sentinel-string replace model on random corpora") {
+    // The driver-local symbol-array trainer vs an INDEPENDENT model that
+    // does what the SQL oracle does: sentinel-framed strings and greedy
+    // String.replace per iteration. Random 3-letter-alphabet words force
+    // dense pair collisions and (count, pair) tie-breaks.
+    import spark.implicits._
+    val SEP = ""
+    def refTrain(words: Seq[(String, Long)], numMerges: Int): Seq[(Int, String, String, Long)] = {
+      def wrap(w: String): String =
+        SEP + (w.split("").toSeq :+ "</w>").mkString(SEP + SEP) + SEP
+      var cur = words.map { case (w, c) => (wrap(w), c) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var stop = false
+      for (i <- 1 to numMerges if !stop) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+        for ((s, c) <- cur) {
+          val l = s.stripPrefix(SEP).stripSuffix(SEP)
+            .split(java.util.regex.Pattern.quote(SEP + SEP)).toSeq
+          for (j <- 0 until l.length - 1) pc((l(j), l(j + 1))) += c
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+          out += ((i, a, b, cnt))
+          cur = cur.map { case (s, c) =>
+            (s.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP), c) }
+        }
+      }
+      out.result()
+    }
+    val rnd = new Random(20260814)
+    (1 to 3).foreach { trial =>
+      val words = (1 to 40).map { _ =>
+        (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct.map(w => (w, 1L + rnd.nextInt(5)))
+      val text = words.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+      val got = graft.operators.LanguageModel
+        .bpeTrain(Seq((trial.toLong, text)).toDF("doc_id", "text"),
+          "doc_id", "text", vocabWords = 1000, numMerges = 12)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == refTrain(words, 12), s"trial $trial diverged")
+    }
+  }
+
+  test("schemaAudit(x, x) is reflexively all-matched") {
+    import graft.core.SchemaAudit
+    import org.apache.spark.sql.types._
+    val rnd = new Random(99)
+    val types = Seq(LongType, IntegerType, DoubleType, StringType, DateType, BooleanType)
+    (1 to 3).foreach { trial =>
+      val fields = (1 to 3 + rnd.nextInt(6))
+        .map(i => StructField(s"col_$i", types(rnd.nextInt(types.length))))
+      val pk = fields.take(1 + rnd.nextInt(2)).map(_.name)
+      val desc = SchemaAudit.TableDesc(StructType(fields), pk)
+      val rows = SchemaAudit.audit(spark, desc, desc).collect()
+      assert(rows.length == fields.length, s"trial $trial")
+      assert(rows.forall(r => r.getString(1) == "matched" && r.getBoolean(8) &&
+        r.getBoolean(4) == r.getBoolean(7)), s"trial $trial")
+    }
+  }
 }
