@@ -87,6 +87,65 @@ object CorpusStats {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Okapi BM25 retrieval (Robertson & Walker; the Lucene-standard
+    * non-negative IDF variant): for each query, the top-`k` documents by
+    * `Σ_{t∈q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b + b·|d|/avgdl))`
+    * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`. Query terms are
+    * DISTINCT (binary query-side tf, the common retrieval convention).
+    * This is the lexical-retrieval primitive next to [[tfIdfTopK]] — the
+    * sparse half of a RAG/hard-negative mining stack (the dense half is
+    * [[Similarity]]'s ANN).
+    *
+    * Scale shape: one corpus-wide (doc, term) shuffle builds tf; doc
+    * lengths and document frequencies re-aggregate from that table (its
+    * size, not the corpus's); query terms broadcast (query sets are
+    * model-sized); the df join is left to AQE exactly like tfIdfTopK
+    * (billion-term vocabularies must not be forced broadcast); the
+    * top-k is a per-query row_number window over candidate docs only.
+    *
+    * Determinism: per-term scores are rounded to 6 decimals and summed
+    * in exact micro-unit integers (sum order cannot perturb the total),
+    * and ranking orders by that integer with a doc-id tie-break — a
+    * libm ulp cannot flip a rank. Returns
+    * (query_id, doc_id, score, rank), score = micro-sum / 1e6.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("__doc").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val stats = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(docLen.agg(sum(col("dl")).as("__tl")))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(toks(col(qTextCol)))).as("term"))
+    val avgdl = col("__tl").cast("double") / col("__n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val term = idf * tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(docLen, Seq("__doc"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__doc"),
+        round(round(term, 6) * lit(1e6)).cast("long").as("__micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("__doc").asc)
+    scored.groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__micro")).as("__s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__doc").as("doc_id"),
+        round(col("__s").cast("double") / lit(1e6), 6).as("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Cross-document span dedup stats: distinct word `n`-gram spans per
     * document (md5-window hashed — 8-byte shuffle keys the DuckDB oracle
     * can recompute, never span strings), counted across the corpus with

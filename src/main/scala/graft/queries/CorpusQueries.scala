@@ -21,6 +21,21 @@ object CorpusQueries {
       CorpusStats.tfIdfTopK(Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // BM25 lexical retrieval: queries are the first-5-token prefixes of
+    // the doc_id % 97 == 1 documents (self-retrieval — the shape hard-
+    // negative mining and RAG recall checks run); top-5 docs per query
+    // with Lucene-variant idf, micro-unit-exact score sums, and
+    // integer-ranked ordering.
+    "t_bm25_topk" -> ((s, d) => {
+      val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 1)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 5)).as("qtext"))
+      CorpusStats.bm25TopK(Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+          qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "dd_span_dedup" -> ((s, d) =>
       CorpusStats.spanDedupStats(Tables.scatter(Tables.documents(s, d)), "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))),
@@ -695,6 +710,44 @@ object CorpusQueries {
          |SELECT doc_id, term, ${jr6("tfidf")} AS tfidf, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 replay: identical expression shape (products before the
+    // division, ln innermost, every constant CAST AS DOUBLE so DuckDB
+    // doesn't fold decimal literals exactly), per-term jr6 rounding into
+    // micro-unit integers, integer-ordered ranking.
+    "t_bm25_topk" ->
+      s"""WITH tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksLower) AS term FROM documents) u
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |  (SELECT sum(dl) FROM dl) AS tl),
+         |q AS (SELECT doc_id AS query_id,
+         |    unnest(list_distinct(($toksLower)[1:5])) AS term
+         |  FROM documents WHERE doc_id % 97 = 1),
+         |sc AS (SELECT q.query_id, tf.doc,
+         |    CAST(round(${Oracles.jr6(
+                 """ln(CAST(1.0 AS DOUBLE)
+                   | + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   |   / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   | * CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                   | / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                   |    * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                   |       * CAST(dl AS DOUBLE)
+                   |       / (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE))))"""
+                   .stripMargin.replace("\n", " "))} * 1000000.0) AS BIGINT) AS micro
+         |  FROM tf JOIN q USING (term) JOIN dfr USING (term)
+         |  JOIN dl USING (doc) CROSS JOIN st),
+         |agg AS (SELECT query_id, doc, CAST(sum(micro) AS BIGINT) AS s
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc AS doc_id, s,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc) AS rank
+         |  FROM agg)
+         |SELECT query_id, doc_id,
+         |  ${Oracles.jr6("CAST(s AS DOUBLE) / 1000000.0")} AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dd_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),

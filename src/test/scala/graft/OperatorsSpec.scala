@@ -664,4 +664,28 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(got.toSeq == Seq("en", "es", "und"))
   }
+
+  test("bm25TopK: hand-computed Lucene-variant scores and ranks") {
+    import spark.implicits._
+    // corpus: d1 "a b a", d2 "b c", d3 "c c c c"; N=3, avgdl=3;
+    // df: a→1 b→2 c→2. Query "a c": d1 scores on a only, d2/d3 on c.
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a c")).toDF("query_id", "qtext")
+    def j6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def term(idf: Double, tf: Double, dl: Double): Long =
+      math.round(j6(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))) * 1e6)
+    val idfA = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    val idfC = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    val exp = Seq(
+      (10L, 1L, j6(term(idfA, 2, 3) / 1e6), 1L),
+      (10L, 3L, j6(term(idfC, 4, 4) / 1e6), 2L),
+      (10L, 2L, j6(term(idfC, 1, 2) / 1e6), 3L))
+    val got = graft.operators.CorpusStats
+      .bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+  }
 }
