@@ -113,8 +113,14 @@ object CorpusStats {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
-    val tf = docs.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("term"))
-      .groupBy("__doc", "term").agg(count(lit(1)).as("tf"))
+    // tf is consumed four times (candidate join, doc lengths, document
+    // frequencies, corpus totals) — materialize the one tokenize+groupBy
+    // pass instead of re-running it per consumer (same contract as the
+    // bigram-LM trainer's scratch)
+    val tf = graft.core.Scratch.materialize(
+      docs.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("term"))
+        .groupBy("__doc", "term").agg(count(lit(1)).as("tf")),
+      "bm25_tf", s"$idCol|$textCol|$k1|$b|${graft.core.Scratch.planKey(docs)}")
     val docLen = tf.groupBy("__doc").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val stats = docs.agg(count(lit(1)).as("__n"))

@@ -27,7 +27,12 @@ object CorpusQueries {
     // with Lucene-variant idf, micro-unit-exact score sums, and
     // integer-ranked ordering.
     "t_bm25_topk" -> ((s, d) => {
-      val qs = Tables.documents(s, d).filter(col("doc_id") % 97 === 1)
+      // query set pinned to the base id range (doc_id < 100000 covers
+      // every driver SF) so retrieval cost scales with the CORPUS, not
+      // quadratically with corpus × query count, when the same query
+      // runs over ScaleUp-replicated data
+      val qs = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 1 && col("doc_id") < 100000)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(
             graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 5)).as("qtext"))
@@ -725,7 +730,7 @@ object CorpusQueries {
          |  (SELECT sum(dl) FROM dl) AS tl),
          |q AS (SELECT doc_id AS query_id,
          |    unnest(list_distinct(($toksLower)[1:5])) AS term
-         |  FROM documents WHERE doc_id % 97 = 1),
+         |  FROM documents WHERE doc_id % 97 = 1 AND doc_id < 100000),
          |sc AS (SELECT q.query_id, tf.doc,
          |    CAST(round(${Oracles.jr6(
                  """ln(CAST(1.0 AS DOUBLE)

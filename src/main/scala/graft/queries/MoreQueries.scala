@@ -339,11 +339,11 @@ object MoreQueries {
         s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert_src")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
-      fs.mkdirs(streamDir)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(s"$d/events.parquet"), fs,
-        new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
+      // re-write (not FileUtil.copy): a multi-file events TABLE (a
+      // directory named events.parquet, e.g. a ScaleUp output) would
+      // otherwise nest under streamDir where the flat stream source
+      // finds no files
+      s.read.parquet(s"$d/events.parquet").write.parquet(streamDir.toString)
       val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_store"
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)

@@ -220,17 +220,19 @@ object RelationalQueries {
     // file) and report each bucket's min/max span on BOTH dimensions.
     // Z-ordered buckets cover small rectangles (~√32 of each axis), so
     // parquet min/max stats would prune point scans on either column;
-    // a plain sort clusters only its leading column. ntile over the
-    // unique (z, orderkey, linenumber) order stands in deterministically
-    // for the production mechanism (repartitionByRange on the z-value,
-    // whose sampled bounds aren't engine-replayable).
+    // a plain sort clusters only its leading column. Exact ntile over
+    // the unique (z, orderkey, linenumber) order stands in
+    // deterministically for the production mechanism — computed by the
+    // distributed two-pass rank (GlobalRank.withNtile), NOT a global
+    // window: Window.orderBy with no partition key executes in ONE task,
+    // which at 100 TB is the layout job's own anti-pattern.
     "p10_zorder_layout" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_suppkey"), col("l_partkey"))
         .withColumn("z", graft.functions.ZOrder.zValue(col("l_suppkey"), col("l_partkey")))
-      val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("bucket", ntile(32).over(w).cast("long"))
+      graft.operators.GlobalRank.withNtile(li,
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")), 32, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),

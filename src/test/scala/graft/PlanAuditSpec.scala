@@ -102,6 +102,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"sessionize stopped sharing the user_id partitioning:\n${simple(df)}")
   }
 
+  test("p10 z-order layout never plans a single-partition window") {
+    // GlobalRank.withNtile replaced the global ntile window: the bucket
+    // assignment must come from the two-pass rank (range shuffle +
+    // offsets), leaving NO WindowExec — a no-partition Window executes
+    // the whole table in one task.
+    val df = SparkEntry.queries("p10_zorder_layout")(spark, sf)
+    assert(!simple(df).contains("Window"),
+      s"global window crept back into the layout job:\n${simple(df)}")
+  }
+
   test("weighted sample plans a distributed top-n, not a global sort") {
     // orderBy.limit must stay TakeOrderedAndProject (per-partition heaps
     // merged on the driver); a full-sort regression would shuffle the

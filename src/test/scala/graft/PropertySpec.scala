@@ -277,6 +277,27 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("GlobalRank.withNtile ≡ single-partition window ntile") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(4242)
+    for (b <- Seq(3, 7, 32); trial <- 1 to 2) {
+      val n = 50 + rnd.nextInt(400)
+      val rows = rnd.shuffle((1 to n).toList).map(k => (k.toLong, rnd.nextInt(100)))
+      val df = rows.toDF("k", "v").repartition(7) // scatter the input
+      val got = graft.operators.GlobalRank
+        .withNtile(df, Seq(col("k")), b, "bucket")
+        .select(col("k"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val exp = rows.toDF("k", "v")
+        .withColumn("bucket", ntile(b).over(Window.orderBy(col("k"))).cast("long"))
+        .select(col("k"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == exp, s"buckets=$b n=$n trial=$trial")
+    }
+  }
+
   test("schemaAudit(x, x) is reflexively all-matched") {
     import graft.core.SchemaAudit
     import org.apache.spark.sql.types._
