@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ DomainQueries.queries ++
-      MoreQueries.queries ++ CorpusQueries.queries ++ QualityQueries.queries
+      MoreQueries.queries ++ CorpusQueries.queries ++ QualityQueries.queries ++
+      RiskQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalOracles.oracleSql ++ TextQueries.oracleSql ++ DomainQueries.oracleSql ++
-      MoreQueries.oracleSql ++ CorpusQueries.oracleSql ++ QualityQueries.oracleSql
+      MoreQueries.oracleSql ++ CorpusQueries.oracleSql ++ QualityQueries.oracleSql ++
+      RiskQueries.oracleSql
 }

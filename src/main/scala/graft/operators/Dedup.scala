@@ -490,6 +490,66 @@ object Dedup {
       n: Int): org.apache.spark.sql.Column =
     jaccardOfSets(TextFunctions.wordShingles(a, n), TextFunctions.wordShingles(b, n))
 
+  /** Cross-document duplicated-PASSAGE detection — the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), re-expressed relationally: instead of a
+    * suffix array (single-machine construction, random-access scans),
+    * fingerprint every token n-gram, keep fingerprints seen in ≥ minDf
+    * DISTINCT documents, and merge each document's hit positions into
+    * maximal spans with a gaps-and-islands window. The output names the
+    * byte-free token span `[span_start, span_end]` (1-based, inclusive)
+    * to cut from each document — the whole-doc dedup family above can't
+    * see a boilerplate paragraph shared by otherwise-distinct pages;
+    * this operator is what removes it.
+    *
+    * Shape at 100 TB: tokenize+hash is map-only; the only wide exchanges
+    * are (a) one partial-aggregated count-distinct-ish shuffle on the
+    * 32-hex fingerprint (an approx_count_distinct-style two-level
+    * groupBy keeps it partial-aggregatable) and (b) one fingerprint-keyed
+    * semi-join back to positions. Token arrays never shuffle — only
+    * (doc_id, pos, 16-byte hash) triples do. The island merge is a
+    * per-doc window: one sort inside the doc partition.
+    *
+    * Adjacent-or-overlapping hits merge when `pos − prev ≤ n` (touching
+    * spans form one contiguous duplicated region of text).
+    */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 64, s"n-gram length $n out of range")
+    require(minDf >= 2, s"minDf=$minDf must be >= 2 (cross-doc means >1 doc)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    // 1-based gram start positions; docs shorter than n contribute none.
+    val grams = toks
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("__t")) - lit(n - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__t"), i, lit(n)))).as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // Fingerprints in >= minDf distinct docs. Two-level: dedup (h, doc)
+    // first (partial-aggregatable), then count docs per h.
+    val dup = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos")).distinct()
+    // Gaps-and-islands: new island when the previous hit is > n back.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") > col("__prev") + n, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
   /** Connected components over a near-dup pair list → dedup GROUPS (the
     * step after [[minHashDupPairs]]/[[simHashDupPairs]]: "keep one doc
     * per cluster" needs the cluster, not the pairs). Distributed

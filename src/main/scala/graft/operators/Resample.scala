@@ -73,6 +73,32 @@ object Resample {
           (col("big_buy_amount") + col("big_sell_amount")) / col("total_amount")))
   }
 
+  /** Volume-weighted average price per calendar bucket × key — the
+    * bar statistic the reference's tick resamplers stop short of (its
+    * minute bars keep open/high/low/close/vol,
+    * /root/reference/tasks/pytdx/md_min.py, but the cash-flow report
+    * divides Σ(price·vol) notionals the same way,
+    * /root/reference/tasks/pytdx/cash_flow_daily.py:14).
+    *
+    * Exactness: price and volume are cast to DECIMAL(18,2) so the
+    * Σ(p·v) and Σv partial sums are exact at any partitioning; the
+    * single vwap division happens AFTER both sums are cast to double —
+    * deterministic IEEE on identical operands, so the oracle replays it
+    * exactly. One partial-aggregated shuffle on (bucket, keys).
+    */
+  def vwapBars(ticks: DataFrame, bucket: Column, keys: Seq[Column],
+      priceCol: Column, volCol: Column): DataFrame = {
+    val dec = "decimal(18,2)"
+    val p = priceCol.cast(dec)
+    val v = volCol.cast(dec)
+    ticks.groupBy((bucket.as("bucket") +: keys): _*)
+      .agg(
+        sum(v).cast("double").as("volume"),
+        sum(p * v).cast("double").as("amount"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("vwap", col("amount") / nullif(col("volume"), lit(0.0)))
+  }
+
   /** Per-key EWMA — the classic infinite-memory indicator no window
     * frame expresses (every output depends on ALL prior rows):
     * `e_1 = x_1`, `e_t = α·x_t + (1−α)·e_{t−1}` in (orderCol, tieCol)

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.analytics.RiskStats
+import graft.core.Tables
+import graft.operators.{Dedup, Resample, TopKSketch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 widening: return-series risk analytics over the orders "NAV"
+  * series ([[graft.analytics.RiskStats]]), VWAP bars, cross-document
+  * duplicated-passage spans (Lee et al. exact-substring dedup,
+  * relational form), and the grouped heavy-hitters sketch.
+  */
+object RiskQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Per-order simple returns vs the market-aggregate return, both
+    * clamped + micro-scaled — shared front half of fin_rolling_beta.
+    * The "market" series is the per-date total notional of ALL orders
+    * (the index the customers trade inside), so its return exists for
+    * every order date.
+    */
+  private def microReturns(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+    val asset = RiskStats.simpleReturns(orders, col("o_custkey"), col("od"),
+      col("o_orderkey"), col("o_totalprice"))
+    val mktNav = orders.groupBy(col("od"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("__nav"))
+    val mkt = mktNav
+      .withColumn("mret",
+        col("__nav") / lag(col("__nav"), 1).over(Window.orderBy(col("od"))) - lit(1.0))
+      .filter(col("mret").isNotNull)
+      .select(col("od"), col("mret"))
+    asset.join(mkt, Seq("od"))
+      .select(col("o_orderkey"), col("o_custkey"), col("od"),
+        RiskStats.toMicro(col("ret")).as("ret_micro"),
+        RiskStats.toMicro(col("mret")).as("mret_micro"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fin_max_drawdown" -> ((s, d) =>
+      RiskStats.maxDrawdown(Tables.orders(s, d), col("o_custkey"),
+          to_date(col("o_orderdate")), col("o_orderkey"), col("o_totalprice"))
+        .filter(col("n_obs") >= 3)
+        .select(col("series_key").as("o_custkey"), col("n_obs"),
+          col("max_drawdown"), col("trough_date"))
+        .orderBy(col("o_custkey"))),
+
+    "fin_rolling_beta" -> ((s, d) =>
+      RiskStats.rollingBeta(microReturns(s, d), col("o_custkey"), col("od"),
+          col("o_orderkey"), col("ret_micro"), col("mret_micro"), n = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("od"), col("beta"))
+        .orderBy(col("o_orderkey"))),
+
+    "fin_spearman_ic" -> ((s, d) => {
+      // Cross-section: does a customer's account balance (the "factor")
+      // rank-predict the month's spend (the "outcome")?
+      val spend = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+          col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+      val joined = spend.join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        spend("o_custkey") === col("c_custkey"))
+      RiskStats.spearmanIC(joined, col("m"), col("o_custkey"),
+          col("c_acctbal"), col("spend"), minN = 3)
+        .select(col("bucket").as("m"), col("n"), col("ic"))
+        .orderBy(col("m"))
+    }),
+
+    "fin_vwap_bars" -> ((s, d) =>
+      Resample.vwapBars(Tables.lineitem(s, d),
+          to_date(date_trunc("week", col("l_shipdate"))),
+          Seq(col("l_returnflag")),
+          col("l_extendedprice"), col("l_quantity"))
+        .select(col("bucket").as("wk"), col("l_returnflag"), col("volume"),
+          col("amount"), col("n_ticks"), col("vwap"))
+        .orderBy(col("wk"), col("l_returnflag"))),
+
+    "dd_cross_doc_spans" -> ((s, d) =>
+      Dedup.crossDocSpans(Tables.scatter(Tables.documents(s, d)),
+          "doc_id", "text", n = 8, minDf = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    "t_heavy_hitters" -> ((s, d) =>
+      // capacity 64 > the corpus vocabulary → exact regime (oracled);
+      // the approx regime's error bound is pinned in RiskStatsSpec.
+      TopKSketch.topK(
+          Tables.scatter(Tables.documents(s, d))
+            .select(col("lang"),
+              explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok")),
+          "lang", col("tok"), capacity = 64, k = 10)
+        .orderBy(col("lang"), col("rank")))
+  )
+
+  private val toksLower =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
+  private val toksRaw =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Micro-unit return: clamp to [-0.99, 9.99], scale 1e6, round with
+    * Spark's shortest-decimal HALF_UP semantics (Oracles.jr at scale 0).
+    */
+  private def microSql(r: String): String =
+    s"CAST(${Oracles.jr(s"least(greatest($r, -0.99), 9.99) * 1000000.0", 0)} AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "fin_max_drawdown" ->
+      """WITH dd AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+        |    o_totalprice / max(o_totalprice) OVER (
+        |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS drawdown,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_obs
+        |  FROM orders),
+        |pick AS (SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY drawdown ASC, od ASC, o_orderkey ASC) AS rn
+        |  FROM dd)
+        |SELECT o_custkey, n_obs, drawdown AS max_drawdown, od AS trough_date
+        |FROM pick WHERE rn = 1 AND n_obs >= 3 ORDER BY o_custkey""".stripMargin,
+
+    "fin_rolling_beta" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        |  FROM orders),
+        |a AS (SELECT o_orderkey, o_custkey, od,
+        |    o_totalprice / lag(o_totalprice) OVER (
+        |      PARTITION BY o_custkey ORDER BY od, o_orderkey) - 1.0 AS ret
+        |  FROM o),
+        |nav AS (SELECT od, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nv
+        |  FROM o GROUP BY od),
+        |m AS (SELECT od, nv / lag(nv) OVER (ORDER BY od) - 1.0 AS mret FROM nav),
+        |r AS (SELECT a.o_orderkey, a.o_custkey, a.od,
+        |    ${microSql("a.ret")} AS y, ${microSql("m.mret")} AS x
+        |  FROM a JOIN m USING (od) WHERE a.ret IS NOT NULL AND m.mret IS NOT NULL),
+        |w AS (SELECT o_orderkey, o_custkey, od,
+        |    row_number() OVER win AS rn,
+        |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+        |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
+        |  FROM r WINDOW win AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_custkey, od,
+        |  CAST(8 * sxy - sx * sy AS DOUBLE) /
+        |    nullif(CAST(8 * sxx - sx * sx AS DOUBLE), 0.0) AS beta
+        |FROM w WHERE rn >= 8 ORDER BY o_orderkey""".stripMargin,
+
+    "fin_spearman_ic" ->
+      """WITH spend AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (SELECT s.m, s.o_custkey, c.c_acctbal, s.spend
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |rk AS (SELECT m,
+        |    CAST(row_number() OVER (PARTITION BY m ORDER BY c_acctbal ASC, o_custkey ASC) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY m ORDER BY spend ASC, o_custkey ASC) AS BIGINT) AS ry
+        |  FROM j),
+        |agg AS (SELECT m, count(*) AS n,
+        |    sum((rx - ry) * (rx - ry)) AS sd2 FROM rk GROUP BY m)
+        |SELECT m, n,
+        |  1.0 - CAST(6 * sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS ic
+        |FROM agg WHERE n >= 3 ORDER BY m""".stripMargin,
+
+    "fin_vwap_bars" ->
+      """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |  count(*) AS n_ticks,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS vwap
+        |FROM lineitem GROUP BY 1, 2 ORDER BY wk, l_returnflag""".stripMargin,
+
+    "dd_cross_doc_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT DISTINCT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, i,
+        |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "t_heavy_hitters" ->
+      s"""WITH toks AS (SELECT lang, unnest($toksLower) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+  )
+}
