@@ -517,24 +517,49 @@ object Dedup {
       n: Int = 8, minDf: Int = 2): DataFrame = {
     require(n >= 2 && n <= 64, s"n-gram length $n out of range")
     require(minDf >= 2, s"minDf=$minDf must be >= 2 (cross-doc means >1 doc)")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
-    // 1-based gram start positions; docs shorter than n contribute none.
-    val grams = toks
-      .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("__t")) - lit(n - 1)),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice(col("__t"), i, lit(n)))).as("h")))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    // Fingerprints in >= minDf distinct docs. Two-level: dedup (h, doc)
-    // first (partial-aggregatable), then count docs per h.
-    val dup = grams.select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    // Fused per-doc kernel (the simhash/shingle pattern: higher-order
+    // Column forms run interpreted): one UDF pass emits every
+    // (1-based pos, 16-byte md5) gram fingerprint. Binary hashes, not
+    // hex — half the bytes through both exchanges.
+    val kernel = udf { text: String =>
+      if (text == null) Array.empty[(Int, Array[Byte])]
+      else {
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        if (ts.length < n) Array.empty[(Int, Array[Byte])]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          Array.tabulate(ts.length - n + 1) { i =>
+            md.reset()
+            var j = i
+            while (j < i + n) {
+              if (j > i) md.update(' '.toByte)
+              md.update(ts(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              j += 1
+            }
+            (i + 1, md.digest())
+          }
+        }
+      }
+    }
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(kernel(col(textCol))).as("g"))
+      .select(col("doc_id"), col("g._1").as("pos"), col("g._2").as("h"))
+    // Single pass over the gram stream (tokenize+hash runs ONCE — at
+    // corpus scale re-scanning or scratch-writing the 8×-exploded gram
+    // set is the dominant cost): fold each (h, doc)'s positions into one
+    // row, window-count the document frequency over h, and explode the
+    // survivors back to hit positions. Each (doc, pos) carries exactly
+    // one gram, so the explode needs no re-dedup. Skew note: the window
+    // puts all docs sharing one fingerprint in one task — 12 bytes/row,
+    // so even a 10M-doc boilerplate gram is ~120 MB; beyond that,
+    // pre-filter known stop-passages the way the LSH path caps
+    // mega-buckets.
+    val byGramDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("pos")).as("__ps"))
+    val hits = byGramDoc
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("__df") >= minDf)
-      .select(col("h"))
-    val hits = grams.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos")).distinct()
+      .select(col("doc_id"), explode(col("__ps")).as("pos"))
     // Gaps-and-islands: new island when the previous hit is > n back.
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
