@@ -575,6 +575,41 @@ object Dedup {
       .drop("__island")
   }
 
+  /** The removal half of [[crossDocSpans]] — Lee et al. cut EVERY
+    * occurrence of a duplicated substring (ExactSubstr, §4.1: dropping
+    * all copies measurably beats keep-one for LM training); this
+    * rebuilds each document's text with all duplicated-span tokens
+    * removed. Returns every input document (scrubbed or untouched):
+    * (doc_id, n_before, n_removed, clean_text).
+    *
+    * Shape: the span table is output-sized (duplicated regions only);
+    * positions explode to O(duplicated tokens); one anti-join on
+    * (doc, pos) and one per-doc fold (sort_array over collected
+    * (pos, token) structs — per-doc bounded) reassemble the text.
+    */
+  def scrubCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDf: Int = 2): DataFrame = {
+    val spans = crossDocSpans(docs, idCol, textCol, n, minDf)
+    // Islands are merged, so per-doc ranges never overlap: no re-dedup.
+    val dropped = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__i", "tok")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as("__clean"))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_before"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Connected components over a near-dup pair list → dedup GROUPS (the
     * step after [[minHashDupPairs]]/[[simHashDupPairs]]: "keep one doc
     * per cluster" needs the cluster, not the pairs). Distributed

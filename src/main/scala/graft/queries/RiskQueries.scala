@@ -85,6 +85,11 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "dd_span_scrub" -> ((s, d) =>
+      Dedup.scrubCrossDocSpans(Tables.scatter(Tables.documents(s, d)),
+          "doc_id", "text", n = 8, minDf = 2)
+        .orderBy(col("doc_id"))),
+
     "t_heavy_hitters" -> ((s, d) =>
       // capacity 64 > the corpus vocabulary → exact regime (oracled);
       // the approx regime's error bound is pinned in RiskStatsSpec.
@@ -187,6 +192,33 @@ object RiskQueries {
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "dd_span_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT DISTINCT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, i,
+        |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s),
+        |spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |dropped AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+        |  FROM spans),
+        |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok
+        |  FROM pos p ANTI JOIN dropped d USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_before,
+        |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.clean, '') AS clean_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "t_heavy_hitters" ->
       s"""WITH toks AS (SELECT lang, unnest($toksLower) AS token FROM documents),

@@ -377,4 +377,51 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("fin_max_drawdown: three window columns share one custkey exchange") {
+    // running max, the trough rank, and n_obs all partition by
+    // o_custkey: one window Exchange + the presentation orderBy.
+    val df = SparkEntry.queries("fin_max_drawdown")(spark, sf)
+    assert(shuffles(df) == 2, s"drawdown windows stopped sharing:\n${simple(df)}")
+  }
+
+  test("fin_rolling_beta: market series joins by broadcast, no cartesian") {
+    // The per-date market table is calendar-sized -> must broadcast
+    // into the per-order return stream, never shuffle the fact side
+    // for the join. Wide exchanges: market agg, market window, asset
+    // window (shared by returns + co-moment sums), presentation sort.
+    val p = simple(SparkEntry.queries("fin_rolling_beta")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"market join stopped broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(shuffles(SparkEntry.queries("fin_rolling_beta")(spark, sf)) <= 4,
+      "rolling beta grew an extra wide exchange")
+  }
+
+  test("fin_vwap_bars: aggregation is partial and single-exchange") {
+    val df = SparkEntry.queries("fin_vwap_bars")(spark, sf)
+    assert(shuffles(df) == 2, s"vwap should be one agg exchange + sort:\n${simple(df)}")
+    val f = formatted(df)
+    assert(f.contains("partial_"), s"vwap lost map-side combine:\n$f")
+  }
+
+  test("dd_cross_doc_spans / dd_span_scrub: no cartesian, span tables broadcast") {
+    val spans = SparkEntry.queries("dd_cross_doc_spans")(spark, sf)
+    assert(!simple(spans).contains("CartesianProduct"))
+    assert(shuffles(spans) == 5, // scatter, (h,doc) fold, h window, doc window, sort
+      s"cross-doc span pipeline grew a wide exchange:\n${simple(spans)}")
+    // scrub: the drop-position side is output-sized -> broadcasts into
+    // the token stream instead of shuffling the corpus for the anti-join
+    val scrub = simple(SparkEntry.queries("dd_span_scrub")(spark, sf))
+    assert(!scrub.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(scrub).length >= 2,
+      s"span scrub stopped broadcasting the span/drop tables:\n$scrub")
+  }
+
+  test("t_heavy_hitters: the exchange carries sketch partials, not raw tokens") {
+    // mapPartitions sketches feed ONE groupByKey exchange + the
+    // presentation sort; the scatter repartition is the third. Any
+    // fourth exchange means tokens started shuffling raw.
+    val df = SparkEntry.queries("t_heavy_hitters")(spark, sf)
+    assert(shuffles(df) == 3, s"heavy hitters plan shape drifted:\n${simple(df)}")
+  }
 }

@@ -123,6 +123,25 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getLong(1) == 10L && got(1).getLong(2) == 17L)
   }
 
+  test("scrubCrossDocSpans: every occurrence cut, untouched docs intact, order kept") {
+    import spark.implicits._
+    val passage = (1 to 9).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $passage z1 z2"),
+      (2L, s"b1 $passage y1 y2 y3 y4 y5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubCrossDocSpans(docs, "doc_id", "text", n = 8, minDf = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: 13 tokens, passage at 3..11 removed (9 tokens)
+    assert(got(0).getLong(1) == 13 && got(0).getLong(2) == 9)
+    assert(got(0).getString(3) == "a1 a2 z1 z2")
+    // doc 2: passage at 2..10 removed — BOTH copies go (Lee et al. policy)
+    assert(got(1).getString(3) == "b1 y1 y2 y3 y4 y5")
+    // doc 3: no shared grams — untouched
+    assert(got(2).getLong(2) == 0 && got(2).getString(3) == docs.collect()(2).getString(1))
+  }
+
   test("topK sketch: exact regime reproduces exact counts at any partitioning") {
     import spark.implicits._
     val toks = Seq.tabulate(600) { i =>
