@@ -39,14 +39,49 @@ object TopKSketch {
     */
   def topK(df: DataFrame, groupCol: Column, tokenCol: Column,
       capacity: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= capacity, s"k=$k must be in 1..capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    partialSketches(df, groupCol, tokenCol, capacity)
+      .groupByKey(_._1)
+      .flatMapGroups { (g, rows) =>
+        mergeAndTrim(rows.map { case (_, t, c) => (t, c) }, capacity)
+          .take(k).iterator.zipWithIndex
+          .map { case ((t, c), i) => (g, t, c, (i + 1).toLong) }
+      }
+      .toDF("group", "token", "cnt", "rank")
+  }
+
+  /** The full capacity-bounded sketch per group — (group, token, cnt)
+    * rows, the mergeable partial a streaming fold persists (rank/top-k
+    * presentation is [[topK]]'s job).
+    */
+  def sketch(df: DataFrame, groupCol: Column, tokenCol: Column,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    partialSketches(df, groupCol, tokenCol, capacity)
+      .groupByKey(_._1)
+      .flatMapGroups { (g, rows) =>
+        mergeAndTrim(rows.map { case (_, t, c) => (t, c) }, capacity)
+          .iterator.map { case (t, c) => (g, t, c) }
+      }
+      .toDF("group", "token", "cnt")
+  }
+
+  /** Map-only per-partition space-saving sketches: the only rows that
+    * ever reach an exchange (≤ capacity per group per partition).
+    */
+  private def partialSketches(df: DataFrame, groupCol: Column,
+      tokenCol: Column, capacity: Int):
+      org.apache.spark.sql.Dataset[(String, String, Long)] = {
     require(capacity >= 1 && capacity <= (1 << 22),
       s"capacity=$capacity out of the executor-memory-safe range")
-    require(k >= 1 && k <= capacity, s"k=$k must be in 1..capacity")
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = df.select(groupCol.cast("string").as("g"),
       tokenCol.cast("string").as("tok")).as[(String, String)]
-    val partials = pairs.mapPartitions { it =>
+    pairs.mapPartitions { it =>
       val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
       it.foreach { case (g, t) =>
         if (g != null && t != null) {
@@ -75,26 +110,47 @@ object TopKSketch {
         m.iterator.map { case (t, c) => (g, t, c) }
       }
     }
-    partials
+  }
+
+  /** Sum partial counts and apply the Misra–Gries merge trim: if the
+    * union overflows capacity, subtract the (capacity+1)-th largest
+    * count from everything and drop the non-positives — keeps the
+    * additive error bound. Returned ordered by (cnt desc, token asc).
+    */
+  private def mergeAndTrim(rows: Iterator[(String, Long)],
+      capacity: Int): Seq[(String, Long)] = {
+    val m = mutable.HashMap.empty[String, Long]
+    rows.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+    val summed =
+      if (m.size <= capacity) m.toSeq
+      else {
+        val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
+        val thresh = sorted(capacity)._2
+        sorted.iterator.map { case (t, c) => (t, c - thresh) }
+          .filter(_._2 > 0).toSeq
+      }
+    summed.sortBy { case (t, c) => (-c, t) }
+  }
+
+  /** Merge a table of sketch PARTIALS — (group, token, cnt) rows from
+    * earlier [[topK]]/stream batches or a persisted store — into one
+    * capacity-bounded sketch per group. This is the streaming-upkeep
+    * fold: `store ← mergePartials(store ∪ batch_partials)`; counts are
+    * additive in the exact regime, Misra–Gries-trimmed past capacity.
+    */
+  def mergePartials(partials: DataFrame, groupCol: Column, tokenCol: Column,
+      cntCol: Column, capacity: Int): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    partials.select(groupCol.cast("string").as("g"),
+        tokenCol.cast("string").as("tok"), cntCol.cast("long").as("c"))
+      .as[(String, String, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, rows) =>
-        val m = mutable.HashMap.empty[String, Long]
-        rows.foreach { case (_, t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
-        // Misra–Gries merge trim: if the union overflows capacity,
-        // subtract the (capacity+1)-th largest count from everything
-        // and drop the non-positives — keeps the additive error bound.
-        val trimmed: Seq[(String, Long)] =
-          if (m.size <= capacity) m.toSeq
-          else {
-            val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
-            val thresh = sorted(capacity)._2
-            sorted.iterator.map { case (t, c) => (t, c - thresh) }
-              .filter(_._2 > 0).toSeq
-          }
-        trimmed.sortBy { case (t, c) => (-c, t) }.take(k).iterator.zipWithIndex
-          .map { case ((t, c), i) => (g, t, c, (i + 1).toLong) }
+        mergeAndTrim(rows.map { case (_, t, c) => (t, c) }, capacity)
+          .iterator.map { case (t, c) => (g, t, c) }
       }
-      .toDF("group", "token", "cnt", "rank")
+      .toDF("group", "token", "cnt")
   }
 
   /** Convenience overload keeping the group column's original name. */

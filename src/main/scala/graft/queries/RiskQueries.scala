@@ -85,6 +85,68 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "stream_topk_upsert" -> ((s, d) => {
+      // Streaming heavy-hitters upkeep (the stream_hll_upsert contract
+      // for the frequent-items sketch): each micro-batch folds its
+      // token stream into a persisted capacity-bounded sketch via
+      // `store ← mergePartials(store ∪ batch rows)`. Counts are
+      // additive in the exact regime (capacity 4096 ≥ distinct users at
+      // any test SF), so after two parity-split batches the stored
+      // sketch must equal the whole-corpus build — which is exactly the
+      // exact-top-k SQL the oracle runs. Store size: groups × capacity
+      // rows regardless of stream volume.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_topk_src")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_topk_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        ev.filter(pmod(col("event_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      val storeDir = s"$tmpRoot/graft_stream_topk_store"
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("topk_sketch", Seq("grp", "token"))
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = raw.writeStream.outputMode("update").queryName("graft_stream_topk")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val batchRows = batch.toDF()
+                .select(col("event_type").as("group"), col("user_id").cast("string").as("token"),
+                  lit(1L).as("cnt"))
+              val unioned =
+                if (store.exists(spec))
+                  store.read(spec).select(col("grp").as("group"), col("token"), col("cnt"))
+                    .unionByName(batchRows)
+                else batchRows
+              val folded = TopKSketch.mergePartials(unioned,
+                col("group"), col("token"), col("cnt"), capacity = 4096)
+              store.upsert(spec,
+                folded.select(col("group").as("grp"), col("token"), col("cnt")))
+            }
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val ranked = store.read(spec)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token").asc))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+      ranked.select(col("grp").as("event_type"), col("token").as("user_id"),
+          col("cnt"), col("rank"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     "dd_span_scrub" -> ((s, d) =>
       Dedup.scrubCrossDocSpans(Tables.scatter(Tables.documents(s, d)),
           "doc_id", "text", n = 8, minDf = 2)
@@ -192,6 +254,16 @@ object RiskQueries {
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "stream_topk_upsert" ->
+      """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 10
+        |ORDER BY event_type, rank""".stripMargin,
 
     "dd_span_scrub" ->
       s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),

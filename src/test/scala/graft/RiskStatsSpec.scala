@@ -159,6 +159,20 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet == exact)
   }
 
+  test("mergePartials: additive in the exact regime, MG-trims past capacity") {
+    import spark.implicits._
+    // exact regime: two batch partials sum
+    val parts = Seq(("g", "a", 3L), ("g", "b", 1L), ("g", "a", 2L)).toDF("g", "t", "c")
+    val merged = TopKSketch.mergePartials(parts, col("g"), col("t"), col("c"), capacity = 8)
+      .orderBy("token").collect()
+    assert(merged.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("a", 5L), ("b", 1L)))
+    // overflow: capacity 2, third-largest count (2) subtracted from all
+    val big = Seq(("g", "x", 10L), ("g", "y", 5L), ("g", "z", 2L)).toDF("g", "t", "c")
+    val trimmed = TopKSketch.mergePartials(big, col("g"), col("t"), col("c"), capacity = 2)
+      .orderBy("token").collect()
+    assert(trimmed.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("x", 8L), ("y", 3L)))
+  }
+
   test("topK sketch: approx regime respects the additive error bound N/capacity") {
     import spark.implicits._
     // Zipf-ish stream: token j appears ~1200/j times; capacity 8 << 40 distinct
