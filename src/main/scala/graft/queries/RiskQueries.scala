@@ -152,6 +152,35 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"))),
 
+    "t_novelty_score" -> ((s, d) => {
+      // Per-doc n-gram novelty vs a reference slice: build a Bloom
+      // filter over the reference sources' distinct 8-gram shingles
+      // (model-sized broadcast), probe every candidate doc's shingles
+      // with the codegen'd expression — zero joins against the
+      // reference at any corpus size — and score novelty = fraction of
+      // distinct grams the reference has (probably) never seen. False
+      // positives only LOWER novelty (safe direction for "keep novel
+      // data" curation), and the oracle replays them bit-for-bit.
+      val refSources = Seq("src0", "src1", "src2", "src3", "src4")
+      val shingle = Dedup.wordShingleSet(8)
+      val ref = Tables.documents(s, d)
+        .filter(col("source").isin(refSources: _*))
+        .select(explode(shingle(col("text"))).as("g")).distinct()
+      val sketch = graft.operators.Sketches.bloomBuild(ref, col("g"),
+        mBits = 1L << 20, k = 5)
+      val cand = Tables.scatter(Tables.documents(s, d))
+        .filter(!col("source").isin(refSources: _*))
+        .select(col("doc_id"), explode(shingle(col("text"))).as("g"))
+      graft.operators.Sketches.bloomMightContain(sketch, cand, col("g"),
+          mBits = 1L << 20, k = 5)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_seen"))
+        .withColumn("novelty",
+          lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_heavy_hitters" -> ((s, d) =>
       // capacity 64 > the corpus vocabulary → exact regime (oracled);
       // the approx regime's error bound is pinned in RiskStatsSpec.
@@ -291,6 +320,38 @@ object RiskQueries {
         |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(a.clean, '') AS clean_text
         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // Bloom-novelty oracle: same Kirsch–Mitzenmacher MD5-window grid as
+    // t_bloom_blocklist, 8-gram windows (clamped slices, so docs
+    // shorter than 8 tokens contribute their full text as one gram).
+    "t_novelty_score" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksLower AS lt FROM documents),
+        |ref AS (SELECT DISTINCT unnest(list_transform(
+        |      range(0, greatest(len(lt) - 8, 0) + 1),
+        |      i -> array_to_string(lt[i + 1 : i + 8], ' '))) AS g
+        |  FROM t WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |bp AS (SELECT (('0x' || substr(md5(g), 1, 15))::BIGINT
+        |      + i.range * ('0x' || substr(md5(g), 16, 14))::BIGINT) % 1048576 AS p
+        |  FROM ref, range(0, 5) i),
+        |wd AS (SELECT p // 63 AS word,
+        |    bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        |  FROM bp GROUP BY 1),
+        |cand AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |      range(0, greatest(len(lt) - 8, 0) + 1),
+        |      i -> array_to_string(lt[i + 1 : i + 8], ' '))) AS g
+        |  FROM t WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+        |pp AS (SELECT doc_id, g, (('0x' || substr(md5(g), 1, 15))::BIGINT
+        |      + i.range * ('0x' || substr(md5(g), 16, 14))::BIGINT) % 1048576 AS p
+        |  FROM cand, range(0, 5) i),
+        |hits AS (SELECT doc_id, g,
+        |    bool_and((coalesce(w.bits, 0) & (1::BIGINT << CAST(p % 63 AS INT))) <> 0) AS might
+        |  FROM pp LEFT JOIN wd w ON w.word = p // 63
+        |  GROUP BY doc_id, g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  1.0 - CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t_heavy_hitters" ->
       s"""WITH toks AS (SELECT lang, unnest($toksLower) AS token FROM documents),
