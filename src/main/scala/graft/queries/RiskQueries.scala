@@ -71,6 +71,42 @@ object RiskQueries {
         .orderBy(col("m"))
     }),
 
+    "fin_risk_report" -> ((s, d) => {
+      // The composite per-entity risk report (the k8b_worst_fund
+      // describe() pattern widened): endpoint cumulative return, exact
+      // micro-unit mean return, jr4 volatility, Sharpe-style ratio of
+      // the two rounded stats, and max drawdown — three aggregation
+      // trees joined on the entity key.
+      val orders = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_orderkey"), col("o_totalprice"))
+      val rets = RiskStats.simpleReturns(orders, col("o_custkey"), col("od"),
+        col("o_orderkey"), col("o_totalprice"))
+      val stats = rets.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rets"),
+          sum(RiskStats.toMicro(col("ret"))).as("__sm"),
+          round(stddev_samp(col("ret")), 4).as("vol"))
+        .withColumn("mean_ret",
+          round((col("__sm").cast("double") / lit(1000000.0)) /
+            col("n_rets").cast("double"), 6))
+        .withColumn("sharpe",
+          when(col("vol") =!= 0.0, round(col("mean_ret") / col("vol"), 6)))
+      val eps = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(min_by(col("o_totalprice"),
+            struct(to_date(col("o_orderdate")), col("o_orderkey"))).as("__first"),
+          max_by(col("o_totalprice"),
+            struct(to_date(col("o_orderdate")), col("o_orderkey"))).as("__last"))
+        .withColumn("cum_ret", round(col("__last") / col("__first") - lit(1.0), 6))
+      val dd = RiskStats.maxDrawdown(orders, col("o_custkey"), col("od"),
+          col("o_orderkey"), col("o_totalprice"))
+        .select(col("series_key").as("o_custkey"), col("n_obs"),
+          round(col("max_drawdown"), 6).as("max_drawdown"))
+      dd.join(stats, Seq("o_custkey")).join(eps, Seq("o_custkey"))
+        .filter(col("n_obs") >= 8)
+        .select(col("o_custkey"), col("n_obs"), col("cum_ret"), col("mean_ret"),
+          col("vol"), col("sharpe"), col("max_drawdown"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "fin_vwap_bars" -> ((s, d) =>
       Resample.vwapBars(Tables.lineitem(s, d),
           to_date(date_trunc("week", col("l_shipdate"))),
@@ -258,6 +294,46 @@ object RiskQueries {
         |SELECT m, n,
         |  1.0 - CAST(6 * sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS ic
         |FROM agg WHERE n >= 3 ORDER BY m""".stripMargin,
+
+    "fin_risk_report" ->
+      s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+        |    o_totalprice FROM orders),
+        |a AS (SELECT o_custkey, o_totalprice / lag(o_totalprice) OVER (
+        |      PARTITION BY o_custkey ORDER BY od, o_orderkey) - 1.0 AS ret
+        |  FROM o),
+        |stats AS (SELECT o_custkey, count(*) AS n_rets,
+        |    CAST(sum(${microSql("ret")}) AS DOUBLE) AS sm,
+        |    ${Oracles.jr("stddev_samp(ret)", 4)} AS vol
+        |  FROM a WHERE ret IS NOT NULL GROUP BY o_custkey),
+        |st2 AS (SELECT o_custkey, n_rets,
+        |    ${Oracles.jr6("(sm / 1000000.0) / CAST(n_rets AS DOUBLE)")} AS mean_ret, vol
+        |  FROM stats),
+        |ef AS (SELECT o_custkey, o_totalprice AS nav_first FROM (
+        |    SELECT o_custkey, o_totalprice, row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC) AS rn FROM o) t
+        |  WHERE rn = 1),
+        |el AS (SELECT o_custkey, o_totalprice AS nav_last FROM (
+        |    SELECT o_custkey, o_totalprice, row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY od DESC, o_orderkey DESC) AS rn FROM o) t
+        |  WHERE rn = 1),
+        |eps AS (SELECT o_custkey,
+        |    ${Oracles.jr6("nav_last / nav_first - 1.0")} AS cum_ret
+        |  FROM ef JOIN el USING (o_custkey)),
+        |dd AS (SELECT o_custkey, n_obs,
+        |    ${Oracles.jr6("drawdown")} AS max_drawdown FROM (
+        |    SELECT o_custkey, n_obs, drawdown, row_number() OVER (
+        |        PARTITION BY o_custkey ORDER BY drawdown ASC, od ASC, o_orderkey ASC) AS rn
+        |    FROM (SELECT o_custkey, od, o_orderkey,
+        |        o_totalprice / max(o_totalprice) OVER (
+        |          PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS drawdown,
+        |        count(*) OVER (PARTITION BY o_custkey) AS n_obs FROM o) x) y
+        |  WHERE rn = 1)
+        |SELECT d.o_custkey, d.n_obs, e.cum_ret, s.mean_ret, s.vol,
+        |  CASE WHEN s.vol <> 0.0 THEN ${Oracles.jr6("s.mean_ret / s.vol")} END AS sharpe,
+        |  d.max_drawdown
+        |FROM dd d JOIN st2 s USING (o_custkey) JOIN eps e USING (o_custkey)
+        |WHERE d.n_obs >= 8 ORDER BY d.o_custkey""".stripMargin,
 
     "fin_vwap_bars" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, l_returnflag,

@@ -314,4 +314,43 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         r.getBoolean(4) == r.getBoolean(7)), s"trial $trial")
     }
   }
+
+  test("crossDocSpans ≡ naive per-pair n-gram scan; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val shared = Vector.fill(9)(vocab(rnd.nextInt(vocab.size)))
+    // random docs, some with the shared passage spliced in
+    val docs = (1L to 12L).map { id =>
+      val base = Vector.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val toks = if (id % 3 == 0) {
+        val at = rnd.nextInt(base.size + 1)
+        base.take(at) ++ shared ++ base.drop(at)
+      } else base
+      (id, toks.mkString(" "))
+    }
+    val n = 4
+    // naive model: gram -> set of docs; hit positions where df >= 2;
+    // islands merged with the pos > prev + n rule
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - n).filter(_ >= 0).map(i => (t.slice(i, i + n).mkString(" "), id, i + 1L))
+    }
+    val df = grams.groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+    val expect = grams.filter(g => df(g._1) >= 2).map(g => (g._2, g._3)).distinct
+      .groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.foldLeft(List.empty[List[Long]]) {
+          case (acc, p) if acc.nonEmpty && p <= acc.head.head + n => (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (id, is.min, is.max + n - 1, is.size.toLong))
+      }.toSet
+    def run(parts: Int) = graft.operators.Dedup
+      .crossDocSpans(docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text", n, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run(5)
+    assert(got == expect, s"spans diverged from the naive model:\ngot  $got\nwant $expect")
+    assert(run(1) == got && run(13) == got, "spans depend on partitioning")
+  }
 }
