@@ -58,6 +58,28 @@ object AsOfJoin {
         valueCols.map(c => col("__v").getField(c).as(c)): _*)
   }
 
+  /** [[asofBackward]] with a staleness bound — pandas `merge_asof`'s
+    * `tolerance`: a match older than `maxStaleness` (an INTERVAL
+    * expression for time columns) is treated as no match and the value
+    * columns come back null. The matched right time rides the same
+    * carried struct, so the bound is applied to the row-consistent
+    * snapshot, not per column; the plan shape (one keyed shuffle +
+    * window) is unchanged — the bound is a post-projection.
+    */
+  def asofBackwardWithin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      maxStaleness: org.apache.spark.sql.Column): DataFrame = {
+    val joined = asofBackward(left,
+      right.withColumn("__rt", col(rightTime)), keys,
+      leftTime, rightTime, valueCols :+ "__rt")
+    val fresh = col("__rt").isNotNull &&
+      col(leftTime) <= col("__rt") + maxStaleness
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("__rt")
+  }
+
   /** Interval membership join (J10): flag left rows whose `dateCol` falls
     * in any [startCol, endCol] interval of the same key — suspension
     * ranges (/root/reference/tasks/merge/tushare.py:190-221). Intervals

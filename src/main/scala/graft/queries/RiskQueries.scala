@@ -121,6 +121,24 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "j8b_asof_tolerance" -> ((s, d) => {
+      // pandas merge_asof(tolerance=...) semantics: each event sees the
+      // user's latest purchase at-or-before its timestamp ONLY if that
+      // purchase is at most 24h old — staler state reads as no match.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("value").as("recent_purchase_value"))
+      graft.operators.AsOfJoin.asofBackwardWithin(ev, purchases, Seq("user_id"),
+          leftTime = "ts", rightTime = "p_ts",
+          valueCols = Seq("recent_purchase_value"),
+          maxStaleness = expr("INTERVAL 24 HOURS"))
+        .select("event_id", "user_id", "ts", "event_type", "recent_purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     "stream_topk_upsert" -> ((s, d) => {
       // Streaming heavy-hitters upkeep (the stream_hll_upsert contract
       // for the frequent-items sketch): each micro-batch folds its
@@ -359,6 +377,16 @@ object RiskQueries {
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "j8b_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+        |  CASE WHEN p.ts >= e.ts - INTERVAL 24 HOURS THEN p.value END
+        |    AS recent_purchase_value
+        |FROM events e LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
+        |ORDER BY e.event_id""".stripMargin,
 
     "stream_topk_upsert" ->
       """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,

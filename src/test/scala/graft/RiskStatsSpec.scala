@@ -159,6 +159,25 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet == exact)
   }
 
+  test("asofBackwardWithin: stale matches null out, fresh and equal-time survive") {
+    import spark.implicits._
+    import java.sql.Timestamp.{valueOf => ts}
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // match 4 days old -> stale
+      (2L, 10L, ts("2024-01-01 12:00:00")), // match 12h old -> fresh
+      (3L, 10L, ts("2024-01-01 00:00:00")), // equal time -> fresh
+      (4L, 99L, ts("2024-01-05 00:00:00"))  // no right row at all
+    ).toDF("id", "k", "t")
+    val right = Seq((10L, ts("2024-01-01 00:00:00"), 7.5))
+      .toDF("k", "rt", "v")
+    val got = graft.operators.AsOfJoin.asofBackwardWithin(left, right, Seq("k"),
+        "t", "rt", Seq("v"), expr("INTERVAL 24 HOURS"))
+      .orderBy("id").select("v").collect()
+    assert(got(0).isNullAt(0) && !got(1).isNullAt(0) && !got(2).isNullAt(0)
+      && got(3).isNullAt(0))
+    assert(got(1).getDouble(0) == 7.5 && got(2).getDouble(0) == 7.5)
+  }
+
   test("mergePartials: additive in the exact regime, MG-trims past capacity") {
     import spark.implicits._
     // exact regime: two batch partials sum
