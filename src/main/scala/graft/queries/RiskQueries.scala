@@ -107,6 +107,32 @@ object RiskQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    "fin_zscore_xsection" -> ((s, d) => {
+      // Cross-sectional standardization — the factor-normalization pass
+      // before any rank/IC consumer: z = (x − mean) / std inside each
+      // monthly universe. Mean is exact (micro-unit long sum / count);
+      // std is jr4-rounded on both engines (the k8b pattern); the final
+      // per-row division is deterministic IEEE on identical operands.
+      // One agg + one broadcast join back — the winsorize shape.
+      val spend = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+          col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
+      // x is exactly 2-decimal (decimal sum), so x·100 is an integer-
+      // valued double: the cent sum is exact with no rounding boundary.
+      val stats = spend.groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * lit(100.0), 0).cast("long")).as("__sc"),
+          round(stddev_samp(col("x")), 4).as("__sd"))
+        .filter(col("n") >= 3 && col("__sd") =!= 0.0)
+        .withColumn("__mean",
+          (col("__sc").cast("double") / lit(100.0)) / col("n").cast("double"))
+      spend.join(broadcast(stats), Seq("m"))
+        .select(col("m"), col("o_custkey"), col("x"),
+          round((col("x") - col("__mean")) / col("__sd"), 6).as("z"))
+        .orderBy(col("m"), col("o_custkey"))
+    }),
+
     "fin_vwap_bars" -> ((s, d) =>
       Resample.vwapBars(Tables.lineitem(s, d),
           to_date(date_trunc("week", col("l_shipdate"))),
@@ -352,6 +378,21 @@ object RiskQueries {
         |  d.max_drawdown
         |FROM dd d JOIN st2 s USING (o_custkey) JOIN eps e USING (o_custkey)
         |WHERE d.n_obs >= 8 ORDER BY d.o_custkey""".stripMargin,
+
+    "fin_zscore_xsection" ->
+      s"""WITH spend AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |stats AS (SELECT m, count(*) AS n,
+        |    CAST(sum(CAST(round(x * 100.0) AS BIGINT)) AS DOUBLE) AS sc,
+        |    ${Oracles.jr("stddev_samp(x)", 4)} AS sd
+        |  FROM spend GROUP BY m
+        |  HAVING count(*) >= 3 AND ${Oracles.jr("stddev_samp(x)", 4)} <> 0.0)
+        |SELECT sp.m, sp.o_custkey, sp.x,
+        |  ${Oracles.jr6("(sp.x - (st.sc / 100.0) / CAST(st.n AS DOUBLE)) / st.sd")} AS z
+        |FROM spend sp JOIN stats st USING (m)
+        |ORDER BY sp.m, sp.o_custkey""".stripMargin,
 
     "fin_vwap_bars" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, l_returnflag,
