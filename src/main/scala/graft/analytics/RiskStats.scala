@@ -83,7 +83,13 @@ object RiskStats {
     */
   def rollingBeta(df: DataFrame, key: Column, ts: Column, tie: Column,
       assetMicro: Column, mktMicro: Column, n: Int): DataFrame = {
-    require(n >= 2 && n <= 512, s"window n=$n out of the exact-sum-safe range")
+    // Exact-sum bound: with |micro| ≤ 9.99e6 (the clamp), the largest
+    // intermediate is n·Σxy ≤ n²·(9.99e6)², which must stay under
+    // Long.Max ≈ 9.22e18 → n ≤ √(9.22e18 / 9.98e13) ≈ 303. Spark's
+    // non-ANSI Long arithmetic would wrap SILENTLY past that while
+    // DuckDB promotes to HUGEINT, so the ceiling is enforced, not
+    // documented away.
+    require(n >= 2 && n <= 303, s"window n=$n exceeds the Long-exact co-moment bound (303)")
     val order = Window.partitionBy(key).orderBy(ts, tie)
     val w = order.rowsBetween(-(n - 1), 0)
     val nn = lit(n.toLong)

@@ -144,6 +144,10 @@ object TopKSketch {
     import spark.implicits._
     partials.select(groupCol.cast("string").as("g"),
         tokenCol.cast("string").as("tok"), cntCol.cast("long").as("c"))
+      // same null contract as the map-side builder: null groups/tokens
+      // are dropped, not crashed on (a null token would NPE the trim's
+      // string sort) and not counted differently from topK's path
+      .filter(col("g").isNotNull && col("tok").isNotNull)
       .as[(String, String, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, rows) =>

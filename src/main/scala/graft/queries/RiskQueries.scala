@@ -90,11 +90,11 @@ object RiskQueries {
             col("n_rets").cast("double"), 6))
         .withColumn("sharpe",
           when(col("vol") =!= 0.0, round(col("mean_ret") / col("vol"), 6)))
-      val eps = Tables.orders(s, d).groupBy(col("o_custkey"))
+      val eps = orders.groupBy(col("o_custkey"))
         .agg(min_by(col("o_totalprice"),
-            struct(to_date(col("o_orderdate")), col("o_orderkey"))).as("__first"),
+            struct(col("od"), col("o_orderkey"))).as("__first"),
           max_by(col("o_totalprice"),
-            struct(to_date(col("o_orderdate")), col("o_orderkey"))).as("__last"))
+            struct(col("od"), col("o_orderkey"))).as("__last"))
         .withColumn("cum_ret", round(col("__last") / col("__first") - lit(1.0), 6))
       val dd = RiskStats.maxDrawdown(orders, col("o_custkey"), col("od"),
           col("o_orderkey"), col("o_totalprice"))
@@ -193,8 +193,16 @@ object RiskQueries {
       fs.delete(stageDir, true)
       val storeDir = s"$tmpRoot/graft_stream_topk_store"
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      // Partitioned by group and OVERWRITTEN per batch (not PK-upserted):
+      // the Misra–Gries trim can DROP tokens from a group's sketch, and a
+      // PK upsert cannot delete — a trimmed token would linger with a
+      // stale count and resurrect in the next merge, breaking both the
+      // groups × capacity size bound and the error-bound bookkeeping.
+      // Each folded batch carries every group it read, so the partition
+      // overwrite replaces exactly the sketches it recomputed.
       val store = new graft.core.TableStore(s, storeDir)
-      val spec = graft.core.TableSpec("topk_sketch", Seq("grp", "token"))
+      val spec = graft.core.TableSpec("topk_sketch", Seq("grp", "token"),
+        partitionBy = Seq("grp"))
       graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -211,7 +219,7 @@ object RiskQueries {
                 else batchRows
               val folded = TopKSketch.mergePartials(unioned,
                 col("group"), col("token"), col("cnt"), capacity = 4096)
-              store.upsert(spec,
+              store.overwritePartitions(spec,
                 folded.select(col("group").as("grp"), col("token"), col("cnt")))
             }
           }.start()
@@ -276,6 +284,24 @@ object RiskQueries {
     """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"""
   private val toksRaw =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Shared span-detection CTE block (n = 8, minDf = 2): tokenize,
+    * 8-gram fingerprints, ≥2-doc filter, hit positions, gaps-and-islands
+    * — the front half of BOTH dd_cross_doc_spans and dd_span_scrub, so
+    * a fix to the gram window or island rule lands in one place.
+    */
+  private val spanCtes =
+    s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT DISTINCT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM (SELECT doc_id, i,
+      |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s)""".stripMargin
 
   /** Micro-unit return: clamp to [-0.99, 9.99], scale 1e6, round with
     * Spark's shortest-decimal HALF_UP semantics (Oracles.jr at scale 0).
@@ -404,17 +430,7 @@ object RiskQueries {
         |FROM lineitem GROUP BY 1, 2 ORDER BY wk, l_returnflag""".stripMargin,
 
     "dd_cross_doc_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
-        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
-        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT DISTINCT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
-        |isl AS (SELECT doc_id, i,
-        |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
-        |  FROM (SELECT doc_id, i,
-        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s)
+      s"""$spanCtes
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
@@ -440,17 +456,7 @@ object RiskQueries {
         |ORDER BY event_type, rank""".stripMargin,
 
     "dd_span_scrub" ->
-      s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
-        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
-        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT DISTINCT g.doc_id, g.i FROM grams g JOIN dup USING (h)),
-        |isl AS (SELECT doc_id, i,
-        |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
-        |  FROM (SELECT doc_id, i,
-        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s),
+      s"""$spanCtes,
         |spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end
         |  FROM isl GROUP BY doc_id, island),
         |dropped AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos

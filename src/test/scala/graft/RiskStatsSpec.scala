@@ -192,6 +192,37 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     assert(trimmed.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("x", 8L), ("y", 3L)))
   }
 
+  test("streaming fold with overwrite: trimmed tokens are DELETED from the store") {
+    import spark.implicits._
+    // the approx-regime scenario the PK-upsert fold got wrong: a token
+    // trimmed out of the sketch must not linger and resurrect
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_fold").toString
+    val store = new graft.core.TableStore(spark, dir)
+    val spec = graft.core.TableSpec("s", Seq("grp", "token"), partitionBy = Seq("grp"))
+    def fold(batch: Seq[(String, String, Long)]): Unit = {
+      val rows = batch.toDF("group", "token", "cnt")
+      val unioned =
+        if (store.exists(spec))
+          store.read(spec).select(col("grp").as("group"), col("token"), col("cnt"))
+            .unionByName(rows)
+        else rows
+      val folded = graft.operators.TopKSketch.mergePartials(unioned,
+        col("group"), col("token"), col("cnt"), capacity = 2)
+      store.overwritePartitions(spec,
+        folded.select(col("group").as("grp"), col("token"), col("cnt")))
+    }
+    fold(Seq(("g", "x", 5L), ("g", "y", 3L), ("g", "z", 1L)))
+    // trim: threshold = 3rd largest (1) -> {x:4, y:2}
+    val s1 = store.read(spec).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSet
+    assert(s1 == Set(("x", 4L), ("y", 2L)))
+    fold(Seq(("g", "z", 5L)))
+    // union {x:4, y:2, z:5}, threshold = y's 2 -> {z:3, x:2}; y must be GONE
+    val s2 = store.read(spec).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSet
+    assert(s2 == Set(("z", 3L), ("x", 2L)), s"trimmed token lingered: $s2")
+  }
+
   test("topK sketch: approx regime respects the additive error bound N/capacity") {
     import spark.implicits._
     // Zipf-ish stream: token j appears ~1200/j times; capacity 8 << 40 distinct
