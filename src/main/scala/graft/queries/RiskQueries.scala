@@ -147,6 +147,33 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "v_ivf_persisted" -> ((s, d) => {
+      // The production serve path: an index-building job persists the
+      // trained IVF model (centroids) through the keyed store; a
+      // separate serving job reads it back and searches. Parquet
+      // round-trips doubles exactly, so the persisted search must be
+      // bit-identical to the in-memory one — the oracle replays the
+      // same IVF search the centroids feed.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_store"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("ivf_centroids", Seq("cent_id"))
+      store.upsert(spec, centroids)
+      val loaded = store.read(spec).select(col("cent_id"), col("cv"))
+      graft.operators.Similarity.ivfSearch(
+        e.filter(col("vec_id") < 20), e,
+        qId = "vec_id", qVec = "v", cId = "vec_id", cVec = "v",
+        loaded, "cent_id", "cv",
+        nprobe = 2, k = 3, rankRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "j8b_asof_tolerance" -> ((s, d) => {
       // pandas merge_asof(tolerance=...) semantics: each event sees the
       // user's latest purchase at-or-before its timestamp ONLY if that
@@ -434,6 +461,11 @@ object RiskQueries {
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // Identical semantics to v_ivf_topk — the query differs only in the
+    // centroids' round-trip through the persisted store (parquet is
+    // double-exact), so the oracle is the same IVF replay.
+    "v_ivf_persisted" -> TextQueries.oracleSql("v_ivf_topk"),
 
     "j8b_asof_tolerance" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
