@@ -147,6 +147,30 @@ object RiskQueries {
           "doc_id", "text", n = 8, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    "mm_media_dedup" -> ((s, d) => {
+      // Binary-payload exact dedup — the first pass of any multimodal
+      // ingest (identical images/videos re-crawled under different ids):
+      // content-hash the opaque payload partition-wise (the
+      // extractFeatures kernel), group on the 16-byte digest, keep the
+      // lowest id, report the reclaimable bytes. Identical payloads have
+      // identical sizes, so wasted = (copies − 1) × size. The payload
+      // here is the 5-token text prefix (full texts never collide in
+      // this corpus — the prefix plays the re-crawled-thumbnail role and
+      // gives the gate real duplicate groups at every SF).
+      val docs = Tables.scatter(Tables.documents(s, d))
+        .withColumn("payload", concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)).cast("binary"))
+      graft.streaming.MultimodalPipeline.extractFeatures(s, docs, "doc_id", "payload")
+        .groupBy(col("content_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"),
+          max(col("n_bytes")).as("n_bytes"))
+        .filter(col("n_copies") >= 2)
+        .withColumn("wasted_bytes", (col("n_copies") - 1) * col("n_bytes"))
+        .select(col("content_md5"), col("n_copies"), col("keep_id"), col("wasted_bytes"))
+        .orderBy(col("keep_id"))
+    }),
+
     "v_ivf_persisted" -> ((s, d) => {
       // The production serve path: an index-building job persists the
       // trained IVF model (centroids) through the keyed store; a
@@ -461,6 +485,15 @@ object RiskQueries {
         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
         |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "mm_media_dedup" ->
+      s"""WITH p AS (SELECT doc_id,
+        |    array_to_string(($toksRaw)[1:5], ' ') AS payload FROM documents)
+        |SELECT md5(payload) AS content_md5, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  (count(*) - 1) * CAST(max(octet_length(encode(payload))) AS BIGINT) AS wasted_bytes
+        |FROM p GROUP BY md5(payload) HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin,
 
     // Identical semantics to v_ivf_topk — the query differs only in the
     // centroids' round-trip through the persisted store (parquet is
