@@ -517,10 +517,48 @@ object Dedup {
       n: Int = 8, minDf: Int = 2): DataFrame = {
     require(n >= 2 && n <= 64, s"n-gram length $n out of range")
     require(minDf >= 2, s"minDf=$minDf must be >= 2 (cross-doc means >1 doc)")
-    // Fused per-doc kernel (the simhash/shingle pattern: higher-order
-    // Column forms run interpreted): one UDF pass emits every
-    // (1-based pos, 16-byte md5) gram fingerprint. Binary hashes, not
-    // hex — half the bytes through both exchanges.
+    val grams = gramFingerprints(docs, idCol, textCol, n)
+    // Single pass over the gram stream (tokenize+hash runs ONCE — at
+    // corpus scale re-scanning or scratch-writing the 8×-exploded gram
+    // set is the dominant cost): fold each (h, doc)'s positions into one
+    // row, window-count the document frequency over h, and explode the
+    // survivors back to hit positions. Each (doc, pos) carries exactly
+    // one gram, so the explode needs no re-dedup. Skew note: the window
+    // puts all docs sharing one fingerprint in one task — 12 bytes/row,
+    // so even a 10M-doc boilerplate gram is ~120 MB; beyond that,
+    // pre-filter known stop-passages the way the LSH path caps
+    // mega-buckets.
+    val byGramDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("pos")).as("__ps"))
+    val hits = byGramDoc
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__df") >= minDf)
+      .select(col("doc_id"), explode(col("__ps")).as("pos"))
+    // Gaps-and-islands: new island when the previous hit is > n back.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") > col("__prev") + n, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
+  /** The (doc_id, pos, h) token-n-gram fingerprint stream — the shared
+    * front half of the exact-substring dedup family. Fused per-doc
+    * kernel (the simhash/shingle pattern: higher-order Column forms run
+    * interpreted): one UDF pass emits every (1-based pos, 16-byte md5)
+    * fingerprint. Binary hashes, not hex — half the bytes through every
+    * downstream exchange. `distinct` of the `h` column IS the
+    * persistable corpus gram index (see [[crossDocSpansAgainstIndex]]).
+    */
+  def gramFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val kernel = udf { text: String =>
       if (text == null) Array.empty[(Int, Array[Byte])]
       else {
@@ -541,26 +579,25 @@ object Dedup {
         }
       }
     }
-    val grams = docs
+    docs
       .select(col(idCol).as("doc_id"), explode(kernel(col(textCol))).as("g"))
       .select(col("doc_id"), col("g._1").as("pos"), col("g._2").as("h"))
-    // Single pass over the gram stream (tokenize+hash runs ONCE — at
-    // corpus scale re-scanning or scratch-writing the 8×-exploded gram
-    // set is the dominant cost): fold each (h, doc)'s positions into one
-    // row, window-count the document frequency over h, and explode the
-    // survivors back to hit positions. Each (doc, pos) carries exactly
-    // one gram, so the explode needs no re-dedup. Skew note: the window
-    // puts all docs sharing one fingerprint in one task — 12 bytes/row,
-    // so even a 10M-doc boilerplate gram is ~120 MB; beyond that,
-    // pre-filter known stop-passages the way the LSH path caps
-    // mega-buckets.
-    val byGramDoc = grams.groupBy(col("h"), col("doc_id"))
-      .agg(collect_list(col("pos")).as("__ps"))
-    val hits = byGramDoc
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("__df") >= minDf)
-      .select(col("doc_id"), explode(col("__ps")).as("pos"))
-    // Gaps-and-islands: new island when the previous hit is > n back.
+  }
+
+  /** Incremental exact-substring dedup — [[crossDocSpans]]'s
+    * batch-vs-corpus production shape (the [[minHashDupAgainstIndex]]
+    * contract): `index` is the persisted DISTINCT gram-fingerprint set
+    * of the accepted corpus (column `h`, 16-byte binary); the batch's
+    * spans that replicate ANY corpus passage come back for scrubbing
+    * before the batch is admitted. One semi-join on the fingerprint —
+    * the corpus text never re-tokenizes, only its hash set is read.
+    */
+  def crossDocSpansAgainstIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2 && n <= 64, s"n-gram length $n out of range")
+    val grams = gramFingerprints(batch, idCol, textCol, n)
+    val hits = grams.join(index.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("__prev", lag(col("pos"), 1).over(byDoc))

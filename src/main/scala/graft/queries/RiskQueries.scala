@@ -286,6 +286,21 @@ object RiskQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    "dd_incremental_spans" -> ((s, d) => {
+      // Batch-vs-corpus exact-substring dedup (the dd_incremental_index
+      // contract for passages): the accepted corpus contributes only its
+      // DISTINCT gram-fingerprint set; the incoming batch's spans that
+      // replicate any corpus passage come back for scrubbing. The corpus
+      // text never re-tokenizes on ingest.
+      val all = Tables.scatter(Tables.documents(s, d))
+      val corpus = all.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = all.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val index = Dedup.gramFingerprints(corpus, "doc_id", "text", n = 8)
+        .select(col("h")).distinct()
+      Dedup.crossDocSpansAgainstIndex(index, batch, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "dd_span_scrub" -> ((s, d) =>
       Dedup.scrubCrossDocSpans(Tables.scatter(Tables.documents(s, d)),
           "doc_id", "text", n = 8, minDf = 2)
@@ -519,6 +534,23 @@ object RiskQueries {
         |  FROM c)
         |SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 10
         |ORDER BY event_type, rank""".stripMargin,
+
+    "dd_incremental_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+        |idx AS (SELECT DISTINCT h FROM grams WHERE doc_id % 5 <> 0),
+        |hits AS (SELECT g.doc_id, g.i FROM grams g JOIN idx USING (h)
+        |  WHERE g.doc_id % 5 = 0),
+        |isl AS (SELECT doc_id, i,
+        |    sum(CASE WHEN prev IS NULL OR i > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM hits) s)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "dd_span_scrub" ->
       s"""$spanCtes,
