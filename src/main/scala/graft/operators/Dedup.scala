@@ -725,4 +725,68 @@ object Dedup {
       labels
     }
   }
+
+  /** Exact Jaccard threshold self-join via prefix filtering — the
+    * AllPairs/PPJoin candidate-pruning family (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08) re-expressed relationally. Unlike the
+    * MinHash-LSH path this is EXACT (no false negatives, no probability
+    * knob): every pair with Jaccard(shingles_a, shingles_b) >= tau is
+    * returned with its true similarity, but instead of the O(n²) cross
+    * join the candidate space is cut with two published filters:
+    *
+    *  - prefix filter: order every document's shingle set by GLOBAL
+    *    document frequency (rarest first; ties by shingle). If
+    *    J(A,B) >= tau then |A∩B| >= ceil(tau·|A|), so A and B must share
+    *    at least one shingle inside the first |A| − ceil(tau·|A|) + 1
+    *    shingles of A's ordering. Only those prefix shingles are emitted
+    *    as join keys — the overwhelmingly-common tail shingles (which
+    *    would explode the candidate count) never leave the document row.
+    *  - length filter: J(A,B) >= tau forces
+    *    tau·|A| <= |B| <= |A|/tau; applied inside the join condition so
+    *    mismatched-size candidates die before the distinct.
+    *
+    * Every exchange is keyed on a scalar (shingle or doc id) — the
+    * 100 TB shape: the document-frequency table is vocabulary-sized and
+    * flows through a shuffle JOIN (never a broadcast of corpus-sized
+    * state), prefix emission is ~(1−tau)·|set| keys per doc, and exact
+    * verification runs once per surviving candidate pair via two
+    * id-keyed joins back to the full shingle sets.
+    *
+    * Reference behavior anchor: the same near-dup surface the reference
+    * exposes via pairwise merge checks (`tasks/utils/check.py`'s
+    * df-compare loops), here as one declarative plan.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
+    val sets = docs
+      .select(col(idCol).as("__id"),
+        wordShingleSet(shingleLen)(col(textCol)).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+      .filter(col("__n") > 0)
+    // One corpus pass feeds both the df table and the prefix emission.
+    val grams = sets.select(col("__id"), col("__n"),
+      explode(col("__sh")).as("__g"))
+    val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // Rarest-first global ordering; prefix length |A| - ceil(tau|A|) + 1.
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
+    val prefixes = grams.join(df, "__g")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
+      .select(col("__g"), col("__id"), col("__n"))
+    val pa = prefixes.select(col("__g"), col("__id").as("id_a"), col("__n").as("na"))
+    val pb = prefixes.select(col("__g"), col("__id").as("id_b"), col("__n").as("nb"))
+    val candidates = pa.join(pb, Seq("__g"))
+      .filter(col("id_b") > col("id_a") &&
+        col("nb") >= ceil(lit(tau) * col("na")) &&
+        col("nb") * tau <= col("na"))
+      .select("id_a", "id_b").distinct()
+    // Exact verification: candidates only — two id-keyed joins.
+    val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    candidates.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("jaccard", jaccardOfSets(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

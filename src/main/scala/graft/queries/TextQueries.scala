@@ -117,6 +117,17 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT threshold join (vs the probabilistic minhash path below):
+    // AllPairs/PPJoin prefix filtering prunes candidates by global
+    // shingle rarity + set size, then verifies survivors exactly — the
+    // guarantee-preserving alternative when a pipeline can't tolerate
+    // LSH false negatives.
+    "dd_prefix_filter_pairs" -> ((s, d) =>
+      Dedup.prefixFilterPairs(Tables.scatter(Tables.documents(s, d)),
+        "doc_id", "text", shingleLen = 3, tau = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dd_minhash_pairs" -> ((s, d) =>
       minhashPairsShared(s, d)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -657,6 +668,24 @@ object TextQueries {
          |  FROM t a JOIN t b ON a.source = b.source
          |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
          |WHERE jaccard1 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Semantics oracle for the prefix-filter path: brute-force ALL pairs
+    // (the filters are a pruning strategy, not a semantics change — the
+    // oracle must not replicate them).
+    "dd_prefix_filter_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len($toksLower) - 3, 0) + 1),
+         |      i -> array_to_string(($toksLower)[i + 1:i + 3], ' '))) AS w3
+         |  FROM documents)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.w3, b.w3))), 6) AS jaccard
+         |  FROM t a JOIN t b ON b.doc_id > a.doc_id
+         |  WHERE len(a.w3) > 0 AND len(b.w3) > 0) p
+         |WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_minhash_pairs" ->

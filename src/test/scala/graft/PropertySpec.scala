@@ -353,4 +353,42 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(got == expect, s"spans diverged from the naive model:\ngot  $got\nwant $expect")
     assert(run(1) == got && run(13) == got, "spans depend on partitioning")
   }
+
+  test("prefixFilterPairs ≡ brute-force all-pairs Jaccard (no missed pairs)") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (1 to 3).foreach { trial =>
+      // Mix of fresh docs and mutated near-copies so pairs exist across
+      // the whole similarity range, not just at 0 and 1.
+      val base = (0 until 12).map { id =>
+        (id.toLong, List.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val mutated = base.take(6).map { case (id, text) =>
+        val t = text.split(" ").toBuffer
+        t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
+        (id + 100L, t.mkString(" "))
+      }
+      val docs = base ++ mutated
+      val shingleLen = 2
+      val tau = 0.4
+      def shingles(text: String): Set[String] = {
+        val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (0 until math.max(t.length - shingleLen, 0) + 1)
+          .map(i => t.slice(i, math.min(i + shingleLen, t.length)).mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+      val expect = (for {
+        (a, sa) <- sets; (b, sb) <- sets if b > a && sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size if j >= tau
+      } yield (a, b, math.rint(j * 1e9) / 1e9)).toSet
+      val gotDf = graft.operators.Dedup.prefixFilterPairs(
+        docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", shingleLen, tau)
+      val got = gotDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+      assert(got == expect,
+        s"trial $trial: prefix-filtered pairs diverged from brute force:\n" +
+          s"missed ${expect -- got}\nextra ${got -- expect}")
+    }
+  }
 }
