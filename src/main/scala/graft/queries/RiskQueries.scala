@@ -133,6 +133,45 @@ object RiskQueries {
         .orderBy(col("m"), col("o_custkey"))
     }),
 
+    "fin_backtest_pnl" -> ((s, d) => {
+      // Long-short decile backtest — the factor-research loop the
+      // reference's report stack feeds (rank a universe by a factor,
+      // trade the extremes, track cumulative PnL): rank each month's
+      // customers by PRIOR spend (the factor), long the top ntile(10)
+      // decile / short the bottom, portfolio return = mean(long rets) −
+      // mean(short rets), cumulative PnL = ordered running sum. Numeric
+      // policy: rets are clamped micro-unit longs (exact integer sums),
+      // the per-month means divide once, and the running sum adds
+      // identical doubles in the same month order on both engines.
+      val spend = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+          col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("x"))
+      val wCust = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      val rets = spend.withColumn("px", lag(col("x"), 1).over(wCust))
+        .filter(col("px").isNotNull)
+        .withColumn("ret_micro", RiskStats.toMicro(col("x") / col("px") - lit(1.0)))
+      val wM = Window.partitionBy(col("m")).orderBy(col("px"), col("o_custkey"))
+      val deciles = rets
+        .withColumn("d", ntile(10).over(wM))
+        .withColumn("n_m", count(lit(1)).over(Window.partitionBy(col("m"))))
+        .filter(col("n_m") >= 20)
+      val ls = deciles.groupBy(col("m"))
+        .agg(sum(when(col("d") === 10, 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("d") === 10, col("ret_micro"))).as("__sl"),
+          sum(when(col("d") === 1, col("ret_micro"))).as("__ss"))
+        .withColumn("ls_ret", round(
+          (col("__sl").cast("double") / col("n_long").cast("double") -
+            col("__ss").cast("double") / col("n_short").cast("double")) /
+            lit(1000000.0), 6))
+      ls.withColumn("cum_ret",
+          round(sum(col("ls_ret")).over(
+            Window.orderBy(col("m")).rowsBetween(Window.unboundedPreceding, 0)), 6))
+        .select(col("m"), col("n_long"), col("n_short"), col("ls_ret"), col("cum_ret"))
+        .orderBy(col("m"))
+    }),
+
     "fin_vwap_bars" -> ((s, d) =>
       Resample.vwapBars(Tables.lineitem(s, d),
           to_date(date_trunc("week", col("l_shipdate"))),
@@ -485,6 +524,34 @@ object RiskQueries {
         |  ${Oracles.jr6("(sp.x - (st.sc / 100.0) / CAST(st.n AS DOUBLE)) / st.sd")} AS z
         |FROM spend sp JOIN stats st USING (m)
         |ORDER BY sp.m, sp.o_custkey""".stripMargin,
+
+    "fin_backtest_pnl" ->
+      s"""WITH spend AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT m, o_custkey, x,
+        |    lag(x) OVER (PARTITION BY o_custkey ORDER BY m) AS px
+        |  FROM spend),
+        |rr AS (SELECT m, o_custkey, px,
+        |    ${microSql("x / px - 1.0")} AS ret_micro
+        |  FROM r WHERE px IS NOT NULL),
+        |deciles AS (SELECT m, ret_micro,
+        |    ntile(10) OVER (PARTITION BY m ORDER BY px ASC, o_custkey ASC) AS d,
+        |    count(*) OVER (PARTITION BY m) AS n_m
+        |  FROM rr),
+        |ls AS (SELECT m,
+        |    CAST(sum(CASE WHEN d = 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |    ${Oracles.jr6(
+             "(CAST(sum(CASE WHEN d = 10 THEN ret_micro END) AS DOUBLE) / " +
+               "CAST(sum(CASE WHEN d = 10 THEN 1 ELSE 0 END) AS DOUBLE) - " +
+               "CAST(sum(CASE WHEN d = 1 THEN ret_micro END) AS DOUBLE) / " +
+               "CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE)) / 1000000.0")} AS ls_ret
+        |  FROM deciles WHERE n_m >= 20 GROUP BY m)
+        |SELECT m, n_long, n_short, ls_ret,
+        |  ${Oracles.jr6("sum(ls_ret) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_ret
+        |FROM ls ORDER BY m""".stripMargin,
 
     "fin_vwap_bars" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, l_returnflag,
