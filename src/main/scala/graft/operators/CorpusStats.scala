@@ -642,4 +642,48 @@ object CorpusStats {
       .groupBy(col("grp"), col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  /** Zipf-law slope of the token-frequency distribution per group — the
+    * corpus-health diagnostic (natural text sits near slope ≈ −1;
+    * template/boilerplate-heavy or synthetic slices drift off it, so a
+    * per-source slope report flags degenerate slices before training).
+    *
+    * Least-squares fit of ln(freq) ~ ln(rank) over each group's top
+    * `topRanks` tokens (rank by count desc, token asc — deterministic).
+    * Numeric policy: each regression term (x, y, x², xy in nano/pico
+    * units) is rounded to an integer LONG per row, so the four sums are
+    * exact and partial-aggregatable in any partition order; the slope
+    * divides the exact sums once at the end. One token-count shuffle +
+    * one bounded (groups × topRanks) window — at 100 TB the count agg
+    * is the only corpus-sized exchange, and it map-combines.
+    */
+  def zipfSlope(docs: DataFrame, groupCol: Column, textCol: String,
+      topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 3, s"topRanks=$topRanks needs >= 3 points to fit")
+    val counts = docs
+      .select(groupCol.as("grp"), explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topRanks)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val terms = ranked.select(col("grp"),
+      round(x * lit(1e9), 0).cast("long").as("tx"),
+      round(y * lit(1e9), 0).cast("long").as("ty"),
+      round(x * x * lit(1e12), 0).cast("long").as("txx"),
+      round(x * y * lit(1e12), 0).cast("long").as("txy"))
+    terms.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tx")).as("sx"), sum(col("ty")).as("sy"),
+        sum(col("txx")).as("sxx"), sum(col("txy")).as("sxy"))
+      .filter(col("n") >= 3)
+      .withColumn("slope",
+        (col("n").cast("double") * (col("sxy").cast("double") / lit(1e12)) -
+          (col("sx").cast("double") / lit(1e9)) * (col("sy").cast("double") / lit(1e9))) /
+          (col("n").cast("double") * (col("sxx").cast("double") / lit(1e12)) -
+            (col("sx").cast("double") / lit(1e9)) * (col("sx").cast("double") / lit(1e9))))
+      .select(col("grp"), col("n"), col("slope"))
+  }
 }

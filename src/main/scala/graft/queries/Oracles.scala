@@ -24,4 +24,14 @@ private[queries] object Oracles {
     */
   def jr(e: String, scale: Int): String =
     s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,25)), $scale) AS DOUBLE)"
+
+  /** [[jr]] for LARGE magnitudes: DECIMAL(38,25) holds only 13 integer
+    * digits, so values ≥ 1e13 overflow the cast. (38,18) trades
+    * fractional headroom for 20 integer digits — safe whenever the
+    * expression is exactly 0 or |x| ≥ ~1e-1 (a shortest-rep double with
+    * an integer part has ≤ 17 significant → ≤ 17 fractional digits).
+    * Use for micro/pico-unit products before an integer round.
+    */
+  def jrWide(e: String, scale: Int): String =
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), $scale) AS DOUBLE)"
 }

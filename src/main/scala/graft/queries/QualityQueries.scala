@@ -141,7 +141,18 @@ object QualityQueries {
         .select(col("doc_id").as("cent_id"), col("v").as("cv"))
       Dedup.semDedup(e, "doc_id", "v", cents, "cent_id", "cv", eps = 0.9)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Zipf slope of the per-language token-frequency curve — the
+    // corpus-health check (natural text ≈ −1; boilerplate/synthetic
+    // slices drift). Exact-integer regression sums; see
+    // [[graft.operators.CorpusStats.zipfSlope]].
+    "t_zipf_slope" -> ((s, d) =>
+      graft.operators.CorpusStats.zipfSlope(
+          Tables.scatter(Tables.documents(s, d)), col("lang"), "text",
+          topRanks = 100)
+        .select(col("grp").as("lang"), col("n"), round(col("slope"), 6).as("slope"))
+        .orderBy(col("lang")))
   )
 
   private val toksLower =
@@ -325,7 +336,34 @@ object QualityQueries {
          |SELECT eb.doc_id, eb.cell,
          |  CAST(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM eb LEFT JOIN dup ON eb.doc_id = dup.doc_id
-         |ORDER BY eb.doc_id""".stripMargin
+         |ORDER BY eb.doc_id""".stripMargin,
+
+    // Replays the exact-integer regression-term policy: each ln-term is
+    // jr-rounded to nano/pico units per ROW, so the four sums are
+    // order-free and the slope division runs on identical operands.
+    "t_zipf_slope" ->
+      s"""WITH t AS (SELECT lang, $toksLower AS lt FROM documents),
+         |tok AS (SELECT lang, unnest(lt) AS tok FROM t),
+         |cnt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |rk AS (SELECT lang, c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+         |  FROM cnt),
+         |terms AS (SELECT lang,
+         |    CAST(${Oracles.jrWide("ln(CAST(r AS DOUBLE)) * 1000000000.0", 0)} AS BIGINT) AS tx,
+         |    CAST(${Oracles.jrWide("ln(CAST(c AS DOUBLE)) * 1000000000.0", 0)} AS BIGINT) AS ty,
+         |    CAST(${Oracles.jrWide("ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1000000000000.0", 0)} AS BIGINT) AS txx,
+         |    CAST(${Oracles.jrWide("ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000000000.0", 0)} AS BIGINT) AS txy
+         |  FROM rk WHERE r <= 100),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(tx) AS BIGINT) AS sx, CAST(sum(ty) AS BIGINT) AS sy,
+         |    CAST(sum(txx) AS BIGINT) AS sxx, CAST(sum(txy) AS BIGINT) AS sxy
+         |  FROM terms GROUP BY lang HAVING count(*) >= 3)
+         |SELECT lang, n,
+         |  ${jr6("(CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000000.0) - " +
+             "(CAST(sx AS DOUBLE) / 1000000000.0) * (CAST(sy AS DOUBLE) / 1000000000.0)) / " +
+             "(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000000.0) - " +
+             "(CAST(sx AS DOUBLE) / 1000000000.0) * (CAST(sx AS DOUBLE) / 1000000000.0))")} AS slope
+         |FROM agg ORDER BY lang""".stripMargin
   )
 
   /** Shared CTE chain: text → 32-dim hashed signed-count vectors
