@@ -657,6 +657,35 @@ object CorpusStats {
     * one bounded (groups × topRanks) window — at 100 TB the count agg
     * is the only corpus-sized exchange, and it map-combines.
     */
+  /** Training-mixture report per domain/source: document and token
+    * counts, token share, and the mixture's Shannon entropy (nats) —
+    * the one-look summary of how a corpus is balanced before sampling
+    * weights are chosen. Entropy terms −p·ln(p) are rounded to
+    * micro-nat LONGs per domain and summed exactly, so the scalar is
+    * partition-order free; the per-domain share divides exact token
+    * counts once. One partial-aggregatable shuffle on the domain key;
+    * the domain table itself is model-sized (every downstream step is
+    * a window over it).
+    */
+  def domainMixReport(docs: DataFrame, domainCol: Column, textCol: String): DataFrame = {
+    val counts = docs
+      .select(domainCol.as("domain"), size(toks(col(textCol))).as("__nt"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt").cast("long")).as("n_tokens"))
+    val w = Window.partitionBy()
+    val withTotal = counts.withColumn("__tot", sum(col("n_tokens")).over(w))
+    val share = col("n_tokens").cast("double") / col("__tot").cast("double")
+    withTotal
+      .withColumn("token_share", share)
+      .withColumn("__ent_term",
+        round(when(col("n_tokens") > 0, -share * log(share)).otherwise(lit(0.0)) *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("mix_entropy",
+        sum(col("__ent_term")).over(w).cast("double") / lit(1000000.0))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("mix_entropy"))
+  }
+
   def zipfSlope(docs: DataFrame, groupCol: Column, textCol: String,
       topRanks: Int = 100): DataFrame = {
     require(topRanks >= 3, s"topRanks=$topRanks needs >= 3 points to fit")

@@ -152,7 +152,18 @@ object QualityQueries {
           Tables.scatter(Tables.documents(s, d)), col("lang"), "text",
           topRanks = 100)
         .select(col("grp").as("lang"), col("n"), round(col("slope"), 6).as("slope"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Per-source training-mixture report: token share + mixture Shannon
+    // entropy — the balance summary read before choosing sampling
+    // weights. Exact long counts; micro-nat entropy terms.
+    "t_domain_mix" -> ((s, d) =>
+      graft.operators.CorpusStats.domainMixReport(
+          Tables.scatter(Tables.documents(s, d)), col("source"), "text")
+        .select(col("domain").as("source"), col("n_docs"), col("n_tokens"),
+          round(col("token_share"), 6).as("token_share"),
+          round(col("mix_entropy"), 6).as("mix_entropy"))
+        .orderBy(col("source")))
   )
 
   private val toksLower =
@@ -363,7 +374,24 @@ object QualityQueries {
              "(CAST(sx AS DOUBLE) / 1000000000.0) * (CAST(sy AS DOUBLE) / 1000000000.0)) / " +
              "(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000000.0) - " +
              "(CAST(sx AS DOUBLE) / 1000000000.0) * (CAST(sx AS DOUBLE) / 1000000000.0))")} AS slope
-         |FROM agg ORDER BY lang""".stripMargin
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    "t_domain_mix" ->
+      s"""WITH t AS (SELECT source, len($toksLower) AS nt FROM documents),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM c),
+         |sh AS (SELECT source, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+         |  FROM c CROSS JOIN tot),
+         |e AS (SELECT *, CAST(${Oracles.jr(
+             "CASE WHEN n_tokens > 0 THEN -share * ln(share) ELSE 0.0 END * 1000000.0", 0)}
+         |    AS BIGINT) AS ent_term FROM sh),
+         |g AS (SELECT CAST(sum(ent_term) AS BIGINT) AS se FROM e)
+         |SELECT source, n_docs, n_tokens,
+         |  ${jr6("share")} AS token_share,
+         |  ${jr6("CAST(se AS DOUBLE) / 1000000.0")} AS mix_entropy
+         |FROM e CROSS JOIN g ORDER BY source""".stripMargin
   )
 
   /** Shared CTE chain: text → 32-dim hashed signed-count vectors
