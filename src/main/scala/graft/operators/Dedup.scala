@@ -397,16 +397,27 @@ object Dedup {
     */
   def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    require(simHashBits % bands == 0,
-      s"bands=$bands must divide $simHashBits signature bits — a remainder " +
-      "would leave trailing bits un-banded and break the pigeonhole recall bound")
-    val bandBits = simHashBits / bands
-    val mask = (1L << bandBits) - 1
     // Persisted: the banding branch and both verification joins would
     // otherwise re-run the per-word hash over the whole corpus 3×.
     val sigs = simHash(graft.core.Tables.scatter(docs), textCol)
       .select(col(idCol).as("__id"), col("simhash"))
       .persist()
+    bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
+  }
+
+  /** Banded hamming self-join over an already-computed 60-bit signature
+    * frame (`__id`, `simhash`) — shared by the text SimHash path above
+    * and the media perceptual-hash path
+    * ([[graft.streaming.MultimodalPipeline]]). Expects `sigs` persisted;
+    * unpersists it before returning the persisted pair set.
+    */
+  private[graft] def bandedHammingPairs(sigs: DataFrame,
+      maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+    require(simHashBits % bands == 0,
+      s"bands=$bands must divide $simHashBits signature bits — a remainder " +
+      "would leave trailing bits un-banded and break the pigeonhole recall bound")
+    val bandBits = simHashBits / bands
+    val mask = (1L << bandBits) - 1
     val banded0 = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)

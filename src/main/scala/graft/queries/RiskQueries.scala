@@ -210,6 +210,31 @@ object RiskQueries {
         .orderBy(col("keep_id"))
     }),
 
+    "mm_phash_neardup" -> ((s, d) => {
+      // Media NEAR-dup pairs — what the exact content-hash pass above
+      // cannot catch (re-encoded thumbnails, slightly-corrupted
+      // re-crawls): perceptual signature over the binary payload →
+      // banded hamming self-join (the SimHash LSH machinery, shared
+      // kernel). Payload = 10-token text prefix as bytes (the honest
+      // codec stub); a deterministic mutated slice (doc_id % 23, one
+      // token appended, re-keyed) plants true near-dups so the pair
+      // semantics are exercised at every SF — the oracle injects
+      // identically and replays signature, banding, cap, and verify.
+      import graft.functions.TextFunctions
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(TextFunctions.tokens(col("text")), 1, 10)).cast("binary").as("payload"))
+      val mutated = Tables.documents(s, d).filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 10)),
+            lit(" z")).cast("binary").as("payload"))
+      graft.core.Scratch.materialize(
+        graft.streaming.MultimodalPipeline.phashNearDupPairs(
+          base.unionAll(mutated), "doc_id", "payload", maxHamming = 12, bands = 4),
+        "phash_pairs", d)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "v_ivf_persisted" -> ((s, d) => {
       // The production serve path: an index-building job persists the
       // trained IVF model (centroids) through the keyed store; a
@@ -576,6 +601,46 @@ object RiskQueries {
         |  (count(*) - 1) * CAST(max(octet_length(encode(payload))) AS BIGINT) AS wasted_bytes
         |FROM p GROUP BY md5(payload) HAVING count(*) >= 2
         |ORDER BY keep_id""".stripMargin,
+
+    // Full replay of the perceptual-hash pipeline: payload injection,
+    // per-block signature votes, 15-bit banding, bucket cap, hamming
+    // verify — banded LSH beyond hamming ≤ bands−1 is approximate, so
+    // the oracle must replay the banding, not brute-force all pairs.
+    "mm_phash_neardup" ->
+      s"""WITH pl AS (
+        |    SELECT doc_id, array_to_string(($toksRaw)[1:10], ' ') AS p FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 2000000,
+        |      array_to_string(($toksRaw)[1:10], ' ') || ' z'
+        |    FROM documents WHERE doc_id % 23 = 0),
+        |blocks AS (SELECT doc_id, substr(p, CAST(i AS INT), 4) AS w
+        |  FROM (SELECT doc_id, p,
+        |      unnest(range(1, greatest(len(p) - 3, 1) + 1)) AS i
+        |    FROM pl WHERE len(p) > 0)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM blocks),
+        |votes AS (SELECT doc_id, b.range AS bit,
+        |    sum(CASE WHEN ((hv >> b.range) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) b GROUP BY 1, 2),
+        |sig0 AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |sigs AS (SELECT pl.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        |  FROM pl LEFT JOIN sig0 s ON s.doc_id = pl.doc_id),
+        |banded AS (SELECT doc_id, b.range AS band,
+        |    (simhash >> (b.range * 15)) & 32767 AS bk
+        |  FROM sigs, range(0, 4) b),
+        |ok AS (SELECT band, bk FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN ok USING (band, bk)
+        |  JOIN banded b ON b.band = a.band AND b.bk = a.bk AND b.doc_id > a.doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.id_a
+        |  JOIN sigs sb ON sb.doc_id = cand.id_b) x
+        |WHERE hamming <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Identical semantics to v_ivf_topk — the query differs only in the
     // centroids' round-trip through the persisted store (parquet is

@@ -98,4 +98,55 @@ object MultimodalPipeline {
       Encoders.scalaInt, Encoders.scalaLong))
       .toDF("doc_id", "payload", "width", "height", "n_bytes")
   }
+
+  /** Perceptual-hash signature over a binary payload — the near-dup
+    * companion to [[extractFeatures]]'s exact content hash (re-encoded
+    * thumbnails and slightly-corrupted re-crawls never match an MD5).
+    *
+    * STUB BOUNDARY, stated plainly: a real pHash runs a DCT over decoded
+    * pixels. Absent codecs, the signature here is SimHash over the
+    * payload's sliding 4-byte blocks — which preserves exactly the
+    * property every downstream consumer relies on (payloads sharing most
+    * content → small hamming distance) and keeps the full pair-finding
+    * pipeline real. Swap the block iterator for DCT coefficients when a
+    * decoder is available; nothing downstream changes.
+    */
+  private[graft] val perceptualHash60 = udf { bytes: Array[Byte] =>
+    if (bytes == null || bytes.isEmpty) 0L
+    else {
+      val bits = graft.operators.Dedup.simHashBits
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val votes = new Array[Int](bits)
+      val n = math.max(s.length - 3, 1)
+      var i = 0
+      while (i < n) {
+        val block = s.substring(i, math.min(i + 4, s.length))
+        val h = graft.functions.Md5Hash.h1h2Cached(block)._1
+        var bit = 0
+        while (bit < bits) {
+          if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < bits) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+      out
+    }
+  }
+
+  /** Media near-dup pairs: perceptual signature → the same banded
+    * hamming self-join the text SimHash path uses
+    * ([[graft.operators.Dedup.bandedHammingPairs]]). Returns
+    * (id_a, id_b, hamming), persisted.
+    */
+  def phashNearDupPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        perceptualHash60(col(payloadCol).cast("binary")).as("simhash"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
+  }
 }
