@@ -800,4 +800,49 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Exact CONTAINMENT threshold join: pairs where
+    * |A ∩ B| / |A| >= tau and |A| <= |B| — the asymmetric complement of
+    * [[prefixFilterPairs]]. Jaccard misses the classic corpus defect of
+    * a SHORT document embedded verbatim in a much longer one (an
+    * abstract inside the full paper, a quoted article inside a digest):
+    * the union term dilutes the score below any usable threshold, while
+    * containment of the short side is ~1. Same prefix-filter machinery
+    * with the asymmetric bound: overlap >= ceil(tau·|A|) forces A's
+    * rarest-first prefix of size |A| − ceil(tau·|A|) + 1 to intersect B
+    * SOMEWHERE, so A's prefix shingles join against B's FULL shingle
+    * stream (no prefix on the container side — containment has no upper
+    * size bound to prune with). Same 100 TB shape: vocabulary-sized df
+    * table through a shuffle join, scalar-keyed exchanges only, exact
+    * verification once per surviving candidate.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
+    val sets = docs
+      .select(col(idCol).as("__id"),
+        wordShingleSet(shingleLen)(col(textCol)).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+      .filter(col("__n") > 0)
+    val grams = sets.select(col("__id"), col("__n"),
+      explode(col("__sh")).as("__g"))
+    val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
+    val prefixes = grams.join(df, "__g")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
+      .select(col("__g"), col("__id").as("id_a"), col("__n").as("na"))
+    val full = grams.select(col("__g"), col("__id").as("id_b"), col("__n").as("nb"))
+    val candidates = prefixes.join(full, Seq("__g"))
+      .filter(col("id_a") =!= col("id_b") && col("na") <= col("nb"))
+      .select("id_a", "id_b").distinct()
+    val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    candidates.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(col("__sa")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -117,6 +117,23 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Asymmetric containment (|A∩B|/|A|): catches a SHORT doc embedded
+    // verbatim in a LONG one, which Jaccard's union term dilutes below
+    // any usable threshold. Injected fragments (first 15 tokens of every
+    // doc_id % 41 doc, re-keyed) plant true short-inside-long pairs; the
+    // oracle injects identically and brute-forces all ordered pairs.
+    "dd_containment_pairs" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frags = Tables.documents(s, d).filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 15)).as("text"))
+      Dedup.containmentPairs(Tables.scatter(base.unionAll(frags)),
+        "doc_id", "text", shingleLen = 3, tau = 0.9)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // EXACT threshold join (vs the probabilistic minhash path below):
     // AllPairs/PPJoin prefix filtering prunes candidates by global
     // shingle rarity + set size, then verifies survivors exactly — the
@@ -669,6 +686,27 @@ object TextQueries {
          |    AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 25) p
          |WHERE jaccard1 >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_containment_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    array_to_string((list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> len(x) > 0))[1:15], ' ')
+         |  FROM documents WHERE doc_id % 41 = 0),
+         |t AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len($toksLower) - 3, 0) + 1),
+         |      i -> array_to_string(($toksLower)[i + 1:i + 3], ' '))) AS w3
+         |  FROM corpus),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE) / len(a.w3) AS c
+         |  FROM t a JOIN t b
+         |    ON a.doc_id <> b.doc_id AND len(a.w3) <= len(b.w3)
+         |  WHERE len(a.w3) > 0)
+         |SELECT id_a, id_b, round(c, 6) AS containment
+         |FROM p WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     // Semantics oracle for the prefix-filter path: brute-force ALL pairs
     // (the filters are a pruning strategy, not a semantics change — the

@@ -389,6 +389,22 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       assert(got == expect,
         s"trial $trial: prefix-filtered pairs diverged from brute force:\n" +
           s"missed ${expect -- got}\nextra ${got -- expect}")
+
+      // Same corpus, asymmetric bound: containmentPairs must equal the
+      // brute-force |A∩B|/|A| >= tau with |A| <= |B| model.
+      val tauC = 0.6
+      val expectC = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b && sa.nonEmpty && sb.nonEmpty && sa.size <= sb.size
+        c = (sa & sb).size.toDouble / sa.size if c >= tauC
+      } yield (a, b, math.rint(c * 1e9) / 1e9)).toSet
+      val gotC = graft.operators.Dedup.containmentPairs(
+          docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", shingleLen, tauC)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+      assert(gotC == expectC,
+        s"trial $trial: containment pairs diverged from brute force:\n" +
+          s"missed ${expectC -- gotC}\nextra ${gotC -- expectC}")
     }
   }
 }
