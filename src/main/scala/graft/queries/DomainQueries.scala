@@ -424,6 +424,44 @@ object DomainQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── Streaming: LSH near-dup flag vs previously ingested corpus ──
+    "stream_neardup_flag" -> ((s, d) => {
+      // Two parity halves of `documents` staged as ordered files,
+      // maxFilesPerTrigger=1 → two micro-batches: every odd-half doc is
+      // checked against the even-half PRIORS sharing a SimHash band,
+      // with exact hamming verification — the streaming form of the
+      // incremental dedup index (what exact stream_dedup cannot catch:
+      // a re-crawl with a tweaked footer). Cross-batch-only emission
+      // makes the output independent of intra-batch order.
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val tmpRoot = System.getProperty("java.io.tmpdir")
+      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_neardup")
+      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_neardup_stage")
+      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+      fs.mkdirs(streamDir)
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      Seq(0, 1).foreach { par =>
+        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+        docs.filter(pmod(col("doc_id"), lit(2)) === par)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+      }
+      fs.delete(stageDir, true)
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val hits = graft.streaming.NearDupStream.nearDupFlags(
+          s, raw, "doc_id", "text", maxHamming = 20)
+        val q = hits.writeStream.outputMode("update").format("memory")
+          .queryName("graft_stream_neardup").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_neardup")
+        .orderBy(col("doc_id"), col("prior_id"), col("band"))
+    }),
+
     // ── Streaming: stream-stream interval join (attribution) ────────
     "stream_join_attrib" -> ((s, d) => {
       // view→purchase attribution: join two event-time streams on
@@ -870,6 +908,35 @@ object DomainQueries {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Batch replay of the two-micro-batch LSH run: batch = doc_id
+    // parity, priors = strictly earlier batch, same 60-bit signature /
+    // 15-bit banding / hamming verify as the dd_simhash oracles.
+    "stream_neardup_flag" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ltoks FROM documents),
+        |tok AS (SELECT doc_id, unnest(ltoks) AS w FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+        |votes AS (SELECT doc_id, b.range AS bit,
+        |    sum(CASE WHEN ((hv >> b.range) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) b GROUP BY 1, 2),
+        |sig0 AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |sigs AS (SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash,
+        |    d.doc_id % 2 AS batch
+        |  FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
+        |banded AS (SELECT doc_id, simhash, batch, b.range AS band,
+        |    (simhash >> (b.range * 15)) & 32767 AS bk
+        |  FROM sigs, range(0, 4) b)
+        |SELECT n.doc_id, p.doc_id AS prior_id,
+        |  CAST(n.band AS BIGINT) AS band,
+        |  CAST(bit_count(xor(n.simhash, p.simhash)) AS BIGINT) AS hamming
+        |FROM banded n JOIN banded p
+        |  ON p.band = n.band AND p.bk = n.bk AND p.batch < n.batch
+        |WHERE bit_count(xor(n.simhash, p.simhash)) <= 20
+        |ORDER BY n.doc_id, p.doc_id, band""".stripMargin,
 
     "stream_corpus_curate" ->
       """WITH t AS (

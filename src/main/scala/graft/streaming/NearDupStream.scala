@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate flagging — the LSH twin of the exact
+  * streaming dedup (`dropDuplicatesWithinWatermark` catches only
+  * byte-identical re-deliveries; a re-crawled page with a tweaked
+  * footer sails through). Each incoming document's 60-bit SimHash is
+  * banded exactly like the batch path
+  * ([[graft.operators.Dedup.simHashDupPairs]]); per band-bucket,
+  * `flatMapGroupsWithState` keeps the documents seen in EARLIER
+  * micro-batches and emits a verified (new, prior, hamming) hit row for
+  * every close prior — the batch-vs-corpus shape of the incremental
+  * dedup index, continuously maintained.
+  *
+  * Semantics pinned for determinism: a document is compared against
+  * priors from STRICTLY earlier micro-batches only (same-batch pairs
+  * are the batch path's job), so the output is independent of
+  * intra-batch row order; the per-bucket state cap keeps the lowest
+  * `maxBucket` doc ids (a deterministic rule, not arrival order).
+  * State is `buckets × maxBucket` (id, sig) pairs — bounded regardless
+  * of stream volume; at production scale the cap doubles as the
+  * mega-bucket guard (signature 0 of empty payloads, boilerplate).
+  * A pair that collides in several bands emits once per band — the
+  * band column is part of the result, so no cross-group dedup state is
+  * needed downstream.
+  */
+object NearDupStream {
+  case class BandRow(doc_id: Long, simhash: Long, band: Int, bk: Long)
+  case class Hit(doc_id: Long, prior_id: Long, band: Long, hamming: Long)
+  case class BucketState(members: List[(Long, Long)])
+
+  def nearDupFlags(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, bands: Int = 4,
+      maxBucket: Int = 1000): Dataset[Hit] = {
+    import spark.implicits._
+    require(Dedup.simHashBits % bands == 0,
+      s"bands=$bands must divide ${Dedup.simHashBits} signature bits")
+    val bandBits = Dedup.simHashBits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = Dedup.simHash(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "__text")
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bk")))
+      .as[BandRow]
+    banded.groupByKey(r => (r.band, r.bk))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow], st: GroupState[BucketState]) =>
+          val prior = st.getOption.map(_.members).getOrElse(Nil)
+          val cur = rows.map(r => (r.doc_id, r.simhash)).toList
+          val hits = for {
+            (id, sig) <- cur
+            (pid, psig) <- prior
+            h = java.lang.Long.bitCount(sig ^ psig) if h <= maxHamming
+          } yield Hit(id, pid, key._1.toLong, h.toLong)
+          st.update(BucketState((prior ++ cur).sortBy(_._1).take(maxBucket)))
+          hits.iterator
+      }
+  }
+}
