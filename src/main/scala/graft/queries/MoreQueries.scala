@@ -451,6 +451,66 @@ object MoreQueries {
         .orderBy(col("match_key"))
     }),
 
+    // D13 — calendar-gap audit: which trading days carry NO rows for a
+    // slice (the reference's completeness check before an incremental
+    // load is trusted). Expected grid = global date calendar ×
+    // priorities (both bounded: dates are time-cardinality, priorities
+    // an enum — the cross join is model-sized and broadcast); missing
+    // days via anti-join; consecutive misses merge into runs with the
+    // gaps-and-islands window. At 100 TB only the distinct-scans touch
+    // the fact table, both partial-aggregated.
+    "d13_calendar_gaps" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority").as("pri"))
+      val cal = orders.select(col("od")).distinct()
+      val pris = orders.select(col("pri")).distinct()
+      val expected = cal.crossJoin(broadcast(pris))
+      val missing = expected.join(orders.distinct(), Seq("od", "pri"), "left_anti")
+      val calIdx = cal.withColumn("ci",
+        row_number().over(Window.orderBy(col("od"))))
+      missing.join(calIdx, Seq("od"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("pri")).orderBy(col("ci"))))
+        .withColumn("grpk", col("ci") - col("rn"))
+        .groupBy(col("pri"), col("grpk"))
+        .agg(min(col("od")).as("gap_start"), max(col("od")).as("gap_end"),
+          count(lit(1)).as("n_days"))
+        .select(col("pri"), col("gap_start"), col("gap_end"), col("n_days"))
+        .orderBy(col("pri"), col("gap_start"))
+    }),
+
+    // K9 — SCD type-2 history build: fold a keyed change stream into
+    // validity intervals (valid_from / valid_to, open-ended current
+    // row) — the warehouse shape behind the reference's keep-the-
+    // history vendor merges. Change detection = lag over the per-key
+    // event order (ties broken by the order key, so the fold is
+    // deterministic); islands via running change-count; the interval
+    // end is the NEXT island's start (half-open SCD2 convention), null
+    // on the current row. One shuffle on the entity key; every window
+    // shares that partitioning.
+    "k9_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      val runs = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"), col("o_orderstatus").as("status"))
+        .withColumn("chg",
+          when(lag(col("status"), 1).over(w).isNull ||
+            lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("o_custkey"), col("run_id"), col("status"))
+        .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_rows"))
+      val wk = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("run_id"), col("status"),
+          col("valid_from"), col("valid_to"), col("is_current"), col("n_rows"))
+        .orderBy(col("o_custkey"), col("run_id"))
+    }),
+
     // K8 — the report-rendering task itself: the reference computes a
     // per-sector interval-median pivot and ships it as an Excel file
     // (/root/reference/tasks/report/stock/industry_classified.py:61-104
@@ -801,6 +861,43 @@ object MoreQueries {
         |       THEN lc.typ = rc.typ ELSE NULL END AS type_match
         |FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
         |ORDER BY match_key""".stripMargin,
+
+    "k9_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    o_orderstatus AS status FROM orders),
+        |c AS (SELECT *,
+        |    CASE WHEN lag(status) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) IS NULL
+        |      OR lag(status) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) <> status
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM c),
+        |runs AS (SELECT o_custkey, run_id, status, min(od) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT o_custkey, run_id, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) IS NULL AS is_current,
+        |  n_rows
+        |FROM runs ORDER BY o_custkey, run_id""".stripMargin,
+
+    "d13_calendar_gaps" ->
+      """WITH o AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS od,
+        |    o_orderpriority AS pri FROM orders),
+        |cal AS (SELECT DISTINCT od FROM o),
+        |pris AS (SELECT DISTINCT pri FROM o),
+        |missing AS (
+        |  SELECT c.od, p.pri FROM cal c CROSS JOIN pris p
+        |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.od = c.od AND o.pri = p.pri)),
+        |ci AS (SELECT od, row_number() OVER (ORDER BY od) AS ci FROM cal),
+        |runs AS (
+        |  SELECT m.pri, m.od, ci.ci,
+        |    ci.ci - row_number() OVER (PARTITION BY m.pri ORDER BY ci.ci) AS grpk
+        |  FROM missing m JOIN ci ON ci.od = m.od)
+        |SELECT pri, min(od) AS gap_start, max(od) AS gap_end,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM runs GROUP BY pri, grpk
+        |ORDER BY pri, gap_start""".stripMargin,
 
     "k8_excel_report" ->
       s"""WITH j AS (
