@@ -635,6 +635,63 @@ object MoreQueries {
             .as("rate_purchase"))
     }),
 
+    // A17 — market-basket co-occurrence with lift: part pairs that ship
+    // together more than chance predicts. The self-join is keyed on the
+    // ORDER (items per order is bounded by the schema, so pair fan-out
+    // per key is a constant — the shape that survives any order count);
+    // lift multiplies/divides exact longs once per surviving pair.
+    // Top-50 by (lift, then pair id) keeps the output deterministic
+    // through double ties.
+    "a17_basket_pairs" -> ((s, d) => {
+      def items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      val nOrders = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.select(col("ok"), col("l_partkey").as("pk_a"))
+        .join(items.select(col("ok"), col("l_partkey").as("pk_b")), Seq("ok"))
+        .filter(col("pk_b") > col("pk_a"))
+        .groupBy(col("pk_a"), col("pk_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(freq.select(col("l_partkey").as("pk_a"), col("n_p").as("n_a")), Seq("pk_a"))
+        .join(freq.select(col("l_partkey").as("pk_b"), col("n_p").as("n_b")), Seq("pk_b"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift", round(
+          col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+        .select(col("pk_a"), col("pk_b"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+        .orderBy(col("lift").desc, col("pk_a"), col("pk_b"))
+        .limit(50)
+    }),
+
+    // A16 — cohort retention: users bucketed by first-seen ISO week,
+    // per-offset active share — the standard product-analytics read on
+    // the events stream. (user, week) presence is deduped BEFORE the
+    // cohort join, so n_active counts distinct users with one exact
+    // count; the rate divides exact longs. Two shuffles (user key, then
+    // cohort key), both partial-aggregated.
+    "a16_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val cohorts = firstWk.groupBy(col("cohort_wk")).agg(count(lit(1)).as("n_cohort"))
+      ev.join(firstWk, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("long"))
+        .filter(col("week_offset") <= 8)
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohorts, Seq("cohort_wk"))
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6))
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("n_cohort"), col("retention"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     "stream_hll_upsert" -> ((s, d) => {
       // Streaming sketch upkeep: each micro-batch builds HLL registers
       // over its slice and folds them into a keyed store by
@@ -969,6 +1026,41 @@ object MoreQueries {
          |  ${Oracles.jr6("p01r")} AS p01, ${Oracles.jr6("p99r")} AS p99,
          |  ${Oracles.jr6("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)")} AS mean_clipped
          |FROM agg ORDER BY event_type""".stripMargin,
+
+    "a17_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+        |  FROM items GROUP BY 1),
+        |prs AS (SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON b.ok = a.ok AND b.l_partkey > a.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pk_a, pk_b, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        |    (CAST(fa.n_p AS DOUBLE) * CAST(fb.n_p AS DOUBLE)), 6) AS lift
+        |FROM prs
+        |JOIN freq fa ON fa.l_partkey = prs.pk_a
+        |JOIN freq fb ON fb.l_partkey = prs.pk_b
+        |CROSS JOIN no
+        |ORDER BY lift DESC, pk_a, pk_b LIMIT 50""".stripMargin,
+
+    "a16_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |coh AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM fw GROUP BY 1),
+        |act AS (SELECT f.cohort_wk,
+        |    CAST((e.wk - f.cohort_wk) / 7 AS BIGINT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM ev e JOIN fw f ON f.user_id = e.user_id
+        |  WHERE (e.wk - f.cohort_wk) / 7 <= 8
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active, c.n_cohort,
+        |  round(CAST(a.n_active AS DOUBLE) / CAST(c.n_cohort AS DOUBLE), 6) AS retention
+        |FROM act a JOIN coh c ON c.cohort_wk = a.cohort_wk
+        |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
 
     "a15_funnel" ->
       s"""WITH f AS (SELECT user_id,
