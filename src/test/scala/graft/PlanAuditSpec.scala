@@ -424,4 +424,29 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val df = SparkEntry.queries("t_heavy_hitters")(spark, sf)
     assert(shuffles(df) == 3, s"heavy hitters plan shape drifted:\n${simple(df)}")
   }
+
+  test("prefix-filter joins: candidates ride gram-keyed equi-joins, never a cartesian") {
+    Seq("dd_prefix_filter_pairs", "dd_containment_pairs").foreach { q =>
+      val p = simple(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to all-pairs:\n$p")
+    }
+  }
+
+  test("a17 basket pairs: order-keyed self-join, scalar total broadcast") {
+    val df = SparkEntry.queries("a17_basket_pairs")(spark, sf)
+    val p = simple(df)
+    // the only nested-loop allowed is the 1-row n_orders broadcast
+    assert(!p.contains("CartesianProduct"), s"basket join exploded:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total stopped broadcasting:\n$p")
+  }
+
+  test("d13 calendar gaps: expected grid is a model-sized broadcast cross join") {
+    val p = simple(SparkEntry.queries("d13_calendar_gaps")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"priority enum stopped broadcasting into the calendar:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the calendar × priority grid planned a shuffle cartesian:\n$p")
+  }
 }
