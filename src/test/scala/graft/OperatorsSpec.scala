@@ -688,4 +688,66 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.toSeq == exp, s"got ${got.toSeq}")
   }
+
+  test("zipfSlope recovers −1 on an exact power-law corpus, partition-invariant") {
+    import spark.implicits._
+    // token t_k appears floor(64 / k) times, k = 1..8: an exact-ish 1/k
+    // law. The fitted ln-ln slope must land near −1; fully deterministic
+    // integer-term sums make the value identical at any partitioning.
+    val words = (1 to 8).flatMap(k => Seq.fill(64 / k)(f"t$k%02d"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def run(parts: Int) = graft.operators.CorpusStats
+      .zipfSlope(docs.repartition(parts), lit("all"), "text", topRanks = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val (n, slope) = run(3)
+    assert(n == 8)
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope strayed from -1")
+    assert(run(1) == ((n, slope)) && run(7) == ((n, slope)),
+      "zipf slope depends on partitioning")
+  }
+
+  test("domainMixReport: uniform two-domain mixture has entropy ln 2") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "e f g h", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusStats
+      .domainMixReport(docs, col("source"), "text")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 2)
+    got.foreach { case (_, nd, nt, share, ent) =>
+      assert(nd == 1 && nt == 4 && share == 0.5)
+      assert(math.abs(ent - math.log(2.0)) < 1e-5, s"entropy $ent != ln 2")
+    }
+  }
+
+  test("SCD2 fold: hand-computed intervals with change detection and open current") {
+    import spark.implicits._
+    // one entity: O,O,F,O over four dates → three runs; valid_to chains
+    // to the next run's start; last run open-ended + current.
+    val rows = Seq(
+      (7L, 1L, d("2024-01-01"), "O"), (7L, 2L, d("2024-01-05"), "O"),
+      (7L, 3L, d("2024-02-01"), "F"), (7L, 4L, d("2024-03-01"), "O"))
+      .toDF("o_custkey", "o_orderkey", "od", "status")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    val runs = rows
+      .withColumn("chg", when(lag(col("status"), 1).over(w).isNull ||
+        lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("o_custkey"), col("run_id"), col("status"))
+      .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_rows"))
+    val wk = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+    val got = runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("run_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDate(3).toString,
+        Option(r.getDate(5)).map(_.toString), r.getBoolean(6), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "O", "2024-01-01", Some("2024-02-01"), false, 2L),
+      (2L, "F", "2024-02-01", Some("2024-03-01"), false, 1L),
+      (3L, "O", "2024-03-01", None, true, 1L)), s"got ${got.toSeq}")
+  }
 }
