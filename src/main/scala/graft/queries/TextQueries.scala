@@ -291,6 +291,24 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Filtered vector search — the metadata-predicate ANN problem: the
+    // label filter applies BEFORE ranking (pre-filter, exact top-k over
+    // the eligible slice). Post-filtering an unfiltered ANN result
+    // undershoots k when the predicate is selective; declaring the
+    // filter on the corpus side keeps the semantics right and lets
+    // Catalyst push the predicate to the scan.
+    "v_ann_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e.filter(pmod(col("label"), lit(2)) === 0),
+        qId = "vec_id", qVec = "v", cId = "vec_id", cVec = "v",
+        k = 3, rankRound = Some(6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v_ivf_assign" -> ((s, d) => {
       // IVF coarse quantization: assign every vector to its nearest of 8
       // deterministic centroids (vec_id < 8); per-cell population stats.
@@ -1075,6 +1093,23 @@ object TextQueries {
         |     sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos_raw
         |  FROM (SELECT * FROM e WHERE vec_id < 20) q
         |  JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
+        |  FROM s) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "v_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))) AS cos_raw
+        |  FROM (SELECT * FROM e WHERE vec_id < 20) q
+        |  JOIN e c ON q.vec_id <> c.vec_id AND c.label % 2 = 0)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
         |    row_number() OVER (PARTITION BY query_id
