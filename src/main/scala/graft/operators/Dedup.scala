@@ -766,7 +766,20 @@ object Dedup {
     * Reference behavior anchor: the same near-dup surface the reference
     * exposes via pairwise merge checks (`tasks/utils/check.py`'s
     * df-compare loops), here as one declarative plan.
+    *
+    * Floating-point soundness: every `ceil(tau·n)`-shaped bound is
+    * computed with a 1e-9 slack BELOW the product before the ceil (and
+    * the symmetric slack on ≤ comparisons). `0.9 * 10` is
+    * 9.000000000000002 in binary — a naive ceil returns 10, silently
+    * shortening the prefix (or tightening the length filter) by one and
+    * DROPPING true pairs that sit exactly on the threshold. The slack
+    * can only loosen a bound when the true product is within 1e-9 of an
+    * integer, which for shingle-set sizes means it IS that integer —
+    * so the filters stay sound and tight. [[ceilSlack]].
     */
+  private def ceilSlack(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ceil(x - lit(1e-9))
+
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
@@ -783,14 +796,24 @@ object Dedup {
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
     val prefixes = grams.join(df, "__g")
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
-      .select(col("__g"), col("__id"), col("__n"))
-    val pa = prefixes.select(col("__g"), col("__id").as("id_a"), col("__n").as("na"))
-    val pb = prefixes.select(col("__g"), col("__id").as("id_b"), col("__n").as("nb"))
+      .filter(col("__rk") <= col("__n") - ceilSlack(lit(tau) * col("__n")) + 1)
+      .select(col("__g"), col("__id"), col("__n"), col("__rk"))
+    val pa = prefixes.select(col("__g"), col("__id").as("id_a"),
+      col("__n").as("na"), col("__rk").as("ra"))
+    val pb = prefixes.select(col("__g"), col("__id").as("id_b"),
+      col("__n").as("nb"), col("__rk").as("rb"))
+    // PPJoin positional filter (Xiao et al.): a shared prefix shingle at
+    // ordered positions (ra, rb) bounds the achievable overlap by
+    // 1 + min(na − ra, nb − rb); Jaccard >= tau needs overlap
+    // alpha = ceil(tau/(1+tau) · (na+nb)). The FIRST shared shingle of
+    // any true pair satisfies the bound (all its overlap sits at
+    // positions >= ra / >= rb), so per-row pruning never drops a pair.
+    val alpha = ceilSlack(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
     val candidates = pa.join(pb, Seq("__g"))
       .filter(col("id_b") > col("id_a") &&
-        col("nb") >= ceil(lit(tau) * col("na")) &&
-        col("nb") * tau <= col("na"))
+        col("nb") >= ceilSlack(lit(tau) * col("na")) &&
+        col("nb") * tau <= col("na") + lit(1e-9) &&
+        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select("id_a", "id_b").distinct()
     // Exact verification: candidates only — two id-keyed joins.
     val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
@@ -828,13 +851,26 @@ object Dedup {
       explode(col("__sh")).as("__g"))
     val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
-    val prefixes = grams.join(df, "__g")
+    // One window ranks EVERY gram (both sides read it): the A side keeps
+    // its prefix, the container side keeps the full ranked stream so the
+    // positional filter below has (rb, nb). ceilSlack: see
+    // [[prefixFilterPairs]]'s fp-soundness note.
+    val ranked = grams.join(df, "__g")
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__n") - ceil(lit(tau) * col("__n")) + 1)
-      .select(col("__g"), col("__id").as("id_a"), col("__n").as("na"))
-    val full = grams.select(col("__g"), col("__id").as("id_b"), col("__n").as("nb"))
+    val prefixes = ranked
+      .filter(col("__rk") <= col("__n") - ceilSlack(lit(tau) * col("__n")) + 1)
+      .select(col("__g"), col("__id").as("id_a"), col("__n").as("na"),
+        col("__rk").as("ra"))
+    val full = ranked.select(col("__g"), col("__id").as("id_b"),
+      col("__n").as("nb"), col("__rk").as("rb"))
+    // Positional filter, asymmetric form: required overlap is
+    // ceil(tau·|A|); a shared shingle at (ra, rb) caps it at
+    // 1 + min(na − ra, nb − rb). The first shared shingle of a true
+    // pair meets the cap, so per-row pruning is sound.
     val candidates = prefixes.join(full, Seq("__g"))
-      .filter(col("id_a") =!= col("id_b") && col("na") <= col("nb"))
+      .filter(col("id_a") =!= col("id_b") && col("na") <= col("nb") &&
+        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          ceilSlack(lit(tau) * col("na")))
       .select("id_a", "id_b").distinct()
     val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
     val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))

@@ -407,4 +407,28 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
           s"missed ${expectC -- gotC}\nextra ${gotC -- expectC}")
     }
   }
+
+  test("prefix filters keep pairs sitting EXACTLY on the tau boundary (fp-ceil soundness)") {
+    import spark.implicits._
+    // J(A,B) = 2/5 = 0.4 = tau exactly, |A|=2, |B|=5: a naive length
+    // filter computes nb*0.4 = 2.0000000000000004 > na and drops it.
+    val jDocs = Seq((1L, "x y"), (2L, "x y p q r")).toDF("doc_id", "text")
+    val jGot = graft.operators.Dedup
+      .prefixFilterPairs(jDocs, "doc_id", "text", shingleLen = 1, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jGot == Set((1L, 2L)), s"boundary Jaccard pair lost: $jGot")
+
+    // containment = 9/10 = 0.9 = tau exactly; A's RAREST token (u0) is
+    // the one token B lacks. A naive ceil(0.9*10) = 10 shrinks A's
+    // prefix to 1 shingle = {u0}, which never joins B -> pair lost.
+    val aToks = "u0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val bToks = "c1 c2 c3 c4 c5 c6 c7 c8 c9 z1 z2 z3" // shares c1..c9 only
+    // pad df so c1..c9 are common corpus-wide and u0 stays unique
+    val pad = (10L to 14L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))
+    val cDocs = (Seq((1L, aToks), (2L, bToks)) ++ pad).toDF("doc_id", "text")
+    val cGot = graft.operators.Dedup
+      .containmentPairs(cDocs, "doc_id", "text", shingleLen = 1, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cGot.contains((1L, 2L)), s"boundary containment pair lost: $cGot")
+  }
 }
