@@ -643,20 +643,6 @@ object CorpusStats {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
-  /** Zipf-law slope of the token-frequency distribution per group — the
-    * corpus-health diagnostic (natural text sits near slope ≈ −1;
-    * template/boilerplate-heavy or synthetic slices drift off it, so a
-    * per-source slope report flags degenerate slices before training).
-    *
-    * Least-squares fit of ln(freq) ~ ln(rank) over each group's top
-    * `topRanks` tokens (rank by count desc, token asc — deterministic).
-    * Numeric policy: each regression term (x, y, x², xy in nano/pico
-    * units) is rounded to an integer LONG per row, so the four sums are
-    * exact and partial-aggregatable in any partition order; the slope
-    * divides the exact sums once at the end. One token-count shuffle +
-    * one bounded (groups × topRanks) window — at 100 TB the count agg
-    * is the only corpus-sized exchange, and it map-combines.
-    */
   /** Training-mixture report per domain/source: document and token
     * counts, token share, and the mixture's Shannon entropy (nats) —
     * the one-look summary of how a corpus is balanced before sampling
@@ -686,6 +672,20 @@ object CorpusStats {
         col("token_share"), col("mix_entropy"))
   }
 
+  /** Zipf-law slope of the token-frequency distribution per group — the
+    * corpus-health diagnostic (natural text sits near slope ≈ −1;
+    * template/boilerplate-heavy or synthetic slices drift off it, so a
+    * per-source slope report flags degenerate slices before training).
+    *
+    * Least-squares fit of ln(freq) ~ ln(rank) over each group's top
+    * `topRanks` tokens (rank by count desc, token asc — deterministic).
+    * Numeric policy: each regression term (x, y, x², xy in nano/pico
+    * units) is rounded to an integer LONG per row, so the four sums are
+    * exact and partial-aggregatable in any partition order; the slope
+    * divides the exact sums once at the end. One token-count shuffle +
+    * one bounded (groups × topRanks) window — at 100 TB the count agg
+    * is the only corpus-sized exchange, and it map-combines.
+    */
   def zipfSlope(docs: DataFrame, groupCol: Column, textCol: String,
       topRanks: Int = 100): DataFrame = {
     require(topRanks >= 3, s"topRanks=$topRanks needs >= 3 points to fit")

@@ -13,6 +13,34 @@ import org.apache.spark.sql.functions._
   */
 object DomainQueries {
   private type Q = (SparkSession, String) => DataFrame
+
+  /** Stage `df` as two parity-split single-file halves under
+    * `$tmpdir/<name>` (half_0 written BEFORE half_1, so the file
+    * source's modification-time order — which decides micro-batch
+    * order, and therefore every parity-stream oracle — is pinned).
+    * Returns the stream directory path. One protocol, one place: the
+    * three parity-stream queries all replay through this.
+    */
+  private def stageParityHalves(s: SparkSession, df: DataFrame,
+      idCol: String, name: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/$name")
+    val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/${name}_stage")
+    Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
+    fs.mkdirs(streamDir)
+    Seq(0, 1).foreach { par =>
+      val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
+      df.filter(pmod(col(idCol), lit(2)) === par)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
+    }
+    fs.delete(stageDir, true)
+    streamDir.toString
+  }
+
   private val dec = "decimal(18,2)"
 
   /** Engine-portable 6-decimal rounding: pure IEEE double ops, so Spark
@@ -391,25 +419,11 @@ object DomainQueries {
       // n_updates (micro-batches that touched the key) proves the carry;
       // the DuckDB twin is count(DISTINCT event_id % 2).
       import org.apache.spark.sql.expressions.Window
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_state")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_state_stage")
-      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
-      fs.mkdirs(streamDir)
       val ev = s.read.parquet(s"$d/events.parquet")
-      Seq(0, 1).foreach { par =>
-        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
-        ev.filter(pmod(col("event_id"), lit(2)) === par)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
-      }
-      fs.delete(stageDir, true)
+      val streamDir = stageParityHalves(s, ev, "event_id", "graft_stream_state")
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
         val stats = graft.streaming.StatefulStats.runningUserStats(s, raw)
         val q = stats.writeStream.outputMode("update").format("memory")
           .queryName("graft_state_stats").start()
@@ -433,25 +447,11 @@ object DomainQueries {
       // incremental dedup index (what exact stream_dedup cannot catch:
       // a re-crawl with a tweaked footer). Cross-batch-only emission
       // makes the output independent of intra-batch order.
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_neardup")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_neardup_stage")
-      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
-      fs.mkdirs(streamDir)
       val docs = s.read.parquet(s"$d/documents.parquet")
-      Seq(0, 1).foreach { par =>
-        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
-        docs.filter(pmod(col("doc_id"), lit(2)) === par)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
-      }
-      fs.delete(stageDir, true)
+      val streamDir = stageParityHalves(s, docs, "doc_id", "graft_stream_neardup")
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
         val hits = graft.streaming.NearDupStream.nearDupFlags(
           s, raw, "doc_id", "text", maxHamming = 20)
         val q = hits.writeStream.outputMode("update").format("memory")
@@ -473,25 +473,11 @@ object DomainQueries {
       // output must equal the batch join oracle. At production scale
       // the watermark is tight (hours) and bounds both buffers; here it
       // must out-span the fixture so no row is late.
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_attrib")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_attrib_stage")
-      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
-      fs.mkdirs(streamDir)
       val ev = s.read.parquet(s"$d/events.parquet")
-      Seq(0, 1).foreach { par =>
-        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
-        ev.filter(pmod(col("event_id"), lit(2)) === par)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
-      }
-      fs.delete(stageDir, true)
+      val streamDir = stageParityHalves(s, ev, "event_id", "graft_stream_attrib")
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
         val ticks = Tables.normalizeEventTime(raw, "ts")
         val views = ticks.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts").as("view_ts"),
@@ -929,12 +915,19 @@ object DomainQueries {
         |  FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id),
         |banded AS (SELECT doc_id, simhash, batch, b.range AS band,
         |    (simhash >> (b.range * 15)) & 32767 AS bk
-        |  FROM sigs, range(0, 4) b)
+        |  FROM sigs, range(0, 4) b),
+        |-- replay the deterministic per-bucket state cap: after batch 0
+        |-- the bucket keeps only its 1000 LOWEST doc ids (NearDupStream
+        |-- maxBucket), so batch 1 compares against exactly that set
+        |priors AS (SELECT doc_id, simhash, band, bk FROM (
+        |  SELECT doc_id, simhash, band, bk,
+        |    row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rk
+        |  FROM banded WHERE batch = 0) c WHERE rk <= 1000)
         |SELECT n.doc_id, p.doc_id AS prior_id,
         |  CAST(n.band AS BIGINT) AS band,
         |  CAST(bit_count(xor(n.simhash, p.simhash)) AS BIGINT) AS hamming
-        |FROM banded n JOIN banded p
-        |  ON p.band = n.band AND p.bk = n.bk AND p.batch < n.batch
+        |FROM banded n JOIN priors p
+        |  ON p.band = n.band AND p.bk = n.bk AND n.batch = 1
         |WHERE bit_count(xor(n.simhash, p.simhash)) <= 20
         |ORDER BY n.doc_id, p.doc_id, band""".stripMargin,
 

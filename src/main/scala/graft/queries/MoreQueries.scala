@@ -480,36 +480,20 @@ object MoreQueries {
         .orderBy(col("pri"), col("gap_start"))
     }),
 
-    // K9 — SCD type-2 history build: fold a keyed change stream into
-    // validity intervals (valid_from / valid_to, open-ended current
-    // row) — the warehouse shape behind the reference's keep-the-
-    // history vendor merges. Change detection = lag over the per-key
-    // event order (ties broken by the order key, so the fold is
-    // deterministic); islands via running change-count; the interval
-    // end is the NEXT island's start (half-open SCD2 convention), null
-    // on the current row. One shuffle on the entity key; every window
-    // shares that partitioning.
-    "k9_scd2_history" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("od"), col("o_orderkey"))
-      val runs = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          to_date(col("o_orderdate")).as("od"), col("o_orderstatus").as("status"))
-        .withColumn("chg",
-          when(lag(col("status"), 1).over(w).isNull ||
-            lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
-        .withColumn("run_id", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("o_custkey"), col("run_id"), col("status"))
-        .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_rows"))
-      val wk = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select(col("o_custkey"), col("run_id"), col("status"),
+    // K9 — SCD type-2 history build over the order-status change stream;
+    // semantics and scale notes in [[graft.operators.ScdHistory.fold]]
+    // (the spec drives the same operator, so query and test share one
+    // implementation).
+    "k9_scd2_history" -> ((s, d) =>
+      graft.operators.ScdHistory.fold(
+          Tables.orders(s, d),
+          keyCol = col("o_custkey"),
+          orderCol = to_date(col("o_orderdate")),
+          tieCol = col("o_orderkey"),
+          statusCol = col("o_orderstatus"))
+        .select(col("key").as("o_custkey"), col("run_id"), col("status"),
           col("valid_from"), col("valid_to"), col("is_current"), col("n_rows"))
-        .orderBy(col("o_custkey"), col("run_id"))
-    }),
+        .orderBy(col("o_custkey"), col("run_id"))),
 
     // K8 — the report-rendering task itself: the reference computes a
     // per-sector interval-median pivot and ships it as an Excel file

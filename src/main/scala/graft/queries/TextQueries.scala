@@ -734,14 +734,15 @@ object TextQueries {
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 3, 0) + 1),
          |      i -> array_to_string(($toksLower)[i + 1:i + 3], ' '))) AS w3
-         |  FROM documents)
-         |SELECT id_a, id_b, jaccard FROM (
+         |  FROM documents),
+         |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    round(CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.w3, b.w3))), 6) AS jaccard
+         |    CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.w3, b.w3))) AS j
          |  FROM t a JOIN t b ON b.doc_id > a.doc_id
-         |  WHERE len(a.w3) > 0 AND len(b.w3) > 0) p
-         |WHERE jaccard >= 0.5
+         |  WHERE len(a.w3) > 0 AND len(b.w3) > 0)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard
+         |FROM p WHERE j >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_minhash_pairs" ->

@@ -721,33 +721,27 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("SCD2 fold: hand-computed intervals with change detection and open current") {
+  test("ScdHistory.fold: hand-computed intervals with change detection and open current") {
     import spark.implicits._
     // one entity: O,O,F,O over four dates → three runs; valid_to chains
-    // to the next run's start; last run open-ended + current.
+    // to the next run's start; last run open-ended + current. Drives the
+    // SAME operator the k9_scd2_history query ships.
     val rows = Seq(
       (7L, 1L, d("2024-01-01"), "O"), (7L, 2L, d("2024-01-05"), "O"),
       (7L, 3L, d("2024-02-01"), "F"), (7L, 4L, d("2024-03-01"), "O"))
       .toDF("o_custkey", "o_orderkey", "od", "status")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
-    val runs = rows
-      .withColumn("chg", when(lag(col("status"), 1).over(w).isNull ||
-        lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
-      .withColumn("run_id", sum(col("chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("o_custkey"), col("run_id"), col("status"))
-      .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_rows"))
-    val wk = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
-    val got = runs
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
-      .withColumn("is_current", col("valid_to").isNull)
+    def run(parts: Int) = graft.operators.ScdHistory.fold(
+        rows.repartition(parts), keyCol = col("o_custkey"), orderCol = col("od"),
+        tieCol = col("o_orderkey"), statusCol = col("status"))
       .orderBy("run_id").collect()
       .map(r => (r.getLong(1), r.getString(2), r.getDate(3).toString,
-        Option(r.getDate(5)).map(_.toString), r.getBoolean(6), r.getLong(4)))
-    assert(got.toSeq == Seq(
+        Option(r.getDate(4)).map(_.toString), r.getBoolean(5), r.getLong(6)))
+      .toSeq
+    val got = run(3)
+    assert(got == Seq(
       (1L, "O", "2024-01-01", Some("2024-02-01"), false, 2L),
       (2L, "F", "2024-02-01", Some("2024-03-01"), false, 1L),
-      (3L, "O", "2024-03-01", None, true, 1L)), s"got ${got.toSeq}")
+      (3L, "O", "2024-03-01", None, true, 1L)), s"got $got")
+    assert(run(1) == got && run(7) == got, "SCD2 fold depends on partitioning")
   }
 }
