@@ -133,4 +133,45 @@ object RiskStats {
           (col("n") * (col("n") * col("n") - lit(1L))).cast("double"))
       .drop("__sd2")
   }
+
+  /** Pairwise Pearson correlation matrix over keyed return series
+    * aligned on a bucket column — the portfolio/risk consumer next to
+    * [[rollingBeta]] (which is one pair, trailing window; this is ALL
+    * pairs, full sample). Input rows are (key, bucket, micro) with
+    * `micro` the clamped micro-unit return ([[toMicro]]).
+    *
+    * Numeric policy: the five co-moment sums accumulate micro-unit
+    * integer products as DECIMAL(38,0) (exact at any partitioning or
+    * series length — a LONG sum of 1e14-sized products overflows past
+    * ~90 k aligned buckets); the closed-form correlation then runs a
+    * fixed sequence of double ops on identical operands, so both
+    * engines land on the same bits. Pairs align via one bucket-keyed
+    * self-join; keys-per-bucket is the series count (model-sized), so
+    * the join fan-out is k² per bucket, never data × data.
+    */
+  def corrMatrix(rets: DataFrame, key: Column, bucket: Column,
+      micro: Column): DataFrame = {
+    val base = rets.select(key.as("__k"), bucket.as("__b"), micro.as("__m"))
+    val a = base.select(col("__b"), col("__k").as("key_a"), col("__m").as("__ma"))
+    val b = base.select(col("__b"), col("__k").as("key_b"), col("__m").as("__mb"))
+    val dec = "decimal(38,0)"
+    val agg = a.join(b, Seq("__b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ma").cast(dec)).as("__sx"),
+        sum(col("__mb").cast(dec)).as("__sy"),
+        sum((col("__ma") * col("__mb")).cast(dec)).as("__sxy"),
+        sum((col("__ma") * col("__ma")).cast(dec)).as("__sxx"),
+        sum((col("__mb") * col("__mb")).cast(dec)).as("__syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    agg.withColumn("corr",
+        when(vx > 0 && vy > 0, num / sqrt(vx * vy)))
+      .select(col("key_a"), col("key_b"), col("n"), col("corr"))
+  }
 }

@@ -172,6 +172,24 @@ object RiskQueries {
         .orderBy(col("m"))
     }),
 
+    "fin_corr_matrix" -> ((s, d) => {
+      // Pairwise correlation matrix of the weekly revenue-growth series
+      // per return flag — the full-sample companion to fin_rolling_beta.
+      // Exact decimal co-moment sums; see [[RiskStats.corrMatrix]].
+      val wk = Tables.lineitem(s, d)
+        .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("w"),
+          col("l_returnflag").as("f"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("x"))
+      val wW = Window.partitionBy(col("f")).orderBy(col("w"))
+      val rets = wk.withColumn("px", lag(col("x"), 1).over(wW))
+        .filter(col("px").isNotNull)
+        .withColumn("m", RiskStats.toMicro(col("x") / col("px") - lit(1.0)))
+      RiskStats.corrMatrix(rets, col("f"), col("w"), col("m"))
+        .select(col("key_a").as("flag_a"), col("key_b").as("flag_b"),
+          col("n"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("flag_a"), col("flag_b"))
+    }),
+
     "fin_vwap_bars" -> ((s, d) =>
       Resample.vwapBars(Tables.lineitem(s, d),
           to_date(date_trunc("week", col("l_shipdate"))),
@@ -577,6 +595,31 @@ object RiskQueries {
         |SELECT m, n_long, n_short, ls_ret,
         |  ${Oracles.jr6("sum(ls_ret) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_ret
         |FROM ls ORDER BY m""".stripMargin,
+
+    "fin_corr_matrix" ->
+      s"""WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS w,
+        |    l_returnflag AS f,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT w, f, x, lag(x) OVER (PARTITION BY f ORDER BY w) AS px FROM wk),
+        |rr AS (SELECT w, f, ${microSql("x / px - 1.0")} AS m
+        |  FROM r WHERE px IS NOT NULL),
+        |p AS (SELECT a.f AS flag_a, b.f AS flag_b, CAST(count(*) AS BIGINT) AS n,
+        |    sum(a.m) AS sx, sum(b.m) AS sy, sum(a.m * b.m) AS sxy,
+        |    sum(a.m * a.m) AS sxx, sum(b.m * b.m) AS syy
+        |  FROM rr a JOIN rr b ON a.w = b.w GROUP BY 1, 2),
+        |c AS (SELECT flag_a, flag_b, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM p)
+        |SELECT flag_a, flag_b, n,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN ${Oracles.jr6("num / sqrt(vx * vy)")} END AS corr
+        |FROM c ORDER BY flag_a, flag_b""".stripMargin,
 
     "fin_vwap_bars" ->
       """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk, l_returnflag,

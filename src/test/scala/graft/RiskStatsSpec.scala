@@ -240,4 +240,24 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     // the undisputed heaviest token must surface at rank 1
     assert(got.minBy(_.getLong(3)).getString(1) == "t1")
   }
+
+  test("corrMatrix: +1 / -1 poles, symmetry, zero-variance nulls") {
+    import spark.implicits._
+    // y = x doubled -> corr +1; z = -x -> corr -1; c constant -> null.
+    val rows = (1 to 6).flatMap { i =>
+      val m = (i * 1000).toLong
+      Seq(("x", i, m), ("y", i, 2 * m), ("z", i, -m), ("c", i, 5000L))
+    }
+    val df = rows.toDF("k", "b", "m")
+    val got = RiskStats.corrMatrix(df, col("k"), col("b"), col("m"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]).map(v => math.rint(v * 1e9) / 1e9))))
+      .toMap
+    assert(got(("x", "y")) == ((6L, Some(1.0))))
+    assert(got(("x", "z")) == ((6L, Some(-1.0))))
+    assert(got(("y", "z")) == ((6L, Some(-1.0))))
+    assert(got(("x", "x")) == ((6L, Some(1.0))))
+    assert(got(("x", "c"))._2.isEmpty, "constant series must yield null corr")
+    assert(got(("x", "y")) == got(("y", "x")), "matrix must be symmetric")
+  }
 }
