@@ -172,6 +172,40 @@ object RiskQueries {
         .orderBy(col("m"))
     }),
 
+    "fin_var_es" -> ((s, d) => {
+      // Historical VaR / Expected Shortfall per entity: VaR95 = the
+      // k-th smallest return with k = ceil(0.05·n) (rank over exact
+      // micro units with an id tie-break — fully deterministic), ES95 =
+      // exact mean of the k tail returns (integer sum / k). The
+      // risk-limit pair every reference report stack ends at. One
+      // entity-key shuffle; the rank window and tail aggregation share
+      // it. ceil runs on a 1e-9-slacked product (the threshold-join
+      // fp-soundness rule).
+      val orders = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_orderkey"), col("o_totalprice"))
+      val rets = RiskStats.simpleReturns(orders, col("o_custkey"), col("od"),
+          col("o_orderkey"), col("o_totalprice"))
+        .withColumn("m", RiskStats.toMicro(col("ret")))
+      val wR = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("m"), col("o_orderkey"))
+      val ranked = rets
+        .withColumn("rk", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+        .filter(col("n") >= 10)
+        .withColumn("k", ceil(lit(0.05) * col("n") - lit(1e-9)))
+      ranked.filter(col("rk") <= col("k"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k_tail"),
+          max(col("m")).as("__var_micro"), sum(col("m")).as("__tail_sum"))
+        .withColumn("var95",
+          round(col("__var_micro").cast("double") / lit(1000000.0), 6))
+        .withColumn("es95", round(
+          (col("__tail_sum").cast("double") / col("k_tail").cast("double")) /
+            lit(1000000.0), 6))
+        .select(col("o_custkey"), col("n"), col("k_tail"), col("var95"), col("es95"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "fin_corr_matrix" -> ((s, d) => {
       // Pairwise correlation matrix of the weekly revenue-growth series
       // per return flag — the full-sample companion to fin_rolling_beta.
@@ -595,6 +629,26 @@ object RiskQueries {
         |SELECT m, n_long, n_short, ls_ret,
         |  ${Oracles.jr6("sum(ls_ret) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_ret
         |FROM ls ORDER BY m""".stripMargin,
+
+    "fin_var_es" ->
+      s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+        |    o_totalprice FROM orders),
+        |a AS (SELECT o_custkey, o_orderkey, o_totalprice / lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY od, o_orderkey) - 1.0 AS ret FROM o),
+        |mm AS (SELECT o_custkey, o_orderkey, ${microSql("ret")} AS m
+        |  FROM a WHERE ret IS NOT NULL),
+        |rk AS (SELECT o_custkey, m,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY m, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM mm),
+        |t AS (SELECT *, CAST(ceil(0.05 * n - 0.000000001) AS BIGINT) AS k
+        |  FROM rk WHERE n >= 10)
+        |SELECT o_custkey, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS k_tail,
+        |  ${Oracles.jr6("CAST(max(m) AS DOUBLE) / 1000000.0")} AS var95,
+        |  ${Oracles.jr6(
+             "(CAST(sum(m) AS DOUBLE) / CAST(max(k) AS DOUBLE)) / 1000000.0")} AS es95
+        |FROM t WHERE rk <= k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "fin_corr_matrix" ->
       s"""WITH wk AS (SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS w,
