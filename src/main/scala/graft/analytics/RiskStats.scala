@@ -163,15 +163,21 @@ object RiskStats {
         sum((col("__ma") * col("__mb")).cast(dec)).as("__sxy"),
         sum((col("__ma") * col("__ma")).cast(dec)).as("__sxx"),
         sum((col("__mb") * col("__mb")).cast(dec)).as("__syy"))
-    val nD = col("n").cast("double")
-    val num = nD * col("__sxy").cast("double") -
-      col("__sx").cast("double") * col("__sy").cast("double")
-    val vx = nD * col("__sxx").cast("double") -
-      col("__sx").cast("double") * col("__sx").cast("double")
-    val vy = nD * col("__syy").cast("double") -
-      col("__sy").cast("double") * col("__sy").cast("double")
+    // The centered moments are computed EXACTLY in decimal before any
+    // double enters: for a constant series with large n·m² the sums
+    // exceed 2^53, and a double-computed variance is rounding noise
+    // that can land slightly positive — emitting garbage where NULL
+    // (zero variance) is the answer. Exact integers make the zero test
+    // exact; the single double division afterwards runs on identical
+    // operands in both engines. Magnitudes: |m| ≤ 9.99e6 (clamped), so
+    // n·Σxx ≤ n²·1e14 — inside DECIMAL(38) up to n ≈ 1e12 buckets.
+    val nDec = col("n").cast("decimal(20,0)")
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vxE = nDec * col("__sxx") - col("__sx") * col("__sx")
+    val vyE = nDec * col("__syy") - col("__sy") * col("__sy")
     agg.withColumn("corr",
-        when(vx > 0 && vy > 0, num / sqrt(vx * vy)))
+        when(vxE > 0 && vyE > 0,
+          num / sqrt(vxE.cast("double") * vyE.cast("double"))))
       .select(col("key_a"), col("key_b"), col("n"), col("corr"))
   }
 }

@@ -28,10 +28,19 @@ object ScdHistory {
     val base = rows.select(keyCol.as("key"), orderCol.as("__ord"),
       tieCol.as("__tie"), statusCol.as("status"))
     val w = Window.partitionBy(col("key")).orderBy(col("__ord"), col("__tie"))
+    // Null-safe change detection: `lag =!= status` is NULL (no change
+    // counted) on any transition into or out of a null status, which
+    // would merge distinct-status rows under one run_id and then split
+    // them again in the groupBy — two intervals sharing a run_id. A
+    // null-safe compare treats null as a status value in its own right
+    // (null → null is NOT a change); the explicit first-row test is
+    // needed because `lag IS NULL` cannot distinguish "no previous row"
+    // from "previous status was null".
     val runs = base
+      .withColumn("__rn", row_number().over(w))
       .withColumn("chg",
-        when(lag(col("status"), 1).over(w).isNull ||
-          lag(col("status"), 1).over(w) =!= col("status"), 1L).otherwise(0L))
+        when(col("__rn") === 1 ||
+          !(lag(col("status"), 1).over(w) <=> col("status")), 1L).otherwise(0L))
       .withColumn("run_id", sum(col("chg")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("key"), col("run_id"), col("status"))

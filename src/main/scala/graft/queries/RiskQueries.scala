@@ -662,17 +662,16 @@ object RiskQueries {
         |    sum(a.m) AS sx, sum(b.m) AS sy, sum(a.m * b.m) AS sxy,
         |    sum(a.m * a.m) AS sxx, sum(b.m * b.m) AS syy
         |  FROM rr a JOIN rr b ON a.w = b.w GROUP BY 1, 2),
+        |-- exact HUGEINT moments (the engine's decimal twin): the zero-
+        |-- variance test must run on exact integers, not double noise
         |c AS (SELECT flag_a, flag_b, n,
-        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    n * sxx - sx * sx AS vx,
+        |    n * syy - sy * sy AS vy
         |  FROM p)
         |SELECT flag_a, flag_b, n,
         |  CASE WHEN vx > 0 AND vy > 0
-        |    THEN ${Oracles.jr6("num / sqrt(vx * vy)")} END AS corr
+        |    THEN ${Oracles.jr6("num / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} END AS corr
         |FROM c ORDER BY flag_a, flag_b""".stripMargin,
 
     "fin_vwap_bars" ->

@@ -259,5 +259,37 @@ class RiskStatsSpec extends AnyFunSuite with SharedSpark {
     assert(got(("x", "x")) == ((6L, Some(1.0))))
     assert(got(("x", "c"))._2.isEmpty, "constant series must yield null corr")
     assert(got(("x", "y")) == got(("y", "x")), "matrix must be symmetric")
+
+    // Past-2^53 regime: a constant series at the clamp ceiling over many
+    // buckets makes double-computed variance rounding noise — the exact
+    // decimal moments must still return NULL, and the varying pair +1.
+    val big = (1 to 200).flatMap { i =>
+      Seq(("k", i, 9990000L), ("v", i, (i * 9000L - 900000L)))
+    }.toDF("k", "b", "m")
+    val gotBig = RiskStats.corrMatrix(big, col("k"), col("b"), col("m"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(gotBig(("k", "v")).isEmpty && gotBig(("k", "k")).isEmpty,
+      "constant-at-clamp series must yield null corr even past 2^53 sums")
+    assert(gotBig(("v", "v")).exists(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("ScdHistory.fold: null statuses form their own runs (null-safe change detection)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, d("2024-01-01"), Some("O")), (1L, 2L, d("2024-02-01"), None),
+      (1L, 3L, d("2024-03-01"), None), (1L, 4L, d("2024-04-01"), Some("O")))
+      .toDF("k", "t", "od", "st")
+    val res = graft.operators.ScdHistory.fold(rows, col("k"), col("od"),
+        col("t"), col("st"))
+      .orderBy("run_id").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getDate(3).toString,
+        r.getBoolean(5), r.getLong(6)))
+      .toSeq
+    assert(res == Seq(
+      (1L, Some("O"), "2024-01-01", false, 1L),
+      (2L, None, "2024-02-01", false, 2L),
+      (3L, Some("O"), "2024-04-01", true, 1L)),
+      s"null-status runs mishandled: $res")
   }
 }
