@@ -1,7 +1,6 @@
 package graft.analytics
 
-import graft.operators.AsOfJoin
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -21,17 +20,44 @@ import scala.collection.mutable
   * last available date; factors are reverse-cumulated so the latest date
   * has factor 1 (or 0).
   *
-  * The scan is inherently sequential per instrument type, so it runs as
-  * `groupByKey(instrumentType).flatMapGroups` over date-sorted rows — one
-  * shuffle on the type, per-group state in a handful of fields, group
-  * size bounded by (years × contracts), which holds at any corpus scale
-  * since types are few thousand at most and independent.
+  * == Scale architecture (round 9) ==
+  * The scan recursion is sequential by definition (main(d) depends on
+  * main(d-1)), but almost all of its work is not: the expensive parts —
+  * decoding every bar row, grouping rows by day, sorting candidates —
+  * are per-day-local. The pipeline therefore runs in two phases:
+  *
+  *  - '''Phase 1 (distributed)''': one partial-aggregated shuffle
+  *    reduces raw bars to one compact row per (type, day) holding the
+  *    candidate array pre-sorted by (maturity, id) — parallelism is
+  *    #types × #days, and the serial phase never touches a raw bar.
+  *  - '''Phase 2 (selection, parallel over type × slice)''': a
+  *    boundary pass streams each type's day rows once, carrying only
+  *    the 4-field selection state, and emits the exact state at each
+  *    ~year slice boundary; a cogroup keyed on (type, slice) then
+  *    replays every slice in parallel from its exact seed. Replay from
+  *    the true boundary state is equal to the whole-type scan ''by
+  *    construction'' (it is the same transition function resumed
+  *    mid-stream) — unlike a warm-up-window approximation, which can
+  *    diverge when a cold-started scan overshoots the true main's
+  *    maturity and nothing forces re-coupling before the slice starts.
+  *    The differential is pinned in ContinuousFuturesSpec against the
+  *    retained whole-bar legacy scan.
+  *
+  * The factor scan (D2/D3) stays whole-type in phase 2 — its output is
+  * sparse (one row per roll) and its reverse cumulation spans the whole
+  * history — but consumes the phase-1 reduction, so its serial chain is
+  * also O(candidate entries), not O(raw bars).
+  *
+  * Contract maturity is taken from the candidate row at selection time
+  * (the data model has one expiry per contract, so this matches the
+  * legacy group-global lookup; a contract whose stated expiry *varied
+  * across rows* would be malformed input either way).
   */
 object ContinuousFutures {
 
-  /** Internal scan row: dates as epoch-day ints, not `java.sql.Date` —
-    * the group scan decodes every bar row on the driver of its group,
-    * and Date encoder conversions dominate that decode at 500k+ rows.
+  /** Internal scan row for the retained legacy scan: dates as epoch-day
+    * ints, not `java.sql.Date` — the group scan decodes every bar row of
+    * its group on one thread, and Date conversions dominate that decode.
     */
   case class Bar(instrument_type: String, instrument_id: String,
       trade_date: Int, close: Option[Double],
@@ -54,96 +80,225 @@ object ContinuousFutures {
   case object Division extends Method { val neutral = 1.0 }
   case object Diff extends Method { val neutral = 0.0 }
 
-  private case class DayData(date: Int, // rows with switch_by, ordered by maturity
-      bySwitch: Seq[(String, Double)], closes: Map[String, Double])
+  // ── Phase-1 reduced rows (public: Janino codegen needs public accessors) ──
+
+  /** One switch-quoting contract on one day; `maturity` first so the
+    * phase-1 `sort_array` orders candidates by (maturity, id) exactly
+    * like the legacy per-day `sortBy`. */
+  case class Cand(maturity: Int, id: String, sw: Double)
+  case class CloseE(id: String, close: Double)
+  /** Per-(type, day) reduction for the selection path (no closes). */
+  case class DaySel(instrument_type: String, trade_date: Int, cands: Seq[Cand])
+  /** Per-(type, day) reduction for the factor path. */
+  case class DayFull(instrument_type: String, trade_date: Int,
+      cands: Seq[Cand], closes: Seq[CloseE])
+  /** Exact selection state at the first day of `slice` (before that
+    * day is processed). null main = cold start (first slice). */
+  case class SliceSeed(instrument_type: String, slice: Int,
+      main: String, mainMat: Int, sec: String, secMat: Int)
+
+  /** ~Year-width slice of an epoch-day. Boundaries need no calendar
+    * alignment: seeding is exact, so any deterministic slicing yields
+    * identical results — width only tunes replay parallelism. */
+  private val SliceDays = 365
+  private def sliceOf(epochDay: Int): Int = Math.floorDiv(epochDay, SliceDays)
 
   private def toSqlDate(epochDay: Int): java.sql.Date =
     java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay.toLong))
 
-  /** Run the per-type scan producing (daily selections, factor rows). */
-  private def scanType(instrumentType: String, bars: Iterator[Bar], method: Method)
-      : (Seq[Selection], Seq[FactorRow]) = {
-    val all = bars.toArray
-    val maturity: Map[String, Int] =
-      all.groupBy(_.instrument_id).map { case (id, rs) =>
-        id -> rs.head.last_trade_date
+  // ── The selection state machine (shared by every pass) ─────────────
+
+  /** Mutable 4-field selection state. Maturities ride along so the
+    * scan never needs a group-global lookup table. */
+  private final class SelState {
+    var main: String = null; var mainMat: Int = 0
+    var sec: String = null; var secMat: Int = 0
+  }
+
+  /** Advance one day. `cands` must be (maturity, id)-sorted; empty days
+    * are no-ops (the legacy scan skipped them entirely). Returns true
+    * iff the day was processed (had candidates). */
+  private def advanceDay(st: SelState, cands: Seq[Cand]): Boolean = {
+    if (cands.isEmpty) return false
+    val sw = new java.util.HashMap[String, java.lang.Double](cands.length * 2)
+    cands.foreach(c => sw.put(c.id, c.sw))
+    for (c <- cands) {
+      // main only rolls forward: skip candidates expiring before it
+      if (!(st.main != null && c.maturity < st.mainMat)) {
+        if (st.main == null) { st.main = c.id; st.mainMat = c.maturity }
+        else {
+          val mv = sw.get(st.main)
+          if (mv == null || mv.doubleValue() < c.sw) {
+            st.main = c.id; st.mainMat = c.maturity
+            if (st.sec != null && (st.main == st.sec || st.secMat < st.mainMat)) {
+              st.sec = null; st.secMat = 0
+            }
+          }
+        }
+        // secondary: any non-main candidate seeds it; upgrades need a
+        // later expiry AND strictly larger switch_by than the incumbent
+        if (st.sec == null) {
+          if (st.main != c.id) { st.sec = c.id; st.secMat = c.maturity }
+        } else if (st.secMat < c.maturity) {
+          val sv = sw.get(st.sec)
+          if (sv != null && sv.doubleValue() < c.sw) {
+            st.sec = c.id; st.secMat = c.maturity
+          }
+        }
       }
-    def earlier(a: String, b: String): Boolean = maturity(a) < maturity(b)
-    val days: Array[DayData] = all.groupBy(_.trade_date).toArray
-      .sortBy(_._1)
-      .map { case (d, rs) =>
-        // (maturity, id) order: the id tie-break pins the scan order when
-        // several contracts share a last-trade date, so the selection is
-        // deterministic and mirrorable by the DuckDB oracle.
-        val bySwitch = rs.filter(_.switch_by.isDefined)
-          .sortBy(r => (maturity(r.instrument_id), r.instrument_id))
-          .map(r => r.instrument_id -> r.switch_by.get).toSeq
-        val closes = rs.flatMap(r => r.close.map(r.instrument_id -> _)).toMap
-        DayData(d, bySwitch, closes)
+    }
+    true
+  }
+
+  // ── Phase 1: distributed (type, day) reduction ──────────────────────
+
+  private def barCols(bars: DataFrame): DataFrame =
+    bars.select(
+      col("instrument_type").cast("string"),
+      unix_date(col("trade_date").cast("date")).as("trade_date"),
+      unix_date(col("last_trade_date").cast("date")).as("maturity"),
+      col("instrument_id").cast("string").as("id"),
+      col("switch_by").cast("double").as("sw"),
+      col("close").cast("double").as("close"))
+
+  private def candAgg = sort_array(collect_list(when(col("sw").isNotNull,
+    struct(col("maturity"), col("id"), col("sw"))))).as("cands")
+
+  private def reduceSel(spark: SparkSession, bars: DataFrame): Dataset[DaySel] = {
+    import spark.implicits._
+    barCols(bars).groupBy(col("instrument_type"), col("trade_date"))
+      .agg(candAgg).as[DaySel]
+  }
+
+  private def reduceFull(spark: SparkSession, bars: DataFrame): Dataset[DayFull] = {
+    import spark.implicits._
+    barCols(bars).groupBy(col("instrument_type"), col("trade_date"))
+      .agg(candAgg,
+        collect_list(when(col("close").isNotNull,
+          struct(col("id"), col("close")))).as("closes")).as[DayFull]
+  }
+
+  /** The phase-1 selection reduction is consumed twice (boundary pass +
+    * sliced replay); materialize it to scratch parquet once per
+    * (session, input plan) so neither consumer re-runs the bar shuffle
+    * and nothing pins the session cache. */
+  private val reducedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def reducedSelCached(spark: SparkSession, bars: DataFrame): Dataset[DaySel] = {
+    import spark.implicits._
+    val key = graft.core.Scratch.planKey(bars)
+    reducedCache.computeIfAbsent((spark, key), { _ =>
+      graft.core.Scratch.materialize(reduceSel(spark, bars).toDF(), "d1red", key)
+    }).as[DaySel]
+  }
+
+  // ── D1: sliced, exactly-seeded selection ────────────────────────────
+
+  /** D1 — per-day (main, secondary) contract selection.
+    *
+    * Phase 2a streams each type once (sorted groups, no per-group
+    * buffering) carrying only the 4-field state, emitting the exact
+    * state at every slice boundary; phase 2b replays all (type, slice)
+    * groups in parallel from their seeds. The serial chain is the 2a
+    * pass over compact candidate arrays — the row decode, candidate
+    * sort and selection-row emission all run at type × day / type ×
+    * slice parallelism.
+    */
+  def dailySelection(spark: SparkSession, bars: DataFrame): DataFrame = {
+    import spark.implicits._
+    val reduced = reducedSelCached(spark, bars)
+
+    // 2a: exact boundary states, one compact sequential pass per type.
+    val seeds: Dataset[SliceSeed] = reduced.groupByKey(_.instrument_type)
+      .flatMapSortedGroups(col("trade_date")) { (t, days) =>
+        val st = new SelState
+        val out = mutable.ArrayBuffer[SliceSeed]()
+        var cur = Int.MinValue
+        for (day <- days) {
+          val sl = sliceOf(day.trade_date)
+          if (sl != cur) {
+            out += SliceSeed(t, sl, st.main, st.mainMat, st.sec, st.secMat)
+            cur = sl
+          }
+          advanceDay(st, day.cands)
+        }
+        out.iterator
       }
 
-    var main: Option[String] = None
-    var sec: Option[String] = None
+    // 2b: parallel replay per (type, slice) from the exact seed.
+    val byShard = reduced.groupByKey(r => (r.instrument_type, sliceOf(r.trade_date)))
+    val seedByShard = seeds.groupByKey(s => (s.instrument_type, s.slice))
+    byShard.cogroupSorted(seedByShard)(col("trade_date"))() { case ((t, _), days, seedIt) =>
+      val st = new SelState
+      seedIt.foreach { s =>
+        st.main = s.main; st.mainMat = s.mainMat
+        st.sec = s.sec; st.secMat = s.secMat
+      }
+      days.flatMap { day =>
+        if (advanceDay(st, day.cands) && st.main != null)
+          Iterator.single(Selection(t, toSqlDate(day.trade_date), st.main, st.sec))
+        else Iterator.empty
+      }
+    }(Encoders.product[Selection]).toDF()
+  }
+
+  // ── D2/D3: whole-type factor scan over the phase-1 reduction ────────
+
+  /** Run the per-type scan over reduced day rows, producing (daily
+    * selections, factor rows). Sequential per type by definition (the
+    * reverse factor cumulation spans the whole history), but every
+    * per-bar cost was already paid distributed in phase 1. */
+  private def scanReduced(instrumentType: String, days: Iterator[DayFull],
+      method: Method): (Seq[Selection], Seq[FactorRow]) = {
+    val st = new SelState
     val selections = mutable.ArrayBuffer[Selection]()
     val factors = mutable.ArrayBuffer[(Int, String, Option[Double], Option[String], Option[Double])]()
-    var available = mutable.ArrayBuffer[DayData]() // days with data, in order
-    for (day <- days; if day.bySwitch.nonEmpty) {
-      val sw = day.bySwitch.toMap
-      val (mainLast, secLast) = (main, sec)
-      for ((id, v) <- day.bySwitch) {
-        if (!(main.isDefined && earlier(id, main.get))) {
-          // main: first candidate, or strictly larger switch_by
-          if (main.isEmpty) main = Some(id)
-          else if (!sw.contains(main.get) || sw(main.get) < v) {
-            main = Some(id)
-            if (sec.isDefined && (main.get == sec.get || earlier(sec.get, main.get)))
-              sec = None
-          }
-          // secondary: must expire later than... (reference: any non-main
-          // candidate seeds it; upgrades need strictly larger switch_by)
-          if (sec.isEmpty) {
-            if (!main.contains(id)) sec = Some(id)
-          } else if (earlier(sec.get, id) && sw.contains(sec.get) && sw(sec.get) < v)
-            sec = Some(id)
-        }
-      }
+    var prevDate = Int.MinValue
+    var prevCloses: Map[String, Double] = Map.empty
+    var lastDate = Int.MinValue // last processed (candidate-bearing) day
+    var lastSeen = false
+    for (day <- days; if day.cands.nonEmpty) {
+      val mainLast = st.main
+      val secLast = st.sec
+      advanceDay(st, day.cands)
       // roll detected → factor at the last available date
-      if (mainLast.isDefined && mainLast != main && available.nonEmpty) {
-        val prevDay = available.last
+      if (mainLast != null && mainLast != st.main && lastSeen) {
         val chg = for {
-          cNew <- prevDay.closes.get(main.get)
-          cOld <- prevDay.closes.get(mainLast.get)
+          cNew <- prevCloses.get(st.main)
+          cOld <- prevCloses.get(mainLast)
         } yield if (method == Division) cNew / cOld else cNew - cOld
         chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
-          factors += ((prevDay.date, mainLast.get, Some(v), None, None))
+          factors += ((prevDate, mainLast, Some(v), None, None))
         }
       }
-      if (secLast.isDefined && sec.isDefined && secLast != sec && available.nonEmpty) {
-        val prevDay = available.last
+      if (secLast != null && st.sec != null && secLast != st.sec && lastSeen) {
         val chg = for {
-          cNew <- prevDay.closes.get(sec.get)
-          cOld <- prevDay.closes.get(secLast.get)
+          cNew <- prevCloses.get(st.sec)
+          cOld <- prevCloses.get(secLast)
         } yield if (method == Division) cNew / cOld else cNew - cOld
         chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
           // merge with a main-roll row on the same date if present
           factors.lastOption match {
-            case Some((d, m0, f0, _, _)) if d == prevDay.date =>
-              factors(factors.length - 1) = (d, m0, f0, Some(secLast.get), Some(v))
+            case Some((d, m0, f0, _, _)) if d == prevDate =>
+              factors(factors.length - 1) = (d, m0, f0, Some(secLast), Some(v))
             case _ =>
-              factors += ((prevDay.date, main.get, None, Some(secLast.get), Some(v)))
+              factors += ((prevDate, st.main, None, Some(secLast), Some(v)))
           }
         }
       }
-      available += day
-      main.foreach(m => selections += Selection(instrumentType, toSqlDate(day.date), m, sec.orNull))
+      prevDate = day.trade_date
+      prevCloses = day.closes.map(c => c.id -> c.close).toMap
+      lastDate = day.trade_date
+      lastSeen = true
+      if (st.main != null)
+        selections += Selection(instrumentType, toSqlDate(day.trade_date), st.main, st.sec)
     }
     // latest date carries the neutral factor
     val lastRows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
-      (available.lastOption, main, sec) match {
-        case (Some(day), Some(m), s) =>
-          Seq((day.date, m, Some(method.neutral), s, Some(method.neutral)))
-        case _ => Seq.empty
-      }
+      if (lastSeen && st.main != null)
+        Seq((lastDate, st.main, Some(method.neutral),
+          Option(st.sec), Some(method.neutral)))
+      else Seq.empty
     // reverse-chronological cumulation so the latest factor is neutral
     val raw = (factors.filterNot(f => lastRows.exists(_._1 == f._1)) ++ lastRows)
       .sortBy(-_._1)
@@ -167,43 +322,22 @@ object ContinuousFutures {
     (selections.toSeq, out.toSeq)
   }
 
-  private def toBars(spark: SparkSession, bars: DataFrame): org.apache.spark.sql.Dataset[Bar] = {
-    import spark.implicits._
-    bars.select(
-      col("instrument_type").cast("string"),
-      col("instrument_id").cast("string"),
-      unix_date(col("trade_date").cast("date")).as("trade_date"),
-      col("close").cast("double"),
-      col("switch_by").cast("double"),
-      unix_date(col("last_trade_date").cast("date")).as("last_trade_date")).as[Bar]
-  }
-
-  /** D1 — per-day (main, secondary) contract selection. */
-  def dailySelection(spark: SparkSession, bars: DataFrame): DataFrame = {
-    import spark.implicits._
-    toBars(spark, bars).groupByKey(_.instrument_type)
-      .flatMapGroups((t, it) => scanType(t, it, Division)._1.iterator)(Encoders.product[Selection])
-      .toDF()
-  }
-
   /** D2 — back-adjustment factor series (sparse: one row per roll date
     * plus the latest date; apply as-of backward). */
   def adjFactors(spark: SparkSession, bars: DataFrame, method: Method = Division): DataFrame = {
     import spark.implicits._
-    toBars(spark, bars).groupByKey(_.instrument_type)
-      .flatMapGroups((t, it) => scanType(t, it, method)._2.iterator)(Encoders.product[FactorRow])
+    reduceFull(spark, bars).groupByKey(_.instrument_type)
+      .flatMapSortedGroups(col("trade_date")) { (t, it) =>
+        scanReduced(t, it, method)._2.iterator
+      }(Encoders.product[FactorRow])
       .toDF()
   }
 
-  /** D3 — continuous series: the main contract's bar each day, with and
-    * without back-adjustment. Factor rows apply to all dates ≤ their
-    * roll date (reverse as-of), latest factor = neutral.
-    */
-  /** One flatMapGroups pass emitting selections (kind=0) and factor rows
-    * (kind=1) together — `continuousSeries` needs both, and running the
-    * per-type scan once halves its shuffle + decode cost.
-    */
-  /** Public, not `private`: Janino's generated `UnsafeProjection` lives
+  /** One scan pass emitting selections (kind=0) and factor rows (kind=1)
+    * together — `continuousSeries` needs both, and running the per-type
+    * scan once halves its cost.
+    *
+    * Public, not `private`: Janino's generated `UnsafeProjection` lives
     * outside this package, and scalac emits a private nested case class
     * as package-private bytecode — codegen then can't invoke the
     * accessors and every row falls back to interpreter-mode projection.
@@ -212,7 +346,11 @@ object ContinuousFutures {
       trade_date: java.sql.Date, main_id: String, secondary_id: String,
       adj_factor_main: Double, adj_factor_secondary: Double)
 
-  /** @param cacheInput persist `bars` for the duration of the call. Pass
+  /** D3 — continuous series: the main contract's bar each day, with and
+    * without back-adjustment. Factor rows apply to all dates ≤ their
+    * roll date (reverse as-of), latest factor = neutral.
+    *
+    * @param cacheInput persist `bars` for the duration of the call. Pass
     *   false when the input is already materialized (a table scan or a
     *   caller-managed cache) — re-scanning it per branch is then cheaper
     *   than building an InMemoryRelation of it.
@@ -227,9 +365,9 @@ object ContinuousFutures {
     val callerCached = !cacheInput ||
       bars.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val cached = if (callerCached) bars else bars.persist()
-    val scanned = toBars(spark, cached).groupByKey(_.instrument_type)
-      .flatMapGroups { (t, it) =>
-        val (sels, facs) = scanType(t, it, method)
+    val scanned = reduceFull(spark, cached).groupByKey(_.instrument_type)
+      .flatMapSortedGroups(col("trade_date")) { (t, it) =>
+        val (sels, facs) = scanReduced(t, it, method)
         sels.iterator.map(s =>
           ScanOut(0, s.instrument_type, s.trade_date, s.main_id, s.secondary_id, 0.0, 0.0)) ++
         facs.iterator.map(f =>
@@ -274,5 +412,130 @@ object ContinuousFutures {
     if (!callerCached) cached.unpersist()
     scanned.unpersist()
     result
+  }
+
+  // ── Legacy whole-bar scan (test-only differential oracle) ───────────
+
+  /** The pre-round-9 single-phase scan: decode every raw bar inside one
+    * `flatMapGroups` per type. Retained ONLY as the differential oracle
+    * for the two-phase pipeline (ContinuousFuturesSpec) — parallelism
+    * capped at #types makes it the documented scale anti-pattern.
+    */
+  private[graft] def legacyScan(spark: SparkSession, bars: DataFrame,
+      method: Method): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ds = bars.select(
+      col("instrument_type").cast("string"),
+      col("instrument_id").cast("string"),
+      unix_date(col("trade_date").cast("date")).as("trade_date"),
+      col("close").cast("double"),
+      col("switch_by").cast("double"),
+      unix_date(col("last_trade_date").cast("date")).as("last_trade_date")).as[Bar]
+    val sels = ds.groupByKey(_.instrument_type)
+      .flatMapGroups((t, it) => legacyScanType(t, it, method)._1.iterator)(Encoders.product[Selection])
+      .toDF()
+    val facs = ds.groupByKey(_.instrument_type)
+      .flatMapGroups((t, it) => legacyScanType(t, it, method)._2.iterator)(Encoders.product[FactorRow])
+      .toDF()
+    (sels, facs)
+  }
+
+  private case class DayData(date: Int,
+      bySwitch: Seq[(String, Double)], closes: Map[String, Double])
+
+  private def legacyScanType(instrumentType: String, bars: Iterator[Bar], method: Method)
+      : (Seq[Selection], Seq[FactorRow]) = {
+    val all = bars.toArray
+    val maturity: Map[String, Int] =
+      all.groupBy(_.instrument_id).map { case (id, rs) =>
+        id -> rs.head.last_trade_date
+      }
+    def earlier(a: String, b: String): Boolean = maturity(a) < maturity(b)
+    val days: Array[DayData] = all.groupBy(_.trade_date).toArray
+      .sortBy(_._1)
+      .map { case (d, rs) =>
+        val bySwitch = rs.filter(_.switch_by.isDefined)
+          .sortBy(r => (maturity(r.instrument_id), r.instrument_id))
+          .map(r => r.instrument_id -> r.switch_by.get).toSeq
+        val closes = rs.flatMap(r => r.close.map(r.instrument_id -> _)).toMap
+        DayData(d, bySwitch, closes)
+      }
+
+    var main: Option[String] = None
+    var sec: Option[String] = None
+    val selections = mutable.ArrayBuffer[Selection]()
+    val factors = mutable.ArrayBuffer[(Int, String, Option[Double], Option[String], Option[Double])]()
+    var available = mutable.ArrayBuffer[DayData]()
+    for (day <- days; if day.bySwitch.nonEmpty) {
+      val sw = day.bySwitch.toMap
+      val (mainLast, secLast) = (main, sec)
+      for ((id, v) <- day.bySwitch) {
+        if (!(main.isDefined && earlier(id, main.get))) {
+          if (main.isEmpty) main = Some(id)
+          else if (!sw.contains(main.get) || sw(main.get) < v) {
+            main = Some(id)
+            if (sec.isDefined && (main.get == sec.get || earlier(sec.get, main.get)))
+              sec = None
+          }
+          if (sec.isEmpty) {
+            if (!main.contains(id)) sec = Some(id)
+          } else if (earlier(sec.get, id) && sw.contains(sec.get) && sw(sec.get) < v)
+            sec = Some(id)
+        }
+      }
+      if (mainLast.isDefined && mainLast != main && available.nonEmpty) {
+        val prevDay = available.last
+        val chg = for {
+          cNew <- prevDay.closes.get(main.get)
+          cOld <- prevDay.closes.get(mainLast.get)
+        } yield if (method == Division) cNew / cOld else cNew - cOld
+        chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
+          factors += ((prevDay.date, mainLast.get, Some(v), None, None))
+        }
+      }
+      if (secLast.isDefined && sec.isDefined && secLast != sec && available.nonEmpty) {
+        val prevDay = available.last
+        val chg = for {
+          cNew <- prevDay.closes.get(sec.get)
+          cOld <- prevDay.closes.get(secLast.get)
+        } yield if (method == Division) cNew / cOld else cNew - cOld
+        chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
+          factors.lastOption match {
+            case Some((d, m0, f0, _, _)) if d == prevDay.date =>
+              factors(factors.length - 1) = (d, m0, f0, Some(secLast.get), Some(v))
+            case _ =>
+              factors += ((prevDay.date, main.get, None, Some(secLast.get), Some(v)))
+          }
+        }
+      }
+      available += day
+      main.foreach(m => selections += Selection(instrumentType, toSqlDate(day.date), m, sec.orNull))
+    }
+    val lastRows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
+      (available.lastOption, main, sec) match {
+        case (Some(day), Some(m), s) =>
+          Seq((day.date, m, Some(method.neutral), s, Some(method.neutral)))
+        case _ => Seq.empty
+      }
+    val raw = (factors.filterNot(f => lastRows.exists(_._1 == f._1)) ++ lastRows)
+      .sortBy(-_._1)
+    var accM = method.neutral
+    var accS = method.neutral
+    var lastMainId: Option[String] = None
+    var lastSecId: Option[String] = None
+    val out = raw.map { case (d, mainId, fM, secId, fS) =>
+      accM = method match {
+        case Division => accM * fM.getOrElse(1.0)
+        case Diff => accM + fM.getOrElse(0.0)
+      }
+      accS = method match {
+        case Division => accS * fS.getOrElse(1.0)
+        case Diff => accS + fS.getOrElse(0.0)
+      }
+      lastMainId = Some(mainId)
+      lastSecId = secId.orElse(lastSecId)
+      (d, FactorRow(instrumentType, toSqlDate(d), mainId, accM, lastSecId.orNull, accS))
+    }.sortBy(_._1).map(_._2)
+    (selections.toSeq, out.toSeq)
   }
 }

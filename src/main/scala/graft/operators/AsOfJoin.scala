@@ -48,8 +48,18 @@ object AsOfJoin {
     // `pub_date <= trade_date` inclusive semantics. The struct of a right
     // row is never null (the row exists), so last(ignoreNulls) lands on
     // the latest right row even when its individual fields are null.
+    // Right rows sharing (keys, rightTime) are pinned by the value
+    // struct's natural ascending order (largest value tuple wins) when
+    // the value types are orderable — without this the tie is decided by
+    // partition-internal sort order, making results (and oracle parity)
+    // run-dependent on duplicate-timestamp state tables. The native
+    // kernel (plans/AsOfJoinPlan) declares the same tie order.
+    val vTieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(vType))
+        Seq(col("__v").asc)
+      else Seq.empty
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ vTieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
       .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))

@@ -780,7 +780,109 @@ object Dedup {
   private def ceilSlack(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ceil(x - lit(1e-9))
 
+  /** Identity-collapse pre-pass shared by the exact pair joins
+    * ([[prefixFilterPairs]], [[containmentPairs]]).
+    *
+    * Real crawl corpora are duplicate-DENSE: mirrors, boilerplate and
+    * re-posts make byte-identical groups of hundreds of members, and any
+    * pair operator that feeds whole identity groups through its
+    * candidate machinery pays the group's k² output *through every
+    * stage* (prefix emission, candidate join, verification) — the
+    * measured sf1 blowup (BASELINE.md round-8 scaling record). Instead:
+    * collapse byte-identical texts to one representative (content-hash
+    * groupBy — the same SHA-256 identity the exact-dedup family uses;
+    * 2⁻¹²⁸ collision bound documented there), run the O(candidates)
+    * machinery on representatives only, then reconstruct the full pair
+    * set arithmetically: within-identity pairs carry similarity 1.0 by
+    * definition and are emitted by a gid-keyed self-expansion (work
+    * proportional to the OUTPUT pair count, nothing else), and each
+    * cross-representative pair fans out to members by two gid-keyed
+    * joins carrying its already-verified similarity. The result set is
+    * identical to running the machinery raw (differentially pinned in
+    * PropertySpec on duplicate-dense corpora).
+    *
+    * Returns (members: __gid/__mid, groups: __gid/__rid/__mtx/__k).
+    */
+  private def collapseByText(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col(idCol).as("__mid"), col(textCol).as("__mtx"))
+      .filter(col("__mtx").isNotNull)
+      .withColumn("__gid", sha2(col("__mtx"), 256))
+    val members = base.select(col("__gid"), col("__mid"))
+    // first(__mtx) is safe: every member of a gid carries the same bytes.
+    val groups = base.groupBy("__gid")
+      .agg(min(col("__mid")).as("__rid"), first(col("__mtx")).as("__mtx"),
+        count(lit(1)).as("__k"))
+    (members, groups)
+  }
+
+  /** All ordered member pairs inside multi-member identity groups whose
+    * text shingles non-trivially (the raw machinery drops empty shingle
+    * sets, so empty-text identity groups must not pair here either).
+    * `symmetric=false` emits id_a < id_b once (Jaccard); `true` emits
+    * both directions (containment's |A|≤|B| holds with equality). */
+  private def withinIdentityPairs(members: DataFrame, groups: DataFrame,
+      shingleLen: Int, scoreName: String, symmetric: Boolean): DataFrame = {
+    val eligible = groups
+      .filter(col("__k") >= 2 &&
+        size(wordShingleSet(shingleLen)(col("__mtx"))) > 0)
+      .select(col("__gid"))
+    val m = eligible.join(members, "__gid")
+    val cond = if (symmetric) col("x.__mid") =!= col("y.__mid")
+      else col("x.__mid") < col("y.__mid")
+    m.as("x").join(m.as("y"), col("x.__gid") === col("y.__gid") && cond)
+      .select(col("x.__mid").as("id_a"), col("y.__mid").as("id_b"),
+        lit(1.0).as(scoreName))
+  }
+
+  /** Fan a representative-level pair table out to all member pairs.
+    * `reorder` re-sorts each emitted pair by id (Jaccard is symmetric
+    * and the raw operator's contract is id_a < id_b at MEMBER level,
+    * which group representatives don't decide). */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame,
+      members: DataFrame, scoreName: String, reorder: Boolean): DataFrame = {
+    val repGid = groups.select(col("__rid"), col("__gid"))
+    val withGids = repPairs
+      .join(repGid.select(col("__rid").as("id_a"), col("__gid").as("__ga")), "id_a")
+      .join(repGid.select(col("__rid").as("id_b"), col("__gid").as("__gb")), "id_b")
+    val expanded = withGids
+      .join(members.select(col("__gid").as("__ga"), col("__mid").as("__ma")), "__ga")
+      .join(members.select(col("__gid").as("__gb"), col("__mid").as("__mb")), "__gb")
+    if (reorder)
+      expanded.select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreName))
+    else
+      expanded.select(col("__ma").as("id_a"), col("__mb").as("id_b"), col(scoreName))
+  }
+
+  /** Exact Jaccard threshold self-join with the identity-collapse
+    * pre-pass: representatives through [[prefixFilterPairsRaw]], member
+    * pairs reconstructed arithmetically — see [[collapseByText]]. */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, tau: Double): DataFrame = {
+    val (members, groups) = collapseByText(docs, idCol, textCol)
+    val repPairs = prefixFilterPairsRaw(
+      groups.select(col("__rid"), col("__mtx")), "__rid", "__mtx", shingleLen, tau)
+    expandRepPairs(repPairs, groups, members, "jaccard", reorder = true)
+      .unionAll(withinIdentityPairs(members, groups, shingleLen, "jaccard",
+        symmetric = false))
+  }
+
+  /** Exact containment threshold join with the identity-collapse
+    * pre-pass (directional: expansion preserves pair orientation, and
+    * within-identity pairs emit both directions since |A| = |B|). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, tau: Double): DataFrame = {
+    val (members, groups) = collapseByText(docs, idCol, textCol)
+    val repPairs = containmentPairsRaw(
+      groups.select(col("__rid"), col("__mtx")), "__rid", "__mtx", shingleLen, tau)
+    expandRepPairs(repPairs, groups, members, "containment", reorder = false)
+      .unionAll(withinIdentityPairs(members, groups, shingleLen, "containment",
+        symmetric = true))
+  }
+
+  private[graft] def prefixFilterPairsRaw(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
     val sets = docs
@@ -839,7 +941,7 @@ object Dedup {
     * table through a shuffle join, scalar-keyed exchanges only, exact
     * verification once per surviving candidate.
     */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def containmentPairsRaw(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
     val sets = docs

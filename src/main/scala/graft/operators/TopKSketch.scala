@@ -81,11 +81,27 @@ object TopKSketch {
     import spark.implicits._
     val pairs = df.select(groupCol.cast("string").as("g"),
       tokenCol.cast("string").as("tok")).as[(String, String)]
+    // Memory contract: one capacity-bounded map PER DISTINCT GROUP per
+    // partition — the group column must be model-sized (event types,
+    // languages, shards), like `capacity` itself. A high-cardinality
+    // group column (user ids, doc ids) would grow groups × capacity
+    // entries per task and OOM executors far from the allocation site;
+    // fail fast here with the actionable name instead. 2^16 groups ×
+    // the capacity ceiling is still executor-safe; a legitimate use
+    // beyond that wants a plain groupBy, not a sketch.
+    val maxGroupsPerPartition = 1 << 16
     pairs.mapPartitions { it =>
       val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
       it.foreach { case (g, t) =>
         if (g != null && t != null) {
-          val m = sketches.getOrElseUpdate(g, mutable.HashMap.empty)
+          val m = sketches.getOrElseUpdate(g, {
+            require(sketches.size < maxGroupsPerPartition,
+              s"TopKSketch group column exceeds $maxGroupsPerPartition distinct " +
+                "values in one partition — the sketch contract is a model-sized " +
+                "group axis (see scaladoc); use a plain aggregation for " +
+                "high-cardinality grouping")
+            mutable.HashMap.empty
+          })
           m.get(t) match {
             case Some(c) => m.update(t, c + 1)
             case None if m.size < capacity => m.update(t, 1L)

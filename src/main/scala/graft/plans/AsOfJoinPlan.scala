@@ -79,9 +79,16 @@ case class AsOfJoinExec(
   // treats them like any other join shuffle.
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  // Right-side sort carries the (orderable) value columns after the
+  // time: among right rows tied on (keys, rightTime) the merge takes the
+  // LAST in stream order, so this pins the tie to "largest value tuple
+  // wins" — the same order the window formulation declares on its value
+  // struct. Without it the tie falls to partition-internal order.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
-    (rightKeys :+ rightTime).map(a => SortOrder(a, Ascending)))
+    ((rightKeys :+ rightTime) ++
+      rightValues.filter(a => RowOrdering.isOrderable(a.dataType)))
+      .map(a => SortOrder(a, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering

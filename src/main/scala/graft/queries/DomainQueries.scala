@@ -21,7 +21,7 @@ object DomainQueries {
     * Returns the stream directory path. One protocol, one place: the
     * three parity-stream queries all replay through this.
     */
-  private def stageParityHalves(s: SparkSession, df: DataFrame,
+  private[queries] def stageParityHalves(s: SparkSession, df: DataFrame,
       idCol: String, name: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val tmpRoot = System.getProperty("java.io.tmpdir")

@@ -788,9 +788,18 @@ object MoreQueries {
       // sets — constituent-sized (the reference's sectors are hundreds of
       // codes), never event-sized.
       val ev = Tables.events(s, d)
-      val joinMonth = ev.groupBy(col("user_id"))
+      // Guarded driver collect: the acquisition-replay driver is scoped
+      // to dimension-sized membership axes (ConstituentBisection
+      // .MaxMembers). limit(N+1) bounds the fetch itself, so an
+      // event-sized key fails fast here instead of OOMing the driver.
+      val maxM = graft.sources.ConstituentBisection.MaxMembers
+      val jmRows = ev.groupBy(col("user_id"))
         .agg(to_date(date_trunc("MONTH", min(col("ts")))).as("jm"))
-        .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+        .limit(maxM + 1).collect()
+      require(jmRows.length <= maxM,
+        s"d7 membership axis exceeds $maxM members — event-sized keys must " +
+          "use the distributed interval operators, not the bisection driver")
+      val joinMonth = jmRows.map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
       val span = ev.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi")).head()
       val axis = graft.sources.ConstituentBisection.weekdayAxis(
         span.getDate(0).toLocalDate, span.getDate(1).toLocalDate)

@@ -85,7 +85,7 @@ object RelationalOracles {
         |FROM events e LEFT JOIN
         |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
-        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.value DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
 
     // Identical semantics to j8_asof_join — the query differs only in
@@ -97,7 +97,7 @@ object RelationalOracles {
         |FROM events e LEFT JOIN
         |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
-        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.value DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
 
     "j10_interval_flag" ->

@@ -344,20 +344,9 @@ object RiskQueries {
       // rows regardless of stream volume.
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_topk_src")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_topk_stage")
-      Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
-      fs.mkdirs(streamDir)
       val ev = s.read.parquet(s"$d/events.parquet")
-      Seq(0, 1).foreach { par =>
-        val tmp = new org.apache.hadoop.fs.Path(stageDir, s"h$par")
-        ev.filter(pmod(col("event_id"), lit(2)) === par)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.startsWith("part-")).get
-        fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
-      }
-      fs.delete(stageDir, true)
+      val streamDir = DomainQueries.stageParityHalves(s, ev, "event_id",
+        "graft_stream_topk_src")
       val storeDir = s"$tmpRoot/graft_stream_topk_store"
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       // Partitioned by group and OVERWRITTEN per batch (not PK-upserted):
@@ -372,7 +361,7 @@ object RiskQueries {
         partitionBy = Seq("grp"))
       graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
         val q = raw.writeStream.outputMode("update").queryName("graft_stream_topk")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             if (!batch.isEmpty) {
@@ -750,7 +739,7 @@ object RiskQueries {
         |FROM events e LEFT JOIN
         |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
-        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC) = 1
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.value DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
 
     "stream_topk_upsert" ->

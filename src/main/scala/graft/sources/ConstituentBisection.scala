@@ -45,15 +45,36 @@ object ConstituentBisection {
     * is known to be non-monotone and the axis is short enough to
     * afford it.
     */
+  /** Hard ceiling on any membership snapshot the bisection driver holds.
+    * The D7 contract is a DIMENSION-sized membership axis (the
+    * reference's sectors are hundreds of codes; indexes a few thousand):
+    * the driver memoizes O(changes · log axis) whole snapshots, so an
+    * event-sized key (user ids of a 100 TB event table) would
+    * accumulate on the driver far from the allocation site. Fail fast
+    * with the actionable name instead — a membership axis wider than
+    * this wants the engine's distributed interval operators, not the
+    * acquisition-replay driver.
+    */
+  val MaxMembers: Int = 1 << 20
+
   def sample[K](nDates: Int, fetch: Int => Set[K],
-      exhaustive: Boolean = false): Sampled[K] = {
+      exhaustive: Boolean = false, maxMembers: Int = MaxMembers): Sampled[K] = {
     require(nDates > 0, "empty date axis")
+    def checked(i: Int): Set[K] = {
+      val s0 = fetch(i)
+      require(s0.size <= maxMembers,
+        s"constituent snapshot at axis index $i has ${s0.size} members " +
+          s"(> $maxMembers): the bisection driver holds whole snapshots on " +
+          "the driver and is scoped to dimension-sized membership axes " +
+          "(see MaxMembers); distribute event-sized membership instead")
+      s0
+    }
     if (exhaustive)
-      return Sampled(SortedMap.from((0 until nDates).map(i => i -> fetch(i))), nDates)
+      return Sampled(SortedMap.from((0 until nDates).map(i => i -> checked(i))), nDates)
     val memo = mutable.SortedMap.empty[Int, Set[K]]
     var calls = 0
     def get(i: Int): Set[K] =
-      memo.getOrElseUpdate(i, { calls += 1; fetch(i) })
+      memo.getOrElseUpdate(i, { calls += 1; checked(i) })
     def rec(s: Int, e: Int): Unit = {
       val left = get(s)
       val right = get(e)

@@ -63,6 +63,30 @@ class AsOfNativeSpec extends AnyFunSuite with SharedSpark {
     assert(out.head.isNullAt(3))
   }
 
+  test("right rows tied on (key, time) pin to the largest value tuple in BOTH kernels") {
+    import spark.implicits._
+    // Three purchases at the SAME timestamp: without a declared tie
+    // order the winner depends on partition-internal sort order (round-8
+    // advice). Contract: the largest value tuple wins — in the window
+    // form via the value-struct sort key, in the native form via the
+    // right child's declared (keys, time, values) ordering — matching
+    // the oracle's `ORDER BY ts DESC, value DESC` QUALIFY.
+    val left = Seq(("k1", 10, 1), ("k2", 10, 2)).toDF("key", "t", "row_id")
+    val right = Seq(
+      ("k1", 5, 2.0), ("k1", 5, 9.0), ("k1", 5, 4.0),
+      ("k2", 10, 1.0), ("k2", 10, 3.0), ("k2", 3, 8.0)
+    ).toDF("key", "rt", "v")
+    for (parts <- Seq(1, 3, 7)) {
+      val l = left.repartition(parts); val r = right.repartition(parts)
+      val native = AsOfJoinPlan.asofBackwardNative(l, r, Seq("key"), "t", "rt", Seq("v"))
+        .orderBy("row_id").collect().map(_.getDouble(3)).toSeq
+      val carry = AsOfJoin.asofBackward(l, r, Seq("key"), "t", "rt", Seq("v"))
+        .orderBy("row_id").collect().map(_.getDouble(3)).toSeq
+      assert(native == Seq(9.0, 3.0), s"parts=$parts native tie unpinned: $native")
+      assert(carry == Seq(9.0, 3.0), s"parts=$parts carry tie unpinned: $carry")
+    }
+  }
+
   test("the custom strategy plans AsOfJoinExec in sort-merge shape") {
     import spark.implicits._
     val left = (1 to 100).map(i => (s"k${i % 7}", i, i)).toDF("key", "t", "row_id")

@@ -72,6 +72,65 @@ class ContinuousFuturesSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(10.0 * r1 * r2 - 12.0 * r2) < 1e-9)
   }
 
+  /** Randomized multi-year fixture: contracts expiring monthly across
+    * 2019–2022 (≥4 of the ~year-wide replay slices), each quoting in a
+    * window before its expiry with random gaps, null volumes and tied
+    * volumes (small integer range forces ties). Rolls happen at every
+    * slice boundary neighborhood, so the sliced replay's seeds are
+    * exercised mid-stream, not just at cold start.
+    */
+  private def randomBars(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    import java.time.LocalDate
+    val rows = for {
+      t <- Seq("T0", "T1", "T2")
+      c <- 0 until 24 // monthly expiries over 4 years
+      expiry = LocalDate.of(2019, 1, 20).plusMonths(c * 2L)
+      id = f"$t-C$c%02d"
+      d <- 0 until 120 // quote window: ~4 months before expiry
+      day = expiry.minusDays(120L - d)
+      if rnd.nextDouble() < 0.7 // random quoting gaps
+    } yield (t, id, java.sql.Date.valueOf(day),
+      if (rnd.nextDouble() < 0.05) Option.empty[Double] else Some(10.0 + rnd.nextInt(50)),
+      if (rnd.nextDouble() < 0.1) Option.empty[Double] else Some(rnd.nextInt(8).toDouble),
+      java.sql.Date.valueOf(expiry))
+    import spark.implicits._
+    rows.toDF("instrument_type", "instrument_id", "trade_date", "close",
+      "switch_by", "last_trade_date")
+  }
+
+  test("two-phase sliced selection ≡ legacy whole-bar scan (randomized, multi-slice)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val bars = randomBars(seed)
+      val got = ContinuousFutures.dailySelection(spark, bars)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          r.getString(2), Option(r.getString(3)))).sortBy(x => (x._1, x._2))
+      val want = ContinuousFutures.legacyScan(spark, bars, Division)._1
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          r.getString(2), Option(r.getString(3)))).sortBy(x => (x._1, x._2))
+      assert(got.length == want.length, s"seed=$seed row counts differ")
+      assert(got.toSeq == want.toSeq, s"seed=$seed selections diverge")
+      // the fixture must actually span multiple replay slices
+      assert(got.map(_._2.take(4)).distinct.length >= 3, s"seed=$seed fixture too narrow")
+    }
+  }
+
+  test("two-phase factor scan ≡ legacy whole-bar scan (randomized)") {
+    for (seed <- Seq(3, 11); method <- Seq(Division, Diff)) {
+      val bars = randomBars(seed)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getDate(1).toString, r.getString(2),
+          math.rint(r.getDouble(3) * 1e9), Option(r.getString(4)),
+          math.rint(r.getDouble(5) * 1e9))
+      val got = ContinuousFutures.adjFactors(spark, bars, method)
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      val want = ContinuousFutures.legacyScan(spark, bars, method)._2
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      assert(got.toSeq == want.toSeq, s"seed=$seed method=$method factors diverge")
+      assert(got.nonEmpty, s"seed=$seed produced no rolls")
+    }
+  }
+
   test("D1 missing-volume day falls back without a spurious roll") {
     import spark.implicits._
     val withGap = bars.union(Seq(

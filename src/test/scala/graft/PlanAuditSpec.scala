@@ -53,17 +53,21 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(simple(df).contains("SortMergeJoin"))
   }
 
-  test("d1 futures pipeline is single-shuffle up to the typed scan") {
-    // d1 reads the bars rollup from its scratch-parquet materialization
-    // (shared across d1/d2/d3), so the query itself plans exactly 2
-    // shuffles: the groupByKey(instrument_type) for flatMapGroups and
-    // the final presentation orderBy. A third exchange means either the
-    // shared materialization stopped being used or the typed scan grew
-    // a redundant repartition.
+  test("d1 sliced selection scans the reduced rollup, bounded exchanges") {
+    // Round-9 shape: the query reads the phase-1 (type, day) reduction
+    // from scratch parquet (never a raw bar), and plans at most the
+    // boundary-pass exchange, the two cogroup exchanges of the sliced
+    // replay, and the presentation orderBy. More means the phase-1
+    // materialization stopped being used or a redundant repartition
+    // crept in. (Upper bound, not exact — per the round-8 advice,
+    // benign planner differences must not trip the audit.)
     val df = SparkEntry.queries("d1_dominant_contract")(spark, sf)
-    assert(shuffles(df) == 2, s"typed scan re-shuffles:\n${simple(df)}")
-    assert(simple(df).contains("FileScan parquet"),
-      "d1 should scan the materialized bars rollup")
+    assert(shuffles(df) <= 5, s"sliced scan re-shuffles:\n${simple(df)}")
+    val p = simple(df)
+    assert(p.contains("FileScan parquet"),
+      "d1 should scan the materialized phase-1 reduction")
+    assert(p.contains("d1red"),
+      s"d1 should read the (type, day) reduction, not raw bars:\n$p")
   }
 
   test("a1 aggregation is partial (map-side combine) and codegen'd") {
@@ -382,7 +386,10 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // running max, the trough rank, and n_obs all partition by
     // o_custkey: one window Exchange + the presentation orderBy.
     val df = SparkEntry.queries("fin_max_drawdown")(spark, sf)
-    assert(shuffles(df) == 2, s"drawdown windows stopped sharing:\n${simple(df)}")
+    // Upper bound, not exact (round-8 advice): benign planner/AQE
+    // differences must not trip the audit — the regression target is a
+    // PER-COLUMN window exchange, which would add 2 more.
+    assert(shuffles(df) <= 2, s"drawdown windows stopped sharing:\n${simple(df)}")
   }
 
   test("fin_rolling_beta: market series joins by broadcast, no cartesian") {
@@ -399,7 +406,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
 
   test("fin_vwap_bars: aggregation is partial and single-exchange") {
     val df = SparkEntry.queries("fin_vwap_bars")(spark, sf)
-    assert(shuffles(df) == 2, s"vwap should be one agg exchange + sort:\n${simple(df)}")
+    assert(shuffles(df) <= 2, s"vwap should be one agg exchange + sort:\n${simple(df)}")
     val f = formatted(df)
     assert(f.contains("partial_"), s"vwap lost map-side combine:\n$f")
   }
@@ -407,7 +414,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
   test("dd_cross_doc_spans / dd_span_scrub: no cartesian, span tables broadcast") {
     val spans = SparkEntry.queries("dd_cross_doc_spans")(spark, sf)
     assert(!simple(spans).contains("CartesianProduct"))
-    assert(shuffles(spans) == 5, // scatter, (h,doc) fold, h window, doc window, sort
+    assert(shuffles(spans) <= 5, // scatter, (h,doc) fold, h window, doc window, sort
       s"cross-doc span pipeline grew a wide exchange:\n${simple(spans)}")
     // scrub: the drop-position side is output-sized -> broadcasts into
     // the token stream instead of shuffling the corpus for the anti-join
@@ -422,7 +429,7 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // presentation sort; the scatter repartition is the third. Any
     // fourth exchange means tokens started shuffling raw.
     val df = SparkEntry.queries("t_heavy_hitters")(spark, sf)
-    assert(shuffles(df) == 3, s"heavy hitters plan shape drifted:\n${simple(df)}")
+    assert(shuffles(df) <= 3, s"heavy hitters plan shape drifted:\n${simple(df)}")
   }
 
   test("prefix-filter joins: candidates ride gram-keyed equi-joins, never a cartesian") {

@@ -369,7 +369,14 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
         (id + 100L, t.mkString(" "))
       }
-      val docs = base ++ mutated
+      // Byte-identical copies (duplicate-dense corpus): exercises the
+      // identity-collapse pre-pass — within-identity pairs must emit
+      // with similarity exactly 1.0, cross-identity pairs must fan out
+      // to every member, and nothing may duplicate or go missing.
+      val identical = (base.take(4) ++ mutated.take(2)).flatMap { case (id, text) =>
+        Seq((id + 1000L, text), (id + 2000L, text))
+      }
+      val docs = base ++ mutated ++ identical
       val shingleLen = 2
       val tau = 0.4
       def shingles(text: String): Set[String] = {

@@ -69,6 +69,23 @@ class SourceSpec extends AnyFunSuite with SharedSpark {
     assert(sampled.fetchCount >= 5, "implausibly few fetches — recursion broken")
   }
 
+  test("D7 bisection fails fast on an event-sized membership axis (driver guard)") {
+    import graft.sources.ConstituentBisection
+    // The driver memoizes whole snapshots: a membership set past the
+    // dimension-sized contract must throw with the actionable name, not
+    // accumulate toward a driver OOM. Small maxMembers stands in for
+    // MaxMembers so the test doesn't build million-element sets.
+    val err = intercept[IllegalArgumentException] {
+      ConstituentBisection.sample(10,
+        i => (0 to i * 100).map(_.toString).toSet, maxMembers = 500)
+    }
+    assert(err.getMessage.contains("dimension-sized"), err.getMessage)
+    // under the bound the same axis samples fine
+    val ok = ConstituentBisection.sample(10,
+      i => (0 to i).map(_.toString).toSet, maxMembers = 500)
+    assert(ok.snapshots.nonEmpty)
+  }
+
   test("D7 bisection: equal endpoints hide an interior flip (documented contract)") {
     import graft.sources.ConstituentBisection
     import java.time.LocalDate
