@@ -181,15 +181,19 @@ object ContinuousFutures {
   /** The phase-1 selection reduction is consumed twice (boundary pass +
     * sliced replay); materialize it to scratch parquet once per
     * (session, input plan) so neither consumer re-runs the bar shuffle
-    * and nothing pins the session cache. */
+    * and nothing pins the session cache. LRU-bounded and swept of
+    * stopped-session entries on every touch ([[graft.core.BoundedMemo]])
+    * so a long-lived driver process never accumulates dead DataFrame /
+    * session references. */
   private val reducedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
   private def reducedSelCached(spark: SparkSession, bars: DataFrame): Dataset[DaySel] = {
     import spark.implicits._
+    reducedCache.evictIf((k, _) => k._1.sparkContext.isStopped)
     val key = graft.core.Scratch.planKey(bars)
-    reducedCache.computeIfAbsent((spark, key), { _ =>
-      graft.core.Scratch.materialize(reduceSel(spark, bars).toDF(), "d1red", key)
-    }).as[DaySel]
+    reducedCache.getOrElseUpdate((spark, key),
+      graft.core.Scratch.materialize(reduceSel(spark, bars).toDF(), "d1red", key))
+      .as[DaySel]
   }
 
   // ── D1: sliced, exactly-seeded selection ────────────────────────────
@@ -454,8 +458,13 @@ object ContinuousFutures {
     val days: Array[DayData] = all.groupBy(_.trade_date).toArray
       .sortBy(_._1)
       .map { case (d, rs) =>
+        // sw as tertiary key pins degenerate duplicate (day, id) rows
+        // with differing switch_by to the SAME resolution as phase 1's
+        // sort_array((maturity, id, sw)) + last-wins HashMap: visit
+        // order small→large sw, map value = largest sw. Without it the
+        // stable sortBy left duplicate resolution to input order.
         val bySwitch = rs.filter(_.switch_by.isDefined)
-          .sortBy(r => (maturity(r.instrument_id), r.instrument_id))
+          .sortBy(r => (maturity(r.instrument_id), r.instrument_id, r.switch_by.get))
           .map(r => r.instrument_id -> r.switch_by.get).toSeq
         val closes = rs.flatMap(r => r.close.map(r.instrument_id -> _)).toMap
         DayData(d, bySwitch, closes)

@@ -44,6 +44,25 @@ object Md5Hash {
 
   def h1(s: String): Long = h1h2(s)._1
 
+  /** h1 over a RAW byte window — the byte-faithful twin of [[h1]] for
+    * kernels hashing binary payloads (perceptual signatures over media
+    * bytes). For ASCII content `h1Bytes(s.getBytes, …)` equals
+    * `h1(s.substring(…))` (same octets into MD5), so text-payload
+    * oracles replaying `md5(substr(…))` stay exact; for arbitrary
+    * binary it hashes the actual octets instead of a lossy UTF-8
+    * decode (invalid sequences would collapse to U+FFFD and alias
+    * distinct payloads). */
+  def h1Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val m = md.get()
+    m.reset()
+    m.update(bytes, off, len)
+    val d = m.digest()
+    var h1 = 0L
+    var i = 0
+    while (i < 7) { h1 = (h1 << 8) | (d(i) & 0xffL); i += 1 }
+    (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   private val cache = new ThreadLocal[java.util.HashMap[String, (Long, Long)]] {
     override def initialValue() = new java.util.HashMap[String, (Long, Long)](1 << 16)
   }

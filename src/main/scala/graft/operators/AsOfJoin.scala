@@ -48,16 +48,23 @@ object AsOfJoin {
     // `pub_date <= trade_date` inclusive semantics. The struct of a right
     // row is never null (the row exists), so last(ignoreNulls) lands on
     // the latest right row even when its individual fields are null.
-    // Right rows sharing (keys, rightTime) are pinned by the value
-    // struct's natural ascending order (largest value tuple wins) when
-    // the value types are orderable — without this the tie is decided by
-    // partition-internal sort order, making results (and oracle parity)
-    // run-dependent on duplicate-timestamp state tables. The native
-    // kernel (plans/AsOfJoinPlan) declares the same tie order.
+    // Right rows sharing (keys, rightTime) are pinned by the ORDERABLE
+    // SUBSET of the value columns, ascending (largest orderable tuple
+    // wins) — without this the tie is decided by partition-internal
+    // sort order, making results (and oracle parity) run-dependent on
+    // duplicate-timestamp state tables. Filtering per COLUMN (not
+    // all-or-nothing on the whole struct) matches the native kernel's
+    // requiredChildOrdering exactly (plans/AsOfJoinPlan.scala
+    // `rightValues.filter(isOrderable)`), so both kernels order ties
+    // identically even on mixed value sets (e.g. a map column next to
+    // an int). When NO value column is orderable the residual tie is
+    // partition-order-dependent in both kernels alike.
+    val orderableVals = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
     val vTieBreak =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(vType))
-        Seq(col("__v").asc)
-      else Seq.empty
+      if (orderableVals.isEmpty) Seq.empty
+      else Seq(struct(orderableVals.map(c => col("__v").getField(c)): _*).asc)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(Seq(col("__t").asc, col("__side").asc) ++ vTieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -856,12 +856,42 @@ object Dedup {
       expanded.select(col("__ma").as("id_a"), col("__mb").as("id_b"), col(scoreName))
   }
 
+  /** Cost probe for the collapse pre-pass: ONE driver-side aggregate
+    * row over the content-hash groups (Catalyst prunes the unused
+    * first(__mtx)/min(__mid) aggregates out of the probed plan, so the
+    * job is a sha2 + count groupBy and nothing else). The collapse
+    * pays when the within-identity pair count Σ C(k, 2) — the pairs
+    * the RAW machinery would push through prefix emission + candidate
+    * join + exact verification, each costing a set intersection — is
+    * material next to the corpus size n; its own price is four
+    * scalar-keyed hash joins over n rows. Threshold: collapse iff
+    * Σ C(k, 2) ≥ max(64, n / 100). A duplicate-sparse corpus (a
+    * handful of size-2 groups — the bench SFs) takes the raw path and
+    * pays nothing; a duplicate-dense one (crawl mirrors, the 10×-copy
+    * sf1 corpus: Σ C(k, 2) ≈ 45 · g ≫ n / 100) collapses. Either path
+    * returns the identical pair set (differentially pinned in
+    * PropertySpec), so the threshold tunes cost only. */
+  private def collapsePays(groups: DataFrame): Boolean = {
+    val r = groups.agg(
+      sum(col("__k")).as("n"),
+      sum(col("__k") * (col("__k") - 1) / 2).as("dupPairs")).head()
+    if (r.isNullAt(0)) return false
+    val n = r.getLong(0)
+    val dupPairs = r.getDouble(1)
+    dupPairs >= math.max(64.0, n / 100.0)
+  }
+
   /** Exact Jaccard threshold self-join with the identity-collapse
     * pre-pass: representatives through [[prefixFilterPairsRaw]], member
-    * pairs reconstructed arithmetically — see [[collapseByText]]. */
+    * pairs reconstructed arithmetically — see [[collapseByText]].
+    * Duplicate-sparse inputs short-circuit to the raw machinery
+    * ([[collapsePays]]). */
   def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     val (members, groups) = collapseByText(docs, idCol, textCol)
+    if (!collapsePays(groups))
+      return prefixFilterPairsRaw(docs, idCol, textCol, shingleLen, tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     val repPairs = prefixFilterPairsRaw(
       groups.select(col("__rid"), col("__mtx")), "__rid", "__mtx", shingleLen, tau)
     expandRepPairs(repPairs, groups, members, "jaccard", reorder = true)
@@ -871,10 +901,15 @@ object Dedup {
 
   /** Exact containment threshold join with the identity-collapse
     * pre-pass (directional: expansion preserves pair orientation, and
-    * within-identity pairs emit both directions since |A| = |B|). */
+    * within-identity pairs emit both directions since |A| = |B|).
+    * Duplicate-sparse inputs short-circuit to the raw machinery
+    * ([[collapsePays]]). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     val (members, groups) = collapseByText(docs, idCol, textCol)
+    if (!collapsePays(groups))
+      return containmentPairsRaw(docs, idCol, textCol, shingleLen, tau)
+        .select(col("id_a"), col("id_b"), col("containment"))
     val repPairs = containmentPairsRaw(
       groups.select(col("__rid"), col("__mtx")), "__rid", "__mtx", shingleLen, tau)
     expandRepPairs(repPairs, groups, members, "containment", reorder = false)

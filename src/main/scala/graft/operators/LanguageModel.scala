@@ -124,7 +124,7 @@ object LanguageModel {
     * must not replay the iteration loop.
     */
   private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+    new graft.core.BoundedMemo[String, Seq[(Int, String, String, Long)]](64)
 
   /** The one-corpus-pass word-frequency table, memoized separately from
     * the merges so consumers training DIFFERENT merge counts over the
@@ -133,7 +133,7 @@ object LanguageModel {
     * microseconds.
     */
   private val bpeWordsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
+    new graft.core.BoundedMemo[String, Array[(String, Long)]](64)
 
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
       vocabWords: Int, numMerges: Int): DataFrame = {
@@ -141,10 +141,10 @@ object LanguageModel {
     require(numMerges > 0, "numMerges must be positive")
     val planK = Scratch.planKey(docs)
     val key = s"bpe|$idCol|$textCol|$vocabWords|$numMerges|$planK"
-    val merges = bpeCache.computeIfAbsent(key, { _ =>
-      val words = bpeWordsCache.computeIfAbsent(
+    val merges = bpeCache.getOrElseUpdate(key, {
+      val words = bpeWordsCache.getOrElseUpdate(
         s"bpewords|$idCol|$textCol|$vocabWords|$planK",
-        _ => docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+        docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
           .filter(col("w").rlike("^[a-z]+$"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("w")).limit(vocabWords)

@@ -174,7 +174,7 @@ object Similarity {
     * path in place and retrains must use a new path (or session).
     */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[(Long, Array[Double])]]]()
+    new graft.core.BoundedMemo[String, Array[Array[(Long, Array[Double])]]](64)
 
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, kSub: Int, iters: Int = 0): DataFrame = {
@@ -185,10 +185,12 @@ object Similarity {
     import spark.implicits._
     val cacheKey =
       s"${graft.core.Scratch.planKey(vectors)}|$idCol|$vecCol|$dim|$m|$kSub|$iters"
-    val cached = pqCache.get(cacheKey)
-    if (cached != null)
-      return (for (s0 <- 0 until m; (cid, cv) <- cached(s0)) yield (s0, cid, cv.toSeq))
-        .toDF("sub_id", "cent_id", "centroid")
+    pqCache.get(cacheKey) match {
+      case Some(cached) =>
+        return (for (s0 <- 0 until m; (cid, cv) <- cached(s0)) yield (s0, cid, cv.toSeq))
+          .toDF("sub_id", "cent_id", "centroid")
+      case None => ()
+    }
     val base = vectors.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val seeds = base.orderBy(col("__id")).limit(kSub).collect()

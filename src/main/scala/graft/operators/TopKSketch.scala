@@ -88,7 +88,14 @@ object TopKSketch {
     // entries per task and OOM executors far from the allocation site;
     // fail fast here with the actionable name instead. 2^16 groups ×
     // the capacity ceiling is still executor-safe; a legitimate use
-    // beyond that wants a plain groupBy, not a sketch.
+    // beyond that wants a plain groupBy, not a sketch. NOTE the bound
+    // is PER PARTITION — it is a task-memory guard, which is the
+    // resource actually at risk; a group axis hash-spread across tasks
+    // can pass with up to 2^16 × numPartitions distinct values
+    // globally. That violates the spirit of "model-sized" without
+    // endangering any single executor; the merged (g, tok) aggregate
+    // downstream is the place a global assert would go if a caller
+    // needs the stricter contract.
     val maxGroupsPerPartition = 1 << 16
     pairs.mapPartitions { it =>
       val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]

@@ -287,6 +287,72 @@ object RiskQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "mm_phash_pixels" -> ((s, d) => {
+      // PIXEL perceptual near-dups — the real-codec path the byte
+      // signature above cannot cover: each doc gets a deterministic
+      // 32×32 image (8×8 grid of 4×4 blocks, intensity
+      // md5(doc_id, block) % 200 + 20), encoded as 24-bit BMP; planted
+      // variants re-key the SAME raster through a DIFFERENT encoding
+      // (PPM, doc_id % 17), per-pixel noise (6 hash-chosen pixels ± 2,
+      // doc_id % 23), and a uniform +8 brightness shift (doc_id % 29 —
+      // intensities ≤ 219 so no clamp). The pipeline DECODES the bytes
+      // and DCT-pHashes the raster, so re-encode and brightness copies
+      // hash identically (same pixels / AC coefficients unchanged by a
+      // constant shift — DCT linearity), noise copies land within
+      // hamming ≤ bands − 1 = 3 (guaranteed band collision), and
+      // distinct images share no band bucket (verified at every SF;
+      // MultimodalSpec pins the hash-level facts). The oracle is the
+      // resulting pair STRUCTURE — the complete graph over each doc's
+      // copy set — which is exactly what those invariants force; hash
+      // VALUES are pinned by spec, not SQL (a 32-point DCT has no
+      // faithful DuckDB replay).
+      val mkBmp = udf { did: Long =>
+        graft.streaming.ImageCodec.encodeBmp(32, 32, (x, y) => {
+          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+          (v << 16) | (v << 8) | v
+        })
+      }
+      val mkPpm = udf { did: Long =>
+        graft.streaming.ImageCodec.encodePpm(32, 32, (x, y) => {
+          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+          (v << 16) | (v << 8) | v
+        })
+      }
+      val mkNoise = udf { did: Long =>
+        val px = Array.tabulate(32, 32) { (y, x) =>
+          (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+        }
+        for (k <- 0 until 6) {
+          val x = (graft.functions.Md5Hash.h1(s"nx:$did:$k") % 32).toInt
+          val y = (graft.functions.Md5Hash.h1(s"ny:$did:$k") % 32).toInt
+          val dl = if (graft.functions.Md5Hash.h1(s"nd:$did:$k") % 2 == 0) 2 else -2
+          px(y)(x) = math.min(255, math.max(0, px(y)(x) + dl))
+        }
+        graft.streaming.ImageCodec.encodeBmp(32, 32, (x, y) =>
+          (px(y)(x) << 16) | (px(y)(x) << 8) | px(y)(x))
+      }
+      val mkBright = udf { did: Long =>
+        graft.streaming.ImageCodec.encodeBmp(32, 32, (x, y) => {
+          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt + 8
+          (v << 16) | (v << 8) | v
+        })
+      }
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = ids.select(col("doc_id"), mkBmp(col("doc_id")).as("payload"))
+        .unionAll(ids.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), mkPpm(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), mkNoise(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), mkBright(col("doc_id")).as("payload")))
+      graft.core.Scratch.materialize(
+        graft.streaming.MultimodalPipeline.phashPixelPairs(
+          corpus, "doc_id", "payload", maxHamming = 10, bands = 4),
+        "phash_pixel_pairs", d)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "v_ivf_persisted" -> ((s, d) => {
       // The production serve path: an index-building job persists the
       // trained IVF model (centroids) through the keyed store; a
@@ -725,6 +791,23 @@ object RiskQueries {
         |  JOIN sigs sa ON sa.doc_id = cand.id_a
         |  JOIN sigs sb ON sb.doc_id = cand.id_b) x
         |WHERE hamming <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Pixel-pHash pair structure: the planted invariants (re-encode and
+    // brightness copies hash IDENTICALLY by DCT linearity; noise copies
+    // within hamming ≤ bands−1 so banded LSH cannot miss them; distinct
+    // images never share a band bucket — verified at every SF and
+    // pinned at hash level by MultimodalSpec) force the result to be
+    // exactly the complete graph over each doc's copy set. A 32-point
+    // DCT has no faithful DuckDB replay, so the STRUCTURE is the spec.
+    "mm_phash_pixels" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id AS cid FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 3000000 FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 4000000 FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 5000000 FROM documents WHERE doc_id % 29 = 0)
+        |SELECT a.cid AS id_a, b.cid AS id_b
+        |FROM c a JOIN c b ON a.doc_id = b.doc_id AND b.cid > a.cid
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Identical semantics to v_ivf_topk — the query differs only in the

@@ -103,25 +103,26 @@ object MultimodalPipeline {
     * companion to [[extractFeatures]]'s exact content hash (re-encoded
     * thumbnails and slightly-corrupted re-crawls never match an MD5).
     *
-    * STUB BOUNDARY, stated plainly: a real pHash runs a DCT over decoded
-    * pixels. Absent codecs, the signature here is SimHash over the
-    * payload's sliding 4-byte blocks — which preserves exactly the
-    * property every downstream consumer relies on (payloads sharing most
-    * content → small hamming distance) and keeps the full pair-finding
-    * pipeline real. Swap the block iterator for DCT coefficients when a
-    * decoder is available; nothing downstream changes.
+    * Codec-free form: SimHash over the payload's sliding 4-BYTE blocks,
+    * hashed byte-faithfully ([[graft.functions.Md5Hash.h1Bytes]] — no
+    * UTF-8 decode, so distinct binary payloads never alias through
+    * U+FFFD replacement). For ASCII payloads the signature equals the
+    * text SimHash oracle's `md5(substr(payload, i, 4))` replay. This is
+    * the signature of choice when payloads are undecodable blobs; for
+    * DECODED pixels use [[ImageCodec.pHash60]] (a real 32×32 DCT
+    * perceptual hash — see [[phashPixelPairs]]), which survives
+    * re-encoding across formats where this byte-level signature cannot.
     */
   private[graft] val perceptualHash60 = udf { bytes: Array[Byte] =>
     if (bytes == null || bytes.isEmpty) 0L
     else {
       val bits = graft.operators.Dedup.simHashBits
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       val votes = new Array[Int](bits)
-      val n = math.max(s.length - 3, 1)
+      val n = math.max(bytes.length - 3, 1)
       var i = 0
       while (i < n) {
-        val block = s.substring(i, math.min(i + 4, s.length))
-        val h = graft.functions.Md5Hash.h1h2Cached(block)._1
+        val h = graft.functions.Md5Hash.h1Bytes(
+          bytes, i, math.min(4, bytes.length - i))
         var bit = 0
         while (bit < bits) {
           if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
@@ -146,6 +147,32 @@ object MultimodalPipeline {
     val sigs = graft.core.Tables.scatter(docs)
       .select(col(idCol).as("__id"),
         perceptualHash60(col(payloadCol).cast("binary")).as("simhash"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
+  }
+
+  /** PIXEL-level perceptual near-dup pairs: decode each payload
+    * ([[ImageCodec.decode]] — BMP/PPM, the self-contained formats), DCT
+    * pHash the raster ([[ImageCodec.pHash60]]), then the same banded
+    * hamming self-join as every 60-bit signature family. Undecodable
+    * payloads fall back to the byte-block SimHash inside
+    * [[ImageCodec.signature60]], so a mixed corpus (real images + junk
+    * bytes) flows through ONE join. This is what the byte signature
+    * cannot do: the same raster re-encoded through a different format
+    * (BMP ↔ PPM) or perturbed by per-pixel noise hashes to (nearly) the
+    * same signature, because the hash is computed on decoded pixels
+    * after a low-pass resize — while the encodings share almost no byte
+    * blocks. Decode + hash are per-row executor work (codegen boundary
+    * is the UDF, the join machinery stays whole-stage).
+    */
+  def phashPixelPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = udf { bytes: Array[Byte] =>
+      if (bytes == null) 0L else ImageCodec.signature60(bytes)
+    }
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sig(col(payloadCol).cast("binary")).as("simhash"))
       .persist()
     graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
   }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.Md5Hash
+import graft.streaming.ImageCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hash-level facts behind the `mm_phash_pixels` structural oracle:
+  * the SQL oracle pins the pair STRUCTURE (complete graph per copy
+  * set); this spec pins WHY that structure is forced — codec
+  * round-trip exactness, DCT-linearity invariances, the noise hamming
+  * bound that guarantees banded-LSH recall, and distinct-image
+  * separation.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def baseRgb(did: Long)(x: Int, y: Int): Int = {
+    val v = (Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+    (v << 16) | (v << 8) | v
+  }
+
+  private def brightRgb(did: Long)(x: Int, y: Int): Int = {
+    val v = (Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt + 8
+    (v << 16) | (v << 8) | v
+  }
+
+  private def noisePixels(did: Long): Array[Array[Int]] = {
+    val px = Array.tabulate(32, 32) { (y, x) =>
+      (Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+    }
+    for (k <- 0 until 6) {
+      val x = (Md5Hash.h1(s"nx:$did:$k") % 32).toInt
+      val y = (Md5Hash.h1(s"ny:$did:$k") % 32).toInt
+      val dl = if (Md5Hash.h1(s"nd:$did:$k") % 2 == 0) 2 else -2
+      px(y)(x) = math.min(255, math.max(0, px(y)(x) + dl))
+    }
+    px
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("BMP and PPM of the same raster decode to identical pixels") {
+    for (did <- Seq(0L, 17L, 391L, 4242L)) {
+      val bmp = ImageCodec.decode(ImageCodec.encodeBmp(32, 32, baseRgb(did))).get
+      val ppm = ImageCodec.decode(ImageCodec.encodePpm(32, 32, baseRgb(did))).get
+      assert(bmp.width == 32 && bmp.height == 32)
+      assert(ppm.width == 32 && ppm.height == 32)
+      assert(bmp.pixels.sameElements(ppm.pixels))
+    }
+    // non-square raster exercises the area-average resample path
+    val wide = ImageCodec.decode(ImageCodec.encodeBmp(48, 20, baseRgb(7L))).get
+    assert(wide.width == 48 && wide.height == 20)
+  }
+
+  test("pHash: re-encode (format change) and uniform brightness are exact invariants") {
+    for (did <- Seq(0L, 17L, 29L, 391L, 12345L)) {
+      val hBmp = ImageCodec.pHash60(
+        ImageCodec.decode(ImageCodec.encodeBmp(32, 32, baseRgb(did))).get)
+      val hPpm = ImageCodec.pHash60(
+        ImageCodec.decode(ImageCodec.encodePpm(32, 32, baseRgb(did))).get)
+      val hBright = ImageCodec.pHash60(
+        ImageCodec.decode(ImageCodec.encodeBmp(32, 32, brightRgb(did))).get)
+      assert(hBmp == hPpm, s"re-encode changed the hash for doc $did")
+      // +8 everywhere shifts only the DC coefficient; every AC
+      // coefficient (and the median they are thresholded against) is
+      // untouched — DCT linearity, the provable half of the oracle.
+      assert(hBmp == hBright, s"brightness shift changed the hash for doc $did")
+    }
+  }
+
+  test("pHash: noise copies stay within hamming <= bands - 1; distinct images separate") {
+    val ids = (0L until 500L).filter(_ % 23 == 0)
+    for (did <- ids) {
+      val base = ImageCodec.pHash60(
+        ImageCodec.decode(ImageCodec.encodeBmp(32, 32, baseRgb(did))).get)
+      val px = noisePixels(did)
+      val noisy = ImageCodec.pHash60(
+        ImageCodec.decode(ImageCodec.encodeBmp(32, 32,
+          (x, y) => (px(y)(x) << 16) | (px(y)(x) << 8) | px(y)(x))).get)
+      // <= 3 = bands - 1 guarantees a shared 15-bit band (pigeonhole),
+      // so banded LSH cannot miss the pair — recall is structural, not
+      // probabilistic, which is what lets the oracle be exact.
+      assert(hamming(base, noisy) <= 3,
+        s"noise copy of doc $did drifted to hamming ${hamming(base, noisy)}")
+    }
+    val sigs = (0L until 50L).map(did => ImageCodec.pHash60(
+      ImageCodec.decode(ImageCodec.encodeBmp(32, 32, baseRgb(did))).get))
+    for (i <- sigs.indices; j <- (i + 1) until sigs.length)
+      assert(hamming(sigs(i), sigs(j)) > 10,
+        s"distinct images $i/$j at hamming ${hamming(sigs(i), sigs(j))}")
+  }
+
+  test("byte signature is byte-faithful: invalid-UTF-8 payloads no longer alias") {
+    // Both payloads decode to 100 U+FFFD under a lossy UTF-8 round-trip
+    // (the round-8 defect: new String(bytes, UTF_8) collapsed them to
+    // the same signature). Byte-block hashing must tell them apart.
+    val a = Array.fill[Byte](100)(0xFF.toByte)
+    val b = Array.fill[Byte](100)(0xFE.toByte)
+    assert(ImageCodec.signature60(a) != ImageCodec.signature60(b))
+    // and ASCII payloads still hash like their string form: the
+    // md5(substr(text, i, 4)) oracle replay stays exact.
+    val text = "the quick brown fox jumps over the lazy dog"
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Md5Hash.h1Bytes(bytes, 0, 4) == Md5Hash.h1(text.substring(0, 4)))
+    assert(Md5Hash.h1Bytes(bytes, 10, 4) == Md5Hash.h1(text.substring(10, 14)))
+  }
+
+  test("undecodable payloads fall back to the byte signature; truncated images rejected") {
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    assert(ImageCodec.decode(junk).isEmpty)
+    val bmp = ImageCodec.encodeBmp(32, 32, baseRgb(1L))
+    assert(ImageCodec.decode(java.util.Arrays.copyOf(bmp, 100)).isEmpty)
+    val ppm = ImageCodec.encodePpm(32, 32, baseRgb(1L))
+    assert(ImageCodec.decode(java.util.Arrays.copyOf(ppm, 50)).isEmpty)
+  }
+}

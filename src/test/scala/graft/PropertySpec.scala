@@ -369,12 +369,19 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length))
         (id + 100L, t.mkString(" "))
       }
-      // Byte-identical copies (duplicate-dense corpus): exercises the
-      // identity-collapse pre-pass — within-identity pairs must emit
-      // with similarity exactly 1.0, cross-identity pairs must fan out
-      // to every member, and nothing may duplicate or go missing.
-      val identical = (base.take(4) ++ mutated.take(2)).flatMap { case (id, text) =>
-        Seq((id + 1000L, text), (id + 2000L, text))
+      // Byte-identical copies: trials 1–2 are duplicate-DENSE (6 groups
+      // of 6 members → Σ C(k,2) = 90 ≥ the collapsePays floor of 64, so
+      // the identity-collapse pre-pass runs — within-identity pairs
+      // must emit with similarity exactly 1.0, cross-identity pairs
+      // must fan out to every member, nothing may duplicate or go
+      // missing); trial 3 is duplicate-SPARSE (two size-2 groups,
+      // Σ C(k,2) = 2 < 64 → the probe routes to the RAW path, which
+      // must produce the identical result on a corpus that still
+      // CONTAINS duplicates).
+      val copies = if (trial < 3) 5 else 1
+      val seeds = if (trial < 3) base.take(4) ++ mutated.take(2) else base.take(2)
+      val identical = seeds.flatMap { case (id, text) =>
+        (1 to copies).map(c => (id + 1000L * c, text))
       }
       val docs = base ++ mutated ++ identical
       val shingleLen = 2

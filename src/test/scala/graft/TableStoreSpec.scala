@@ -88,6 +88,60 @@ class TableStoreSpec extends AnyFunSuite with SharedSpark {
     assert(store.read(spec).orderBy("k").collect().toSeq == before)
   }
 
+  test("compaction under load: many incremental upserts, file count lands on target, history collapses") {
+    // The maintenance scenario the small cases above don't exercise:
+    // a PARTITIONED table grown through many incremental upserts, each
+    // touching a FEW partitions (the daily-ingest shape — untouched
+    // partitions keep their old files, touched ones gain new ones, so
+    // files genuinely accrete across versions; an unpartitioned upsert
+    // rewrites wholesale and cannot model this). At 100 TB this
+    // file-count pressure sets scan parallelism and listing cost.
+    // Protocol mirrors tools/CompactLoad (the sf1 BASELINE run).
+    import spark.implicits._
+    val store = freshStore("compactload")
+    val spec = TableSpec("t", Seq("event_id"), partitionBy = Seq("day"))
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        pmod(col("event_id"), lit(8)).as("day"))
+    val slices = 12
+    // slice i touches days {i%8, (i+1)%8}: overlapping writes, so most
+    // upserts rewrite SOME existing partitions and add to others —
+    // every version leaves new files while old ones stay referenced.
+    (0 until slices).foreach { i =>
+      store.upsert(spec, ev
+        .filter(pmod(col("event_id"), lit(slices)) === i &&
+          (col("day") === i % 8 || col("day") === (i + 1) % 8)))
+    }
+    def nFiles = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("t")), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = nFiles
+    val nParts = store.read(spec).select("day").distinct().count().toInt
+    assert(filesBefore > nParts,
+      s"incremental upserts must accrete files beyond one-per-partition (saw $filesBefore for $nParts partitions)")
+    val before = store.read(spec).orderBy("event_id").collect().toSeq
+    val lastVersion = store.versions(spec).last
+    store.compact(spec) // default 128 MB target → one file per partition
+    assert(nFiles == nParts,
+      s"compaction must land on the per-partition size target (saw $nFiles files for $nParts partitions)")
+    assert(store.read(spec).orderBy("event_id").collect().toSeq == before,
+      "compaction must not change content")
+    // Documented time-travel contract: compaction COLLAPSES history —
+    // the compacted snapshot is the only one left; older versions fail
+    // loudly rather than resurrect dropped batch dirs.
+    assert(store.versions(spec) == Seq(lastVersion + 1))
+    intercept[java.io.IOException](store.readVersion(spec, lastVersion))
+    assert(store.readVersion(spec, lastVersion + 1).count() == before.size.toLong)
+    // and the table keeps accepting writes after compaction
+    store.upsert(spec, Seq((-1L, 0L, "post", 1.0, 0L))
+      .toDF("event_id", "user_id", "event_type", "value", "day"))
+    assert(store.read(spec).count() == before.size.toLong + 1)
+  }
+
   test("z-order compaction bounds every file's span on BOTH cluster columns") {
     import spark.implicits._
     val store = freshStore("zorder")
