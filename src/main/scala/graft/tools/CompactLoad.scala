@@ -29,14 +29,16 @@ object CompactLoad {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val store = new TableStore(spark, dir)
-    // Daily-ingest shape (same as TableStoreSpec's hermetic twin): the
-    // table is partitioned, each upsert lands a couple of NEW
-    // partitions — untouched partitions keep their files, so the file
-    // count genuinely accretes version over version.
+    // Ingest-with-corrections shape (same as TableStoreSpec's hermetic
+    // twin): the table is partitioned and every upsert touches a
+    // sliding pair of partitions — touched partitions are merge-
+    // rewritten (new files), untouched ones stay referenced, and the
+    // retained-version window keeps superseded files alive, so the
+    // file count genuinely accretes version over version.
     val spec = TableSpec("li", Seq("l_orderkey", "l_linenumber"),
       partitionBy = Seq("day"))
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .withColumn("day", pmod(col("l_orderkey"), lit(2L * slices)))
+      .withColumn("day", pmod(col("l_orderkey"), lit(8L)))
 
     def stats(): (Int, Long) = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("li")), true)
@@ -51,7 +53,8 @@ object CompactLoad {
     var t0 = System.nanoTime()
     (0 until slices).foreach { i =>
       store.upsert(spec,
-        li.filter(col("day") === 2 * i || col("day") === 2 * i + 1))
+        li.filter(pmod(col("l_orderkey"), lit(slices.toLong)) === i &&
+          (col("day") === i % 8 || col("day") === (i + 1) % 8)))
       val (n, b) = stats()
       println(f"[compactload] upsert ${i + 1}/$slices: $n files, ${b / 1e6}%.1f MB")
     }
@@ -65,7 +68,21 @@ object CompactLoad {
     val compactSec = (System.nanoTime() - t0) / 1e9
     val (filesAfter, bytesAfter) = stats()
     val rowsAfter = store.read(spec).count()
-    val target = math.max(1, math.ceil(bytesBefore.toDouble / (targetMB * 1024 * 1024)).toInt)
+    // per-partition byte target (compaction sizes each partition
+    // independently): expected files = Σ_p ceil(bytes_p / target)
+    val target = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.path("li")), true)
+      val perPart = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) {
+          val part = s.getPath.toString.split("/").find(_.startsWith("day=")).getOrElse(".")
+          perPart(part) += s.getLen
+        }
+      }
+      perPart.values.map(b =>
+        math.max(1, math.ceil(b.toDouble / (targetMB * 1024 * 1024)).toInt)).sum
+    }
     val versionsAfter = store.versions(spec)
 
     println(f"[compactload] $slices upserts in $upsertSec%.1f s -> " +
