@@ -13,6 +13,34 @@ import org.apache.spark.sql.functions._
   * relational form), and the grouped heavy-hitters sketch.
   */
 object RiskQueries {
+
+  /** mm_audio_fp_pairs fixture: deterministic 16-frame × 128-sample
+    * 5-tone PCM16 signal for a doc id (amplitudes md5-driven in
+    * [400, 3000), Σ|A| ≤ 15000 so gain ×2 never clips int16). Top-level
+    * so the synthesis UDFs reference it statically instead of closing
+    * over the query lambda (whose SparkSession is not serializable);
+    * AudioSpec mirrors it. */
+  private[graft] def audioSynth(did: Long): Array[Short] = {
+    val bins = Array(2, 5, 9, 14, 20)
+    val out = new Array[Short](16 * 128)
+    var n = 0
+    while (n < 16) {
+      val a = Array.tabulate(5)(m =>
+        (graft.functions.Md5Hash.h1(s"aud:$did:$n:$m") % 2600 + 400).toDouble)
+      var i = 0
+      while (i < 128) {
+        var x = 0.0
+        var m = 0
+        while (m < 5) {
+          x += a(m) * math.sin(2 * math.Pi * bins(m) * i / 128.0); m += 1
+        }
+        out(n * 128 + i) = math.round(x).toShort
+        i += 1
+      }
+      n += 1
+    }
+    out
+  }
   private type Q = (SparkSession, String) => DataFrame
 
   /** Per-order simple returns vs the market-aggregate return, both
@@ -349,6 +377,51 @@ object RiskQueries {
         graft.streaming.MultimodalPipeline.phashPixelPairs(
           corpus, "doc_id", "payload", maxHamming = 10, bands = 4),
         "phash_pixel_pairs", d)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "mm_audio_fp_pairs" -> ((s, d) => {
+      // SIGNAL perceptual near-dups — the audio twin of the pixel query:
+      // each doc gets a deterministic 2048-sample PCM16 signal (16
+      // frames × 128 samples, 5 tones at frame bins 2/5/9/14/20 with
+      // md5(doc_id, frame, band)-driven amplitudes in [400, 3000)),
+      // encoded as WAV; planted variants re-wrap the SAME samples with
+      // an inserted LIST metadata chunk (doc_id % 17 — the re-encode),
+      // double every sample (doc_id % 23 — gain ×2, an EXACT fingerprint
+      // invariant by IEEE power-of-2 homogeneity; Σ|A| ≤ 15000 so ×2
+      // never clips), and zero the first frame (doc_id % 29 — dropout;
+      // frame 0 feeds only frame-pair 0's 4 bits, all in LSH band 0, so
+      // banding with maxHamming = 4 is pigeonhole-guaranteed recall).
+      // The pipeline DECODES the WAV (chunk walk skips the metadata) and
+      // fingerprints band-energy-sign patterns, so all three variants
+      // pair with their base while distinct signals stay separate
+      // (verified at every SF; AudioSpec pins the fingerprint-level
+      // facts). The oracle is the forced pair STRUCTURE — a Goertzel
+      // recursion has no faithful DuckDB replay.
+      val mkWav = udf { did: Long =>
+        graft.streaming.AudioCodec.encodeWav(audioSynth(did), 8000) }
+      val mkChunked = udf { did: Long =>
+        graft.streaming.AudioCodec.encodeWav(audioSynth(did), 8000, extraChunk = true) }
+      val mkGain = udf { did: Long =>
+        graft.streaming.AudioCodec.encodeWav(audioSynth(did).map(v => (v * 2).toShort), 8000) }
+      val mkDrop = udf { did: Long =>
+        val sm = audioSynth(did)
+        java.util.Arrays.fill(sm, 0, 128, 0.toShort)
+        graft.streaming.AudioCodec.encodeWav(sm, 8000)
+      }
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = ids.select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+        .unionAll(ids.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), mkChunked(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), mkGain(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), mkDrop(col("doc_id")).as("payload")))
+      graft.core.Scratch.materialize(
+        graft.streaming.MultimodalPipeline.audioFingerprintPairs(
+          corpus, "doc_id", "payload", maxHamming = 4, bands = 4),
+        "audio_fp_pairs", d)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -801,6 +874,25 @@ object RiskQueries {
     // exactly the complete graph over each doc's copy set. A 32-point
     // DCT has no faithful DuckDB replay, so the STRUCTURE is the spec.
     "mm_phash_pixels" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id AS cid FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 3000000 FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 4000000 FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 5000000 FROM documents WHERE doc_id % 29 = 0)
+        |SELECT a.cid AS id_a, b.cid AS id_b
+        |FROM c a JOIN c b ON a.doc_id = b.doc_id AND b.cid > a.cid
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Audio-fingerprint pair structure: identical forcing argument to
+    // mm_phash_pixels — re-encode (chunk-layout) and gain ×2 copies
+    // fingerprint IDENTICALLY (same decoded samples / exact IEEE
+    // power-of-2 homogeneity of the linear Goertzel recursion),
+    // first-frame dropout moves ≤ 4 bits all inside LSH band 0 (recall
+    // by pigeonhole at maxHamming 4), distinct signals verified separate
+    // at every SF and pinned at fingerprint level by AudioSpec — so the
+    // result must be exactly the complete graph over each doc's copy
+    // set.
+    "mm_audio_fp_pairs" ->
       """WITH c AS (
         |  SELECT doc_id, doc_id AS cid FROM documents
         |  UNION ALL SELECT doc_id, doc_id + 3000000 FROM documents WHERE doc_id % 17 = 0

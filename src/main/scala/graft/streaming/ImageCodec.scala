@@ -287,7 +287,7 @@ object ImageCodec {
 
   /** The codec-free byte-block SimHash, shared with
     * [[MultimodalPipeline.perceptualHash60]] (kept in sync there). */
-  private def byteSimHash60(bytes: Array[Byte]): Long = {
+  private[streaming] def byteSimHash60(bytes: Array[Byte]): Long = {
     if (bytes == null || bytes.isEmpty) return 0L
     val bits = graft.operators.Dedup.simHashBits
     val votes = new Array[Int](bits)

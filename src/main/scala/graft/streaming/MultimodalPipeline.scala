@@ -176,4 +176,28 @@ object MultimodalPipeline {
       .persist()
     graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
   }
+
+  /** SIGNAL-level audio near-dup pairs: decode each payload
+    * ([[AudioCodec.decodeWav]] — RIFF/WAVE PCM, self-contained), take
+    * the Haitsma–Kalker band-energy-sign fingerprint
+    * ([[AudioCodec.fingerprint60]]), then the shared banded hamming
+    * self-join. What the byte signature cannot do: the same samples in
+    * a different chunk layout, or uniformly re-gained (×2^k exactly, by
+    * IEEE homogeneity), fingerprint IDENTICALLY while sharing almost no
+    * byte blocks; a corrupted first frame moves only LSH band 0's first
+    * frame-pair bits, so `maxHamming ≥ 4` with ≥2 bands is pigeonhole-
+    * guaranteed recall. Undecodable payloads fall back to the byte
+    * SimHash, so mixed corpora ride ONE join. Decode + fingerprint are
+    * per-row executor work; the join machinery stays whole-stage. */
+  def audioFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = udf { bytes: Array[Byte] =>
+      if (bytes == null) 0L else AudioCodec.signature60(bytes)
+    }
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sig(col(payloadCol).cast("binary")).as("simhash"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
+  }
 }
