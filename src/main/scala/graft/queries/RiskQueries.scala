@@ -41,6 +41,21 @@ object RiskQueries {
     }
     out
   }
+  /** mm_video_fp_pairs fixture: 16 deterministic 16×16 frames for a doc
+    * id — a 4×4 grid of 4×4 constant gray blocks, intensity
+    * md5(doc_id, frame, block) % 100 + 20 (≤ 119, so gain ×2 never
+    * clamps at 255). Top-level for the same serialization reason as
+    * [[audioSynth]]; VideoSpec mirrors it. */
+  private[graft] def videoFrames(did: Long, gain: Int = 1,
+      dropFirst: Boolean = false): IndexedSeq[(Int, Int) => Int] =
+    IndexedSeq.tabulate(16) { n =>
+      if (dropFirst && n == 0) (_: Int, _: Int) => 0
+      else (x: Int, y: Int) => {
+        val v = (graft.functions.Md5Hash.h1(s"vid:$did:$n:${x / 4}:${y / 4}") % 100 + 20).toInt * gain
+        (v << 16) | (v << 8) | v
+      }
+    }
+
   private type Q = (SparkSession, String) => DataFrame
 
   /** Per-order simple returns vs the market-aggregate return, both
@@ -422,6 +437,50 @@ object RiskQueries {
         graft.streaming.MultimodalPipeline.audioFingerprintPairs(
           corpus, "doc_id", "payload", maxHamming = 4, bands = 4),
         "audio_fp_pairs", d)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "mm_video_fp_pairs" -> ((s, d) => {
+      // FRAME perceptual near-dups — the video leg of the multimodal
+      // triad (pixels / signal / frames): each doc gets a deterministic
+      // 16-frame 16×16 video (4×4 grid of 4×4 gray blocks, intensity
+      // md5(doc_id, frame, block) % 100 + 20), muxed as uncompressed
+      // 24-bit AVI; planted variants re-mux the SAME frames with an
+      // inserted LIST metadata chunk (doc_id % 17 — the re-mux), double
+      // every pixel (doc_id % 23 — gain ×2, an EXACT fingerprint
+      // invariant by IEEE power-of-2 homogeneity of the integer-luma
+      // sums; intensities ≤ 119 so ×2 never clamps), and zero the first
+      // frame (doc_id % 29 — dropout; with 16 frames = 16 temporal
+      // groups, frame 0 feeds only group-pair 0's 4 bits, all in LSH
+      // band 0, so banding with maxHamming = 4 is pigeonhole-guaranteed
+      // recall). The pipeline DECODES the AVI (chunk walk skips the
+      // metadata list) and fingerprints region-luminance sign patterns,
+      // so all three variants pair with their base while distinct
+      // videos stay separate (verified at every SF; VideoSpec pins the
+      // fingerprint-level facts). The oracle is the forced pair
+      // STRUCTURE — a region-energy recursion has no faithful DuckDB
+      // replay.
+      val mkAvi = udf { did: Long =>
+        graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did)) }
+      val mkMux = udf { did: Long =>
+        graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did), extraChunk = true) }
+      val mkGain = udf { did: Long =>
+        graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did, gain = 2)) }
+      val mkDrop = udf { did: Long =>
+        graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did, dropFirst = true)) }
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = ids.select(col("doc_id"), mkAvi(col("doc_id")).as("payload"))
+        .unionAll(ids.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), mkMux(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), mkGain(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), mkDrop(col("doc_id")).as("payload")))
+      graft.core.Scratch.materialize(
+        graft.streaming.MultimodalPipeline.videoFingerprintPairs(
+          corpus, "doc_id", "payload", maxHamming = 4, bands = 4),
+        "video_fp_pairs", d)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -893,6 +952,25 @@ object RiskQueries {
     // result must be exactly the complete graph over each doc's copy
     // set.
     "mm_audio_fp_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id AS cid FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 3000000 FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 4000000 FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 5000000 FROM documents WHERE doc_id % 29 = 0)
+        |SELECT a.cid AS id_a, b.cid AS id_b
+        |FROM c a JOIN c b ON a.doc_id = b.doc_id AND b.cid > a.cid
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Video-fingerprint pair structure: identical forcing argument to
+    // mm_phash_pixels / mm_audio_fp_pairs — re-mux (chunk-layout) and
+    // pixel gain ×2 copies fingerprint IDENTICALLY (same decoded frames
+    // / exact IEEE power-of-2 homogeneity of the integer-luma region
+    // sums), first-frame dropout moves ≤ 4 bits all inside LSH band 0
+    // (recall by pigeonhole at maxHamming 4), distinct videos verified
+    // separate at every SF and pinned at fingerprint level by VideoSpec
+    // — so the result must be exactly the complete graph over each
+    // doc's copy set.
+    "mm_video_fp_pairs" ->
       """WITH c AS (
         |  SELECT doc_id, doc_id AS cid FROM documents
         |  UNION ALL SELECT doc_id, doc_id + 3000000 FROM documents WHERE doc_id % 17 = 0

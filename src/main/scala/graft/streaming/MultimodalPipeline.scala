@@ -200,4 +200,29 @@ object MultimodalPipeline {
       .persist()
     graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
   }
+
+  /** FRAME-level video near-dup pairs: decode each payload
+    * ([[VideoCodec.decodeAvi]] — RIFF/AVI uncompressed DIB,
+    * self-contained), take the temporal region-luminance fingerprint
+    * ([[VideoCodec.fingerprint60]]), then the shared banded hamming
+    * self-join. What the byte signature cannot do: the same frames in a
+    * different container layout (re-mux), or uniformly pixel-gained
+    * (×2^k exactly, by IEEE homogeneity of the integer-luma sums),
+    * fingerprint IDENTICALLY while sharing almost no byte blocks; a
+    * corrupted first temporal group moves only LSH band 0's first
+    * group-pair bits, so `maxHamming ≥ 4` with ≥2 bands is pigeonhole-
+    * guaranteed recall. Undecodable payloads fall back to the byte
+    * SimHash, so mixed corpora ride ONE join. Decode + fingerprint are
+    * per-row executor work; the join machinery stays whole-stage. */
+  def videoFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = udf { bytes: Array[Byte] =>
+      if (bytes == null) 0L else VideoCodec.signature60(bytes)
+    }
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sig(col(payloadCol).cast("binary")).as("simhash"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
+  }
 }
