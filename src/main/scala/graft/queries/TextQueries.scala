@@ -35,6 +35,47 @@ object TextQueries {
     })
 
   val queries: Map[String, Q] = Map(
+    "t_url_dedup" -> ((s, d) => {
+      // URL-ledger dedup — the web-corpus pre-pass BEFORE text dedup:
+      // canonicalize, group by canonical form, first-fetch-wins. Each
+      // doc gets a deterministic URL built from its own columns; planted
+      // variants (positive id offsets) exercise each canonicalization
+      // step: %17 adds only tracking params (utm_*/fbclid → stripped ≡
+      // base), %23 upper-cases scheme+host and adds the default :443
+      // port (case-folded + port-dropped ≡ base), %29 doubles slashes,
+      // adds a trailing slash and a #fragment (collapsed/stripped ≡
+      // base), %31 adds unsorted real params + a tracking param
+      // (canonicalizes to a SORTED ?a=1&b=2 — a singleton group that
+      // pins parameter sorting and selective removal via the canonical
+      // string itself). The oracle replays every canonicalization step
+      // in DuckDB string/list algebra — full value-level compare on
+      // (canonical_url, keep_id, n_urls).
+      val docs = Tables.scatter(Tables.documents(s, d))
+      def base(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("https://www."), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc-"), c)
+      val u0 = docs.select(col("doc_id").as("cid"), base(col("doc_id")).as("url"))
+      val u1 = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 3000000L).as("cid"),
+          concat(base(col("doc_id")),
+            lit("?utm_source=feed&utm_campaign=x&fbclid=abc")).as("url"))
+      val u2 = docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 4000000L).as("cid"),
+          concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".EXAMPLE.COM:443/"), col("lang"), lit("/doc-"),
+            col("doc_id")).as("url"))
+      val u3 = docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 5000000L).as("cid"),
+          concat(lit("https://www."), col("source"), lit(".example.com//"),
+            col("lang"), lit("//doc-"), col("doc_id"), lit("/#frag")).as("url"))
+      val u4 = docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 6000000L).as("cid"),
+          concat(base(col("doc_id")), lit("?b=2&a=1&utm_medium=m")).as("url"))
+      graft.operators.UrlOps.dedupByCanonicalUrl(
+          u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4), "url", "cid")
+        .orderBy(col("canonical_url"))
+    }),
+
     "t_token_stats" -> ((s, d) =>
       // tokenize once, share across all five metrics (see TextFunctions
       // scaladoc: interpreted higher-order Columns get no CSE); scatter —
@@ -596,6 +637,45 @@ object TextQueries {
        |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
+    // Full canonicalization replay: every step of UrlOps.canonicalizeUrl
+    // (fragment strip, scheme/host lower-case, default-port drop,
+    // slash collapse, trailing-slash strip, tracking-param removal,
+    // param sort) re-expressed in DuckDB string/list algebra over the
+    // SAME synthesized URL ledger, then the same min-id/count group-by.
+    "t_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id AS cid, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id AS url FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?utm_source=feed&utm_campaign=x&fbclid=abc' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 4000000, 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/doc-' || doc_id FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id + 5000000, 'https://www.' || source || '.example.com//' || lang || '//doc-' || doc_id || '/#frag' FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL SELECT doc_id + 6000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?b=2&a=1&utm_medium=m' FROM documents WHERE doc_id % 31 = 0),
+        |s1 AS (SELECT cid, string_split(url, '#')[1] AS nofrag FROM u),
+        |s2 AS (SELECT cid,
+        |  lower(nofrag[1 : strpos(nofrag, '://') - 1]) AS scheme,
+        |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1),
+        |s3 AS (SELECT *, string_split(rest, '/')[1] AS hostport,
+        |  rest[length(string_split(rest, '/')[1]) + 1 :] AS pathquery FROM s2),
+        |s4 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
+        |  strpos(hostport, ':') > 0 AS hasport,
+        |  string_split(hostport, ':')[-1] AS port,
+        |  strpos(pathquery, '?') AS qpos FROM s3),
+        |s5 AS (SELECT *,
+        |  CASE WHEN hasport AND NOT ((scheme = 'http' AND port = '80')
+        |    OR (scheme = 'https' AND port = '443'))
+        |    THEN host || ':' || port ELSE host END AS hostc,
+        |  CASE WHEN qpos > 0 THEN pathquery[1 : qpos - 1] ELSE pathquery END AS path,
+        |  CASE WHEN qpos > 0 THEN pathquery[qpos + 1 :] ELSE '' END AS qry FROM s4),
+        |s6 AS (SELECT *,
+        |  regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/+$', '', 'g') AS pathc,
+        |  array_to_string(list_sort(list_filter(string_split(qry, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
+        |  FROM s5),
+        |c AS (SELECT cid, scheme || '://' || hostc || pathc ||
+        |  CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url FROM s6)
+        |SELECT canonical_url, CAST(min(cid) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents)
          |SELECT doc_id,
