@@ -50,7 +50,11 @@ object TextQueries {
       // string itself). The oracle replays every canonicalization step
       // in DuckDB string/list algebra — full value-level compare on
       // (canonical_url, keep_id, n_urls).
-      val docs = Tables.scatter(Tables.documents(s, d))
+      // No per-branch scatter: canonicalization is map work that rides
+      // each branch's scan split, and the groupBy's hash exchange does
+      // the real redistribution — one scatter of the unioned ledger
+      // covers the single-split testdata parquet.
+      val docs = Tables.documents(s, d)
       def base(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         concat(lit("https://www."), col("source"),
         lit(".example.com/"), col("lang"), lit("/doc-"), c)
@@ -72,7 +76,8 @@ object TextQueries {
         .select((col("doc_id") + 6000000L).as("cid"),
           concat(base(col("doc_id")), lit("?b=2&a=1&utm_medium=m")).as("url"))
       graft.operators.UrlOps.dedupByCanonicalUrl(
-          u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4), "url", "cid")
+          Tables.scatter(u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4)),
+          "url", "cid")
         .orderBy(col("canonical_url"))
     }),
 

@@ -82,6 +82,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"agg fell out of codegen:\n$finalPlan")
   }
 
+  test("url dedup: canonicalizer stays in codegen, agg is two-phase, one shuffle") {
+    val df = SparkEntry.queries("t_url_dedup")(spark, sf)
+    val p = simple(df)
+    assert(p.contains("partial_min"), "no map-side partial aggregation")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"canonicalizer fell out of native Column algebra:\n$p")
+    // One scatter of the unioned ledger (testdata single-split artifact)
+    // + the canonical-string groupBy's hash exchange + the final
+    // orderBy's range exchange; anything more means the Column-algebra
+    // canonicalizer started materializing intermediates or the union
+    // branches grew per-branch exchanges.
+    assert(shuffles(df) <= 3, s"url dedup shuffles > 3:\n$p")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(raw"\*\(\d+\) HashAggregate".r.findFirstIn(finalPlan).isDefined,
+      s"url agg fell out of codegen:\n$finalPlan")
+  }
+
   test("j8 as-of join never degenerates to a nested-loop/cartesian") {
     val p = simple(SparkEntry.queries("j8_asof_join")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"as-of exploded:\n$p")
