@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-budget corpus cut: keep the highest-quality documents until a
+  * token budget is exhausted — the curation step that turns "score every
+  * doc" into "the training set is the best N tokens" (the FineWeb/DCLM
+  * pipeline shape). LLM-operator family (SURVEY §2.14), not a reference
+  * capability.
+  *
+  * The naive form — global sort by score + running token sum — is a
+  * full-corpus range exchange plus a single-partition window: the
+  * classic 100 TB scale-killer. This is the two-pass histogram form
+  * instead:
+  *
+  *   1. one partial-agg shuffle builds per-score-bucket token totals
+  *      (≤ `buckets`+1 rows — model-sized, collected to the driver like
+  *      centroid/seed tables elsewhere in this repo);
+  *   2. a driver prefix-scan over the descending buckets finds the
+  *      boundary bucket and its residual budget;
+  *   3. full buckets pass wholesale as a map-only filter (`__b >
+  *      boundary` — fused into the scan); ONLY the boundary bucket —
+  *      corpus/buckets of the data, not the corpus — pays a sorted
+  *      window for the exact cutoff.
+  *
+  * Keep rule inside the boundary bucket: (score desc, id asc) order,
+  * keep while the inclusive running token sum fits the residual budget —
+  * deterministic, and exact integer arithmetic end to end.
+  *
+  * Contract: `scoreCol` in [0,1] (clamped); one bucket must fit a task's
+  * window comfortably — with the default 1000 buckets that is 0.1% of
+  * the corpus, and a skew-heavy score distribution wants more buckets,
+  * not a different algorithm.
+  */
+object BudgetCut {
+
+  /** Returns `docs`' (idCol, scoreCol, tokensCol) rows that survive the
+    * cut (tokensCol cast to long). */
+  def qualityBudgetCut(docs: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budgetTokens: Long, buckets: Int = 1000): DataFrame = {
+    val withB = docs
+      .select(col(idCol), col(scoreCol), col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("__b",
+        floor(least(greatest(col(scoreCol), lit(0.0)), lit(1.0)) * buckets).cast("int"))
+    // Pass 1: bounded histogram (bucket → token mass), driver-side
+    // prefix scan descending. rows ≤ buckets+1 — model-sized by contract.
+    val hist = withB.groupBy("__b").agg(sum(tokensCol).as("__t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var rem = budgetTokens
+    var minFull = Int.MaxValue // smallest fully-kept bucket; MaxValue = none fit
+    var boundary = Int.MinValue // bucket that only partially fits, if any
+    var boundaryBudget = 0L
+    var done = false
+    val it = hist.iterator
+    while (!done && it.hasNext) {
+      val (bk, t) = it.next()
+      if (rem <= 0) done = true
+      else if (t <= rem) { minFull = bk; rem -= t }
+      else { boundary = bk; boundaryBudget = rem; done = true }
+    }
+    // Every present bucket ≥ minFull was visited descending and fit
+    // wholesale (empty-budget edge: minFull stays MaxValue → keeps none;
+    // budget ≥ total: minFull = smallest present bucket → keeps all).
+    val fullPart = withB.filter(col("__b") >= lit(minFull))
+    val kept =
+      if (boundary == Int.MinValue) fullPart
+      else {
+        // Pass 2 (boundary bucket only): exact cutoff by inclusive
+        // running token sum in (score desc, id) order. The window
+        // partition is the single boundary bucket — tiny by the
+        // bucket-size contract.
+        val w = Window.partitionBy("__b")
+          .orderBy(col(scoreCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundPart = withB.filter(col("__b") === lit(boundary))
+          .withColumn("__run", sum(tokensCol).over(w))
+          .filter(col("__run") <= boundaryBudget)
+          .drop("__run")
+        fullPart.unionAll(boundPart)
+      }
+    kept.drop("__b")
+  }
+}

@@ -81,6 +81,29 @@ object TextQueries {
         .orderBy(col("canonical_url"))
     }),
 
+    "t_quality_budget_cut" -> ((s, d) => {
+      // Curation cut: the best documents by composite quality until a
+      // token budget (here 3/5 of the corpus' tokens — exact integer
+      // arithmetic both sides) is exhausted. Scoring materializes once
+      // to scratch (the realistic shape: a scoring job writes the score
+      // ledger; the cut is a second job over it), then the two-pass
+      // histogram cut: bounded per-bucket token histogram → driver
+      // prefix scan → wholesale keep of full buckets + a tiny window
+      // over ONLY the boundary bucket. No global sort anywhere.
+      val scored = graft.core.Scratch.materialize(
+        Tables.scatter(Tables.documents(s, d))
+          .withColumn("__toks", tokens(col("text")))
+          .withColumn("__ltoks", tokens(lower(col("text"))))
+          .select(col("doc_id"),
+            qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"),
+            tokenCountOf(col("__toks")).cast("long").as("n_tokens")),
+        "qbudget_scored", d)
+      val budget = scored.agg(sum("n_tokens")).first.getLong(0) * 3 / 5
+      graft.operators.BudgetCut.qualityBudgetCut(
+          scored, "doc_id", "quality", "n_tokens", budget, buckets = 1000)
+        .orderBy(col("doc_id"))
+    }),
+
     "t_token_stats" -> ((s, d) =>
       // tokenize once, share across all five metrics (see TextFunctions
       // scaladoc: interpreted higher-order Columns get no CSE); scatter —
@@ -642,6 +665,49 @@ object TextQueries {
        |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
+    // Histogram-cut replay: same quality formula as t_quality_langid
+    // (round-6 doubles are bit-identical cross-engine, so the bucket
+    // quantization floor(q*1000) agrees exactly), same 3/5-of-total
+    // integer budget, then the bucket prefix-sum replaces the driver
+    // scan: full buckets = prefix-before + bucket total ≤ budget, the
+    // single boundary bucket replays the (quality desc, doc_id) running
+    // token sum against the residual budget.
+    "t_quality_budget_cut" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents),
+         |parts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score,
+         |  1.0 - least((CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+         |  CASE WHEN (CASE WHEN len(toks) > 0 THEN
+         |        CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) ELSE 0.0 END)
+         |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+         |  least((CASE WHEN len(ltoks) > 0 THEN
+         |      CAST(len(list_filter(ltoks, x -> list_contains($enStops, x))) AS DOUBLE) / len(ltoks)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS sw_score
+         |FROM t),
+         |q AS (SELECT doc_id, n_tokens,
+         |  round(length_score * 0.4 + punct_score * 0.2 + word_score * 0.2 + sw_score * 0.2, 6) AS quality
+         |FROM parts),
+         |qb AS (SELECT *, CAST(floor(least(greatest(quality, 0), 1) * 1000) AS INT) AS b FROM q),
+         |bud AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 5 AS budget FROM q),
+         |hist AS (SELECT b, CAST(sum(n_tokens) AS BIGINT) AS bt FROM qb GROUP BY b),
+         |cum AS (SELECT b, bt, CAST(coalesce(sum(bt) OVER (ORDER BY b DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM hist),
+         |sel AS (SELECT qb.doc_id, qb.quality, qb.n_tokens, qb.b, c.bt, c.cumb, bud.budget
+         |  FROM qb JOIN cum c ON qb.b = c.b CROSS JOIN bud),
+         |keep AS (
+         |  SELECT doc_id, quality, n_tokens FROM sel WHERE cumb + bt <= budget
+         |  UNION ALL
+         |  SELECT doc_id, quality, n_tokens FROM (
+         |    SELECT s.doc_id, s.quality, s.n_tokens, s.cumb, s.budget,
+         |      CAST(sum(s.n_tokens) OVER (PARTITION BY s.b
+         |        ORDER BY s.quality DESC, s.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+         |    FROM sel s WHERE s.cumb < s.budget AND s.cumb + s.bt > s.budget) x
+         |  WHERE run <= budget - cumb)
+         |SELECT doc_id, quality, n_tokens FROM keep ORDER BY doc_id""".stripMargin,
+
     // Full canonicalization replay: every step of UrlOps.canonicalizeUrl
     // (fragment strip, scheme/host lower-case, default-port drop,
     // slash collapse, trailing-slash strip, tracking-param removal,
