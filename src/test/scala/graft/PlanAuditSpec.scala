@@ -100,6 +100,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"url agg fell out of codegen:\n$finalPlan")
   }
 
+  test("budget cut: boundary window is bucket-partitioned, never corpus-wide") {
+    // The two-pass histogram cut exists to avoid the naive global-sort
+    // running sum. Any Window in the plan must partition by the bucket
+    // column (tiny boundary bucket), and no exchange below it may be
+    // SinglePartition — either regression re-creates the one-task scan.
+    val df = SparkEntry.queries("t_quality_budget_cut")(spark, sf)
+    val p = simple(df)
+    val windows = raw"(?m)^.*Window .*$$".r.findAllIn(p).toList
+    assert(windows.forall(_.contains("windowspecdefinition(__b")),
+      s"boundary window lost its bucket partitioning:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange crept into the cut:\n$p")
+  }
+
   test("j8 as-of join never degenerates to a nested-loop/cartesian") {
     val p = simple(SparkEntry.queries("j8_asof_join")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"as-of exploded:\n$p")
