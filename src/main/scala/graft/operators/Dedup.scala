@@ -412,22 +412,28 @@ object Dedup {
     * unpersists it before returning the persisted pair set.
     */
   private[graft] def bandedHammingPairs(sigs: DataFrame,
-      maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+      maxHamming: Int, bands: Int, maxBucketSize: Int,
+      blockCol: Option[String] = None): DataFrame = {
     require(simHashBits % bands == 0,
       s"bands=$bands must divide $simHashBits signature bits — a remainder " +
       "would leave trailing bits un-banded and break the pigeonhole recall bound")
     val bandBits = simHashBits / bands
     val mask = (1L << bandBits) - 1
-    val banded0 = sigs.select(col("__id"),
+    // An optional blocking column joins the band-bucket key: rows in
+    // different blocks (e.g. media formats whose fingerprints live in
+    // incomparable spaces) can never bucket together, so cross-block
+    // pairs are impossible by construction rather than improbable.
+    val bkCols = Seq("band", "bk") ++ blockCol
+    val banded0 = sigs.select(col("__id") +: blockCol.map(col).toSeq :+
       posexplode(array((0 until bands).map { b =>
         shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)
-      }: _*)).as(Seq("band", "bk")))
-    val ok = banded0.groupBy(col("band"), col("bk"))
+      }: _*)).as(Seq("band", "bk")): _*)
+    val ok = banded0.groupBy(bkCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize).drop("__n")
-    val banded = banded0.join(ok, Seq("band", "bk"), "left_semi")
-    val pairs = banded.select(col("band"), col("bk"), col("__id").as("id_a"))
-      .join(banded.select(col("band"), col("bk"), col("__id").as("id_b")),
-        Seq("band", "bk"))
+    val banded = banded0.join(ok, bkCols, "left_semi")
+    val pairs = banded.select(bkCols.map(col) :+ col("__id").as("id_a"): _*)
+      .join(banded.select(bkCols.map(col) :+ col("__id").as("id_b"): _*),
+        bkCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

@@ -56,6 +56,31 @@ object RiskQueries {
       }
     }
 
+  /** mm_mixed_media_pairs fixture: each doc's modality is doc_id % 3
+    * (0 image, 1 audio, 2 video), reusing the per-modality synths; the
+    * variant re-keys the SAME content through a layout change (PPM
+    * re-encode / WAV re-mux / AVI re-mux — all exact fingerprint
+    * invariants). Junk payloads are 16 concatenated md5-hex blocks —
+    * mutually dissimilar by construction, so the byte SimHash separates
+    * distinct junk docs while identical copies collide at hamming 0. */
+  private[graft] def mixedRaster(did: Long)(x: Int, y: Int): Int = {
+    val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
+    (v << 16) | (v << 8) | v
+  }
+  private[graft] def mixedBase(did: Long): Array[Byte] = (did % 3) match {
+    case 0 => graft.streaming.ImageCodec.encodeBmp(32, 32, mixedRaster(did))
+    case 1 => graft.streaming.AudioCodec.encodeWav(audioSynth(did), 8000)
+    case _ => graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did))
+  }
+  private[graft] def mixedVariant(did: Long): Array[Byte] = (did % 3) match {
+    case 0 => graft.streaming.ImageCodec.encodePpm(32, 32, mixedRaster(did))
+    case 1 => graft.streaming.AudioCodec.encodeWav(audioSynth(did), 8000, extraChunk = true)
+    case _ => graft.streaming.VideoCodec.encodeAvi(16, 16, videoFrames(did), extraChunk = true)
+  }
+  private[graft] def mixedJunk(did: Long): Array[Byte] =
+    (0 until 16).map(i => f"${graft.functions.Md5Hash.h1(s"junk:$did:$i")}%016x")
+      .mkString.getBytes("UTF-8")
+
   private type Q = (SparkSession, String) => DataFrame
 
   /** Per-order simple returns vs the market-aggregate return, both
@@ -481,6 +506,39 @@ object RiskQueries {
         graft.streaming.MultimodalPipeline.videoFingerprintPairs(
           corpus, "doc_id", "payload", maxHamming = 4, bands = 4),
         "video_fp_pairs", d)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "mm_mixed_media_pairs" -> ((s, d) => {
+      // The MIXED corpus — the production shape the three per-format
+      // queries factor out: every doc carries one payload whose format
+      // is doc_id % 3 (BMP image / WAV audio / AVI video), %17 docs add
+      // a layout-changed copy of the SAME content (PPM re-encode / WAV
+      // re-mux / AVI re-mux — exact fingerprint invariants, hamming 0),
+      // and %41 docs add a junk (non-media) payload plus its identical
+      // byte copy. ONE pass sniffs containers, fingerprints each payload
+      // with its own codec, and ONE banded join — format-BLOCKED, so
+      // cross-format pairs are impossible by construction — returns the
+      // pair set. Distinct docs stay separate per the per-format
+      // separation already verified at every SF with these same synths;
+      // junk docs are md5-hex chains, mutually dissimilar by design.
+      // Oracle = the forced pair structure.
+      val mkBase = udf { did: Long => mixedBase(did) }
+      val mkVar = udf { did: Long => mixedVariant(did) }
+      val mkJunk = udf { did: Long => mixedJunk(did) }
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = ids.select(col("doc_id"), mkBase(col("doc_id")).as("payload"))
+        .unionAll(ids.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), mkVar(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), mkJunk(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"), mkJunk(col("doc_id")).as("payload")))
+      graft.core.Scratch.materialize(
+        graft.streaming.MultimodalPipeline.mediaFingerprintPairs(
+          corpus, "doc_id", "payload", maxHamming = 4, bands = 4),
+        "mixed_media_pairs", d)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -970,6 +1028,19 @@ object RiskQueries {
     // separate at every SF and pinned at fingerprint level by VideoSpec
     // — so the result must be exactly the complete graph over each
     // doc's copy set.
+    // Mixed-media pair structure: all planted copies are layout-only
+    // (same decoded content → identical fingerprints, hamming 0) or
+    // byte-identical junk, the format-blocked banding makes cross-format
+    // pairs impossible by construction, and per-format separation of
+    // distinct docs is the property already verified at every SF with
+    // the same synths — so the result is exactly the planted pairs.
+    "mm_mixed_media_pairs" ->
+      """SELECT id_a, id_b FROM (
+        |  SELECT doc_id AS id_a, doc_id + 3000000 AS id_b FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, doc_id + 7000000 FROM documents WHERE doc_id % 41 = 0) p
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "mm_video_fp_pairs" ->
       """WITH c AS (
         |  SELECT doc_id, doc_id AS cid FROM documents

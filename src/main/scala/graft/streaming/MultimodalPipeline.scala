@@ -214,6 +214,44 @@ object MultimodalPipeline {
     * guaranteed recall. Undecodable payloads fall back to the byte
     * SimHash, so mixed corpora ride ONE join. Decode + fingerprint are
     * per-row executor work; the join machinery stays whole-stage. */
+  /** Container sniff + fingerprint dispatch for a MIXED media corpus:
+    * BMP/PPM → pixel pHash, RIFF/WAVE → audio band-energy signs,
+    * RIFF/AVI → video region-luma signs, anything else → the byte-block
+    * SimHash. Returns (signature, formatBlock); the block is the
+    * sniffed container, so a payload whose decode fails still competes
+    * only inside its own container class (byte-level fallback there). */
+  private[graft] def sniffSignature(bytes: Array[Byte]): (Long, String) = {
+    def at(i: Int, s: String): Boolean =
+      bytes.length >= i + s.length && s.indices.forall(k => bytes(i + k) == s(k).toByte)
+    if (at(0, "BM") || at(0, "P6")) (ImageCodec.signature60(bytes), "img")
+    else if (at(0, "RIFF") && at(8, "WAVE")) (AudioCodec.signature60(bytes), "aud")
+    else if (at(0, "RIFF") && at(8, "AVI ")) (VideoCodec.signature60(bytes), "vid")
+    else (ImageCodec.byteSimHash60(bytes), "bin")
+  }
+
+  /** Near-dup pairs over a MIXED media corpus — the production shape: a
+    * real 100 TB media lake is not pre-separated by format. One pass
+    * sniffs each payload's container and fingerprints it with the
+    * matching codec; ONE banded hamming self-join finds pairs, with the
+    * format as an LSH blocking key ([[graft.operators.Dedup]]'s
+    * `blockCol`) so cross-format pairs — fingerprints from incomparable
+    * spaces — are impossible by construction, not merely improbable.
+    * Per-format invariants (re-encode, re-mux, gain) carry over
+    * unchanged because each payload rides its own codec's fingerprint. */
+  def mediaFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = udf { bytes: Array[Byte] =>
+      if (bytes == null) (0L, "bin") else sniffSignature(bytes)
+    }
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sig(col(payloadCol).cast("binary")).as("__s"))
+      .select(col("__id"), col("__s._1").as("simhash"), col("__s._2").as("blk"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands,
+      maxBucketSize, blockCol = Some("blk"))
+  }
+
   def videoFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     val sig = udf { bytes: Array[Byte] =>

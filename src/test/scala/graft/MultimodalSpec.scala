@@ -112,4 +112,38 @@ class MultimodalSpec extends AnyFunSuite {
     val ppm = ImageCodec.encodePpm(32, 32, baseRgb(1L))
     assert(ImageCodec.decode(java.util.Arrays.copyOf(ppm, 50)).isEmpty)
   }
+
+  test("mixed-corpus sniff routes each container to its codec; junk → byte block") {
+    import graft.streaming.{AudioCodec, MultimodalPipeline, VideoCodec}
+    val img = ImageCodec.encodeBmp(32, 32, baseRgb(2L))
+    val ppm = ImageCodec.encodePpm(32, 32, baseRgb(2L))
+    val wav = AudioCodec.encodeWav(Array.tabulate(2048)(i =>
+      (math.sin(i * 0.1) * 8000).toShort), 8000)
+    val avi = VideoCodec.encodeAvi(16, 16,
+      graft.queries.RiskQueries.videoFrames(2L))
+    assert(MultimodalPipeline.sniffSignature(img) ===
+      (ImageCodec.signature60(img), "img"))
+    assert(MultimodalPipeline.sniffSignature(ppm)._2 === "img")
+    assert(MultimodalPipeline.sniffSignature(wav) ===
+      (AudioCodec.signature60(wav), "aud"))
+    assert(MultimodalPipeline.sniffSignature(avi) ===
+      (VideoCodec.signature60(avi), "vid"))
+    assert(MultimodalPipeline.sniffSignature("plain".getBytes)._2 === "bin")
+    // a truncated WAV still lands in the "aud" block, on byte fallback
+    val cut = java.util.Arrays.copyOf(wav, 16)
+    assert(MultimodalPipeline.sniffSignature(cut)._2 === "aud")
+    assert(AudioCodec.decodeWav(cut).isEmpty)
+  }
+
+  test("format blocking: identical signatures in different blocks never pair") {
+    val spark = graft.core.GraftSession.local(4, "graft-test")
+    import spark.implicits._
+    val sigs = Seq((1L, 42L, "img"), (2L, 42L, "aud"), (3L, 42L, "img"))
+      .toDF("__id", "simhash", "blk")
+    val pairs = graft.operators.Dedup.bandedHammingPairs(
+        sigs, maxHamming = 4, bands = 4, maxBucketSize = 100,
+        blockCol = Some("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect.toSet
+    assert(pairs === Set((1L, 3L))) // same block pairs; cross-block never
+  }
 }
