@@ -236,6 +236,11 @@ object RelationalOracles {
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // Window order tie-breaks by every consumed measure (see the Spark
+    // side): sf0.1 has duplicate (ship_date, orderkey, linenumber) keys,
+    // and without the tie-break the running values after a tie depend on
+    // engine-internal arrival order — the round-10 sf0.1 sweep caught
+    // both engines flapping on one such pair.
     "w3_running_windows" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, ship_date,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_qty,
@@ -244,9 +249,11 @@ object RelationalOracles {
         |  last_value(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END IGNORE NULLS) OVER w AS last_r_price
         |FROM (SELECT *, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem) t
         |WINDOW w AS (PARTITION BY l_suppkey, year(ship_date)
-        |  ORDER BY ship_date, l_orderkey, l_linenumber
+        |  ORDER BY ship_date, l_orderkey, l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount, l_returnflag
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+        |  run_qty, run_price, cum_ratio""".stripMargin,
 
     "w6_rank_topk" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (

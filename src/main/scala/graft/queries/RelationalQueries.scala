@@ -339,8 +339,17 @@ object RelationalQueries {
       // withColumn puts a Project between consecutive Window nodes, which
       // blocks CollapseWindow and plans four shuffles instead of one
       // (caught by PlanAuditSpec).
+      // (ship_date, orderkey, linenumber) is NOT a total order: sf0.1
+      // has duplicate keys with different measures, and a tied window
+      // order makes every running value after the tie depend on
+      // partition-internal arrival order (caught by the round-10 sf0.1
+      // sweep — both engines flapped). Tie-break by every column the
+      // running frames consume; rows still tied are then value-identical
+      // and order-irrelevant by construction.
       val w = Window.partitionBy(col("l_suppkey"), year(col("ship_date")))
-        .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"))
         .rowsBetween(Window.unboundedPreceding, 0)
       li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("ship_date"),
         sum(col("l_quantity").cast(dec)).over(w).cast("double").as("run_qty"),
@@ -349,7 +358,8 @@ object RelationalQueries {
           .as("cum_ratio"),
         last(when(col("l_returnflag") === "R", col("l_extendedprice")), ignoreNulls = true).over(w)
           .as("last_r_price"))
-        .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"), col("l_linenumber"),
+          col("run_qty"), col("run_price"), col("cum_ratio"))
     }),
 
     "w6_rank_topk" -> ((s, d) => {
