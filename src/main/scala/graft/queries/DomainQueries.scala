@@ -97,13 +97,15 @@ object DomainQueries {
     * handled on a real cluster (no executor-memory residency bet).
     */
   private val barsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def futuresBarsCached(s: SparkSession, d: String): DataFrame =
-    barsCache.computeIfAbsent((s, d), { case (ss, dd) =>
-      val path = graft.core.Scratch.path("bars", dd)
-      futuresBars(ss, dd).write.mode("overwrite").parquet(path)
-      ss.read.parquet(path)
+    new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
+  private def futuresBarsCached(s: SparkSession, d: String): DataFrame = {
+    barsCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    barsCache.getOrElseUpdate((s, d), {
+      val path = graft.core.Scratch.path("bars", d)
+      futuresBars(s, d).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
+  }
 
   val queries: Map[String, Q] = Map(
     // ── D4: YTD→quarterly (flatMapGroups state machine) ──────────────

@@ -25,14 +25,15 @@ object TextQueries {
     * form of the shared intermediate (cf. futuresBarsCached).
     */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent((s, d), { case (ss, dd) =>
+    new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
+  private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
+    pairsCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    pairsCache.getOrElseUpdate((s, d),
       graft.core.Scratch.materialize(
-        Dedup.minHashDupPairs(Tables.documents(ss, dd), "doc_id", "text",
+        Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
           shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4),
-        "mh_pairs", dd)
-    })
+        "mh_pairs", d))
+  }
 
   val queries: Map[String, Q] = Map(
     "t_url_dedup" -> ((s, d) => {
