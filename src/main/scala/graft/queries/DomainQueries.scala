@@ -464,6 +464,44 @@ object DomainQueries {
         .orderBy(col("doc_id"), col("prior_id"), col("band"))
     }),
 
+    "stream_media_neardup" -> ((s, d) => {
+      // Streaming twin of mm_mixed_media_pairs: the mixed image/audio/
+      // video/junk corpus (same synths, RiskQueries.mixed*) arrives as
+      // two parity micro-batches; each payload is container-sniffed and
+      // codec-fingerprinted on arrival, state is keyed by (format, band,
+      // bucket) so cross-format comparisons are structurally impossible,
+      // and hits are cross-batch only. Variant offsets are ODD
+      // (+3000001 / +7000001) precisely so every planted copy lands in
+      // the OPPOSITE parity batch from its base — each planted pair is
+      // forced to emit, once per band (identical fingerprints collide in
+      // all 4). Oracle = that forced structure; fingerprint-level facts
+      // are pinned by MultimodalSpec/AudioSpec/VideoSpec.
+      val mkBase = udf { did: Long => RiskQueries.mixedBase(did) }
+      val mkVar = udf { did: Long => RiskQueries.mixedVariant(did) }
+      val mkJunk = udf { did: Long => RiskQueries.mixedJunk(did) }
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = ids.select(col("doc_id"), mkBase(col("doc_id")).as("payload"))
+        .unionAll(ids.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000001L).as("doc_id"), mkVar(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), mkJunk(col("doc_id")).as("payload")))
+        .unionAll(ids.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 7000001L).as("doc_id"), mkJunk(col("doc_id")).as("payload")))
+      val staged = graft.core.Scratch.materialize(corpus, "stream_media_src", d)
+      val streamDir = stageParityHalves(s, staged, "doc_id", "graft_stream_media")
+      TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val hits = graft.streaming.NearDupStream.mediaNearDupFlags(
+          s, raw, "doc_id", "payload", maxHamming = 4)
+        val q = hits.writeStream.outputMode("update").format("memory")
+          .queryName("graft_stream_media").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("graft_stream_media")
+        .orderBy(col("doc_id"), col("prior_id"), col("band"))
+    }),
+
     // ── Streaming: stream-stream interval join (attribution) ────────
     "stream_join_attrib" -> ((s, d) => {
       // view→purchase attribution: join two event-time streams on
@@ -932,6 +970,27 @@ object DomainQueries {
         |  ON p.band = n.band AND p.bk = n.bk AND n.batch = 1
         |WHERE bit_count(xor(n.simhash, p.simhash)) <= 20
         |ORDER BY n.doc_id, p.doc_id, band""".stripMargin,
+
+    // Forced cross-batch structure of the mixed-media stream: every
+    // planted copy (layout-only re-encode/re-mux, identical junk bytes)
+    // fingerprints IDENTICALLY to its base (hamming 0 — the invariants
+    // proven in the codec specs), the odd id offsets put copy and base
+    // in opposite parity batches, identical signatures collide in all 4
+    // bands, and format-keyed state plus per-format separation (verified
+    // at every SF by the batch query) exclude everything else.
+    "stream_media_neardup" ->
+      """WITH pairs AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN doc_id + 3000001 ELSE doc_id END AS doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id + 3000001 END AS prior_id
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN doc_id + 7000001 ELSE doc_id + 6000000 END,
+        |         CASE WHEN doc_id % 2 = 0 THEN doc_id + 6000000 ELSE doc_id + 7000001 END
+        |  FROM documents WHERE doc_id % 41 = 0)
+        |SELECT doc_id, prior_id, CAST(b.range AS BIGINT) AS band,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM pairs, range(0, 4) b
+        |ORDER BY doc_id, prior_id, band""".stripMargin,
 
     "stream_corpus_curate" ->
       """WITH t AS (

@@ -42,8 +42,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object NearDupStream {
   case class BandRow(doc_id: Long, simhash: Long, band: Int, bk: Long)
+  case class MediaBandRow(doc_id: Long, simhash: Long, blk: String, band: Int, bk: Long)
   case class Hit(doc_id: Long, prior_id: Long, band: Long, hamming: Long)
   case class BucketState(members: List[(Long, Long)])
+
+  /** The shared per-bucket step: signature-group collapse, distinct-pair
+    * hamming, member fan-out for qualifying pairs, deterministic
+    * lowest-id state cap. Both the text and the media groupers run this
+    * body — only their grouping keys differ. */
+  private def bucketStep(band: Int, cur: List[(Long, Long)],
+      st: GroupState[BucketState], maxHamming: Int, maxBucket: Int): Iterator[Hit] = {
+    val prior = st.getOption.map(_.members).getOrElse(Nil)
+    val priorBySig =
+      prior.groupBy(_._2).iterator.map { case (s, m) => (s, m.map(_._1)) }.toArray
+    val curBySig =
+      cur.groupBy(_._2).iterator.map { case (s, m) => (s, m.map(_._1)) }.toArray
+    val hits = for {
+      (sig, ids) <- curBySig.iterator
+      (psig, pids) <- priorBySig.iterator
+      h = java.lang.Long.bitCount(sig ^ psig) if h <= maxHamming
+      id <- ids.iterator
+      pid <- pids.iterator
+    } yield Hit(id, pid, band.toLong, h.toLong)
+    st.update(BucketState((prior ++ cur).sortBy(_._1).take(maxBucket)))
+    hits
+  }
 
   def nearDupFlags(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int, bands: Int = 4,
@@ -63,24 +86,44 @@ object NearDupStream {
     banded.groupByKey(r => (r.band, r.bk))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), rows: Iterator[BandRow], st: GroupState[BucketState]) =>
-          val prior = st.getOption.map(_.members).getOrElse(Nil)
-          val cur = rows.map(r => (r.doc_id, r.simhash)).toList
-          // Signature-group collapse: fold both sides by signature,
-          // compare distinct-signature pairs, fan members out only for
-          // qualifying pairs (= the mandated output rows).
-          val priorBySig =
-            prior.groupBy(_._2).iterator.map { case (s, m) => (s, m.map(_._1)) }.toArray
-          val curBySig =
-            cur.groupBy(_._2).iterator.map { case (s, m) => (s, m.map(_._1)) }.toArray
-          val hits = for {
-            (sig, ids) <- curBySig.iterator
-            (psig, pids) <- priorBySig.iterator
-            h = java.lang.Long.bitCount(sig ^ psig) if h <= maxHamming
-            id <- ids.iterator
-            pid <- pids.iterator
-          } yield Hit(id, pid, key._1.toLong, h.toLong)
-          st.update(BucketState((prior ++ cur).sortBy(_._1).take(maxBucket)))
-          hits
+          bucketStep(key._1, rows.map(r => (r.doc_id, r.simhash)).toList,
+            st, maxHamming, maxBucket)
+      }
+  }
+
+  /** Streaming near-dup over a MIXED media stream — the streaming twin
+    * of [[MultimodalPipeline.mediaFingerprintPairs]]: each arriving
+    * payload is container-sniffed and fingerprinted with its own codec
+    * ([[MultimodalPipeline.sniffSignature]]), and the per-bucket state
+    * is keyed by (format, band, bucket) so cross-format comparisons
+    * never happen — the state-space analogue of the batch blockCol.
+    * Same strictly-earlier-batch emission, same deterministic lowest-id
+    * cap, same signature-group collapse as the text path. */
+  def mediaNearDupFlags(spark: SparkSession, docs: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int, bands: Int = 4,
+      maxBucket: Int = 1000): Dataset[Hit] = {
+    import spark.implicits._
+    require(Dedup.simHashBits % bands == 0,
+      s"bands=$bands must divide ${Dedup.simHashBits} signature bits")
+    val bandBits = Dedup.simHashBits / bands
+    val mask = (1L << bandBits) - 1
+    val sig = udf { bytes: Array[Byte] =>
+      if (bytes == null) (0L, "bin") else MultimodalPipeline.sniffSignature(bytes)
+    }
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), sig(col(payloadCol).cast("binary")).as("__s"))
+      .select(col("doc_id"), col("__s._1").as("simhash"), col("__s._2").as("blk"))
+    val banded = sigs.select(col("doc_id"), col("simhash"), col("blk"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bk")))
+      .as[MediaBandRow]
+    banded.groupByKey(r => (r.blk, r.band, r.bk))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int, Long), rows: Iterator[MediaBandRow],
+            st: GroupState[BucketState]) =>
+          bucketStep(key._2, rows.map(r => (r.doc_id, r.simhash)).toList,
+            st, maxHamming, maxBucket)
       }
   }
 }
