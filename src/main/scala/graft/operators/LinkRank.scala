@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis (PageRank) in EXACT integer arithmetic — the
+  * host-rank primitive of web-corpus curation (rank sources by the link
+  * graph, weight sampling by rank). LLM-operator family (SURVEY §2.14).
+  *
+  * Ranks are picounits (BIGINT, `scale` = 1e12 mass total), every step
+  * is integer floor arithmetic — `floor(rank / outdeg)` contributions,
+  * `floor(sum × damping / 100)` mixing — so the fixed-point after any
+  * number of iterations is bit-identical in any engine and any
+  * evaluation order (integer sums are associative; no fp anywhere).
+  * The deliberate floor "leakage" (sub-picounit remainders and
+  * dangling-node mass) is part of the spec, not an accident: exactness
+  * of the replay beats the ~1e-12 relative mass drift.
+  *
+  * Plan shape per iteration: one shuffle join (edges ⋈ ranks on src,
+  * both hash-partitioned on the join key) + one partial-agg shuffle
+  * (groupBy dst) + a broadcast-free left join back to the static node
+  * table — the Pregel superstep expressed in joins, linear in |edges|,
+  * no driver-side adjacency. Iterations are a fixed small constant
+  * (rank converges geometrically at `damping`), so total cost is
+  * O(iterations × |edges|) with bounded shuffles.
+  */
+object LinkRank {
+
+  /** Integer PageRank over a directed edge list.
+    *
+    * @param edges  (srcCol, dstCol) — duplicate edges count twice
+    *               (parallel-edge semantics; `.distinct()` upstream for
+    *               simple-graph semantics)
+    * @return (node, rank) for every node appearing as src or dst,
+    *         rank in picounits of total mass `scale`
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    // Static per-node table (node, outdeg) — reused every superstep.
+    val base = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist()
+    val n = base.count() // materializes the persist; N for the teleport term
+    val r0 = scale / n
+    val teleport = scale * (100L - dampingPct) / 100L / n
+    var ranks = base.select(col("node"), col("outdeg"), lit(r0).as("rank"))
+    for (_ <- 0 until iterations) {
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+      // rounding can differ from integer floor at picounit magnitudes.
+      val contrib = e.join(ranks.filter(col("outdeg") > 0)
+            .select(col("node").as("src"),
+              expr("rank div outdeg").as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+      ranks = base.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(teleport) +
+            expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
+    }
+    val out = ranks.select(col("node"), col("rank")).persist()
+    out.count()
+    base.unpersist()
+    out
+  }
+}

@@ -626,6 +626,25 @@ object MoreQueries {
     // lift multiplies/divides exact longs once per surviving pair.
     // Top-50 by (lift, then pair id) keeps the output deterministic
     // through double ties.
+    "a18_link_rank" -> ((s, d) => {
+      // Iterative link analysis over the customer↔supplier bipartite
+      // graph (both directions of the distinct order-line relation),
+      // 3 integer-exact PageRank supersteps — the host-rank primitive a
+      // web-corpus pipeline uses to weight sources. Every step is BIGINT
+      // floor arithmetic (see LinkRank), so the oracle replays the
+      // iterations unrolled with identical integer expressions:
+      // value-level equality, no fp tolerance anywhere.
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 2000000L).as("supp")).distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      graft.operators.LinkRank.pageRank(s, edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     "a17_basket_pairs" -> ((s, d) => {
       def items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
@@ -1019,6 +1038,39 @@ object MoreQueries {
          |  ${Oracles.jr6("p01r")} AS p01, ${Oracles.jr6("p99r")} AS p99,
          |  ${Oracles.jr6("(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)")} AS mean_clipped
          |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Unrolled integer PageRank replay: identical BIGINT floor steps
+    // (contribution = rank // outdeg, mix = teleport + 85% of summed
+    // contributions) — integer sums are associative, so value equality
+    // is exact by construction.
+    "a18_link_rank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT b.node, b.outdeg, CAST(
+           |    (SELECT (1000000000000 * 15 // 100) // n FROM params)
+           |    + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS rank
+           |  FROM b LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS s
+           |    FROM e JOIN $prev r ON r.node = e.src WHERE r.outdeg > 0
+           |    GROUP BY 1) s ON s.node = b.node)""".stripMargin
+      s"""WITH rel AS (
+         |  SELECT DISTINCT o_custkey AS cust, 2000000 + l_suppkey AS supp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT cust AS src, supp AS dst FROM rel
+         |  UNION ALL SELECT supp, cust FROM rel),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |b AS (SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+         |  FROM nodes n LEFT JOIN od ON od.node = n.node),
+         |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node, outdeg,
+         |  CAST((SELECT 1000000000000 // n FROM params) AS BIGINT) AS rank FROM b),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
 
     "a17_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),

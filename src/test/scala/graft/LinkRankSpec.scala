@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.LinkRank
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed integer-PageRank fixtures: the exact floor arithmetic,
+  * dangling-node behavior, and parallel-edge semantics. */
+class LinkRankSpec extends AnyFunSuite with SharedSpark {
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    LinkRank.pageRank(spark, edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("one iteration on a 3-cycle is exactly the hand arithmetic") {
+    // N=3, scale=1e12: r0 = 333333333333, teleport = 150000000000/3 = 50000000000
+    // each node receives exactly one contribution = r0 div 1 = r0
+    // r1 = 50000000000 + (333333333333 * 85) div 100 = 50000000000 + 283333333333
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 1)
+    assert(r === Map(1L -> 333333333333L, 2L -> 333333333333L, 3L -> 333333333333L)
+      .map { case (k, _) => k -> (50000000000L + 283333333333L) })
+  }
+
+  test("star graph: the hub collects, leaves keep teleport mass only") {
+    // 1→2, 3→2, 4→2 ; N=4, r0 = 250000000000, teleport = 37500000000
+    // hub 2 gets 3 × (r0 div 1) = 750000000000 → 37500000000 + 637500000000
+    // leaves get no contributions → teleport only; hub dangles (outdeg 0)
+    val r = ranks(Seq((1L, 2L), (3L, 2L), (4L, 2L)), 1)
+    assert(r(2L) === 37500000000L + 750000000000L * 85L / 100L)
+    assert(r(1L) === 37500000000L && r(3L) === 37500000000L && r(4L) === 37500000000L)
+  }
+
+  test("second iteration drops the dangled hub mass (documented leakage)") {
+    val r1 = ranks(Seq((1L, 2L), (3L, 2L), (4L, 2L)), 1)
+    val r2 = ranks(Seq((1L, 2L), (3L, 2L), (4L, 2L)), 2)
+    // hub had no out-edges: its iteration-1 mass is not redistributed
+    assert(r2(2L) === 37500000000L + 3L * (37500000000L * 85L / 100L))
+    assert(r2.values.sum < r1.values.sum)
+  }
+
+  test("parallel edges count twice (duplicate-edge semantics)") {
+    // 1→2 twice and 1→3 once: outdeg(1)=3, node 2 receives 2 shares
+    val r = ranks(Seq((1L, 2L), (1L, 2L), (1L, 3L)), 1)
+    val share = 333333333333L / 3L
+    assert(r(2L) === 50000000000L + 2L * share * 85L / 100L)
+    assert(r(3L) === 50000000000L + share * 85L / 100L)
+  }
+}
