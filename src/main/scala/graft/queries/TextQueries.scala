@@ -105,6 +105,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "t_corpus_shuffle" -> ((s, d) => {
+      // Deterministic global corpus shuffle — training-order
+      // randomization as a reproducible function of (seed, doc_id):
+      // position = md5 hex prefix (the engine's standard DuckDB-twin
+      // hash), global order index + 64-way shard via the two-pass
+      // GlobalRank/ntile (one range shuffle, NEVER a single-partition
+      // window — p10's audited shape). Re-running with the same seed
+      // reproduces the exact training order on any cluster layout.
+      val docs = Tables.scatter(Tables.documents(s, d)).select(col("doc_id"))
+      val withPos = docs.withColumn("pos",
+        conv(substring(md5(concat(lit("shuffle:42:"), col("doc_id"))), 1, 15),
+          16, 10).cast("long"))
+      val ranked = graft.operators.GlobalRank.withGlobalRank(
+        withPos, Seq(col("pos"), col("doc_id")), "ord")
+      graft.operators.GlobalRank.withNtile(
+          ranked, Seq(col("pos"), col("doc_id")), 64, "shard")
+        .select(col("doc_id"), col("pos"), col("ord"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_token_stats" -> ((s, d) =>
       // tokenize once, share across all five metrics (see TextFunctions
       // scaladoc: interpreted higher-order Columns get no CSE); scatter —
@@ -666,6 +686,18 @@ object TextQueries {
        |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
+    // Same md5-prefix position, and DuckDB's window ntile/row_number ARE
+    // the semantics GlobalRank reproduces distributively — full value
+    // replay of position, order index, and shard.
+    "t_corpus_shuffle" ->
+      """WITH p AS (SELECT doc_id,
+        |    ('0x' || substr(md5('shuffle:42:' || doc_id), 1, 15))::BIGINT AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos,
+        |  CAST(row_number() OVER (ORDER BY pos, doc_id) AS BIGINT) AS ord,
+        |  CAST(ntile(64) OVER (ORDER BY pos, doc_id) AS BIGINT) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // Histogram-cut replay: same quality formula as t_quality_langid
     // (round-6 doubles are bit-identical cross-engine, so the bucket
     // quantization floor(q*1000) agrees exactly), same 3/5-of-total
