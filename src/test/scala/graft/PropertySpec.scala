@@ -3,6 +3,7 @@ package graft
 import graft.analytics.FinanceReports
 import graft.core.{TableSpec, TableStore}
 import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
@@ -444,5 +445,82 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       .containmentPairs(cDocs, "doc_id", "text", shingleLen = 1, tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cGot.contains((1L, 2L)), s"boundary containment pair lost: $cGot")
+  }
+
+  test("canonicalizeUrl is idempotent on random structured URLs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    def seg() = ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))
+    val urls = (1 to 200).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTP"
+      val host = s"${seg()}.${seg()}.com" + (rnd.nextInt(4) match {
+        case 0 => ":443" case 1 => ":80" case 2 => ":8080" case _ => "" })
+      val path = (0 to rnd.nextInt(3)).map(_ => "/" * (1 + rnd.nextInt(2)) + seg())
+        .mkString + (if (rnd.nextBoolean()) "/" else "")
+      val params = Seq("utm_source=x", s"${seg()}=${rnd.nextInt(9)}", "gclid=g",
+        s"${seg()}=${seg()}").filter(_ => rnd.nextBoolean())
+      val q = if (params.nonEmpty) "?" + rnd.shuffle(params).mkString("&") else ""
+      val frag = if (rnd.nextBoolean()) "#f" else ""
+      s"$scheme://$host$path$q$frag"
+    }
+    val once = urls.toDF("u")
+      .select(graft.operators.UrlOps.canonicalizeUrl(col("u")).as("c"))
+    val twice = once.select(col("c"),
+      graft.operators.UrlOps.canonicalizeUrl(col("c")).as("cc"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"canonicalization not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
+  test("qualityBudgetCut ≡ maximal bucket-order prefix (random corpora)") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val rows = (1L to (50 + rnd.nextInt(100))).map(i =>
+        (i, math.rint(rnd.nextDouble() * 1e6) / 1e6, (1 + rnd.nextInt(50)).toLong))
+      val budget = (rows.map(_._3).sum * rnd.nextInt(100)) / 100
+      val kept = graft.operators.BudgetCut.qualityBudgetCut(
+          rows.toDF("id", "score", "tok"), "id", "score", "tok", budget, buckets = 10)
+        .collect().map(_.getLong(0)).toSet
+      // reference: walk buckets desc, then (score desc, id) inside the
+      // boundary bucket, keep while inclusive token sum fits
+      val byBucket = rows.groupBy(r => math.floor(
+        math.min(1.0, math.max(0.0, r._2)) * 10).toInt)
+      var rem = budget
+      val want = scala.collection.mutable.Set[Long]()
+      var boundaryDone = false
+      for (bk <- byBucket.keys.toSeq.sorted.reverse if !boundaryDone) {
+        val grp = byBucket(bk)
+        val t = grp.map(_._3).sum
+        if (t <= rem) { want ++= grp.map(_._1); rem -= t }
+        else {
+          var r2 = rem
+          for ((id, _, tok) <- grp.sortBy(x => (-x._2, x._1)))
+            if (tok <= r2) { want += id; r2 -= tok }
+            else r2 = -1 // inclusive running sum: first overflow stops the prefix
+          boundaryDone = true
+        }
+      }
+      assert(kept === want.toSet, s"trial=$trial budget=$budget")
+    }
+  }
+
+  test("pageRank conserves mass up to floor leakage on random digraphs") {
+    import spark.implicits._
+    val rnd = new Random(3)
+    for (trial <- 1 to 3) {
+      val n = 5 + rnd.nextInt(10)
+      val edges = (1 to 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val ranks = graft.operators.LinkRank.pageRank(
+          spark, edges.toDF("src", "dst"), "src", "dst", iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      assert(ranks.keySet === nodes.toSet)
+      val total = ranks.values.sum
+      // mass never exceeds scale; floors and dangling nodes only leak
+      assert(total <= 1000000000000L, s"trial=$trial total=$total")
+      assert(ranks.values.forall(_ > 0), "teleport keeps every node positive")
+    }
   }
 }
