@@ -1,7 +1,8 @@
 package graft.core
 
 /** Size-bounded LRU memo for the session-lifetime model caches (D1's
-  * reduced selection, the BPE merge/word tables, the PQ codebooks).
+  * reduced selection, the BPE merge/word tables, the PQ codebooks, the
+  * shared bar/pair scratch reads).
   *
   * Each of those caches memoizes a small deterministic artifact keyed
   * by a collision-resistant [[Scratch.planKey]] — correct, but a plain
@@ -13,43 +14,69 @@ package graft.core
   * holding session-linked values (e.g. a DataFrame whose SparkSession
   * was stopped) can sweep dead entries on the next touch.
   *
-  * Computation runs under the memo's lock: the memoized artifacts are
-  * train-once models where a duplicate concurrent compute costs far
-  * more (a full Spark job) than brief lock contention — the same
-  * serialization `computeIfAbsent` gave the previous per-site maps.
+  * Concurrency: the map lock guards only the (cheap) cell bookkeeping;
+  * the compute itself — typically a full Spark job — runs OUTSIDE it,
+  * on the cell's own initializer. Concurrent callers of the SAME key
+  * block on that cell (no duplicate compute, the `computeIfAbsent`
+  * guarantee the previous per-site maps gave); callers of DIFFERENT
+  * keys run their computes concurrently (which `ConcurrentHashMap`
+  * allowed across bins and a single map monitor would have serialized).
   */
 final class BoundedMemo[K, V](maxEntries: Int) {
   require(maxEntries > 0, "maxEntries must be positive")
 
-  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+  /** One memo slot; `value` evaluates the compute at most once, on the
+    * cell's monitor rather than the map's. `done` flips only after a
+    * successful compute (a throwing compute retries on the next touch,
+    * like the `computeIfAbsent` it replaces). */
+  private final class Cell(compute: () => V) {
+    @volatile var done = false
+    lazy val value: V = { val v = compute(); done = true; v }
+  }
+
+  private val map = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =
       size() > maxEntries
   }
 
-  def getOrElseUpdate(key: K, compute: => V): V = map.synchronized {
-    val hit = map.get(key)
-    if (hit != null || map.containsKey(key)) hit
-    else {
-      val v = compute
-      map.put(key, v)
-      v
+  def getOrElseUpdate(key: K, compute: => V): V = {
+    val cell = map.synchronized {
+      val hit = map.get(key)
+      if (hit != null) hit
+      else {
+        val c = new Cell(() => compute)
+        map.put(key, c)
+        c
+      }
     }
+    cell.value // outside the map lock — see the class note
   }
 
-  /** Non-computing probe, for call sites whose compute step is too
-    * large to run under the memo lock (the PQ training loop): probe,
-    * train outside, [[put]]. The lost no-duplicate guarantee only
-    * costs a redundant deterministic train on a concurrent miss. */
-  def get(key: K): Option[V] = map.synchronized(Option(map.get(key)))
+  /** Non-computing probe, for call sites whose compute step wants
+    * explicit staging (the PQ training loop): probe, train outside,
+    * [[put]]. Returns None for an entry whose compute is still in
+    * flight — the prober is free to race it (deterministic artifacts,
+    * the loser's put is idempotent). */
+  def get(key: K): Option[V] = {
+    val cell = map.synchronized(Option(map.get(key)))
+    cell.filter(_.done).map(_.value)
+  }
 
-  def put(key: K, value: V): Unit = map.synchronized { map.put(key, value); () }
+  def put(key: K, value: V): Unit = map.synchronized {
+    val c = new Cell(() => value)
+    c.value // resolve eagerly (trivial) so done = true
+    map.put(key, c)
+    ()
+  }
 
-  /** Drop every entry matching the predicate (dead-session sweep). */
+  /** Drop every completed entry matching the predicate (dead-session
+    * sweep). In-flight entries are skipped — they are by definition
+    * being computed right now, not stale. */
   def evictIf(p: (K, V) => Boolean): Unit = map.synchronized {
     val it = map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (p(e.getKey, e.getValue)) it.remove()
+      if (e.getValue.done && p(e.getKey, e.getValue.value)) it.remove()
     }
   }
 

@@ -37,10 +37,14 @@ import org.apache.spark.sql.functions._
 object BudgetCut {
 
   /** Returns `docs`' (idCol, scoreCol, tokensCol) rows that survive the
-    * cut (tokensCol cast to long). */
+    * cut (tokensCol cast to long). Rows with a NULL score or NULL token
+    * count are EXCLUDED before bucketing — an unscored document has no
+    * defensible position in a quality ordering, and a null bucket would
+    * otherwise poison the driver histogram. */
   def qualityBudgetCut(docs: DataFrame, idCol: String, scoreCol: String,
       tokensCol: String, budgetTokens: Long, buckets: Int = 1000): DataFrame = {
     val withB = docs
+      .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
       .select(col(idCol), col(scoreCol), col(tokensCol).cast("long").as(tokensCol))
       .withColumn("__b",
         floor(least(greatest(col(scoreCol), lit(0.0)), lit(1.0)) * buckets).cast("int"))

@@ -38,8 +38,11 @@ object LinkRank {
       dstCol: String, iterations: Int, dampingPct: Int = 85,
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    // Pin the edge list: it feeds every superstep (plus nodes/outdeg) —
+    // without the persist each iteration re-executes the caller's whole
+    // upstream lineage (joins, distincts) from the scan.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
@@ -49,6 +52,10 @@ object LinkRank {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist()
     val n = base.count() // materializes the persist; N for the teleport term
+    if (n == 0) { // empty graph: no nodes, no ranks (and no divide-by-zero)
+      base.unpersist(); e.unpersist()
+      return base.select(col("node"), lit(0L).as("rank"))
+    }
     val r0 = scale / n
     val teleport = scale * (100L - dampingPct) / 100L / n
     var ranks = base.select(col("node"), col("outdeg"), lit(r0).as("rank"))
@@ -66,9 +73,16 @@ object LinkRank {
           (lit(teleport) +
             expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
     }
+    // Pin and materialize the final ranks, then release the superstep
+    // inputs. The returned DataFrame stays persisted — it is |nodes|
+    // rows of (long, long), and the caller (e.g. a query wrapping it in
+    // a scratch materialization or a single orderBy-and-write) consumes
+    // it immediately; unpersisting here would re-run all supersteps
+    // against the already-released base/e.
     val out = ranks.select(col("node"), col("rank")).persist()
     out.count()
     base.unpersist()
+    e.unpersist()
     out
   }
 }

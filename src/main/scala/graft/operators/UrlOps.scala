@@ -32,8 +32,16 @@ object UrlOps {
     val noFrag = substring_index(url, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)
-    val hostport = substring_index(rest, "/", 1)
-    val pathQuery = rest.substr(length(hostport) + 1, length(rest))
+    // The authority ends at the FIRST of "/" or "?" — a query can start
+    // directly after the host ("https://ex.com?a=1", path omitted), and
+    // splitting on "/" alone would swallow the query into the host.
+    val sPos = instr(rest, "/")
+    val qPos0 = instr(rest, "?")
+    val hostEnd = when(sPos > 0 && (qPos0 === 0 || sPos < qPos0), sPos - 1)
+      .when(qPos0 > 0, qPos0 - 1)
+      .otherwise(length(rest))
+    val hostport = rest.substr(lit(1), hostEnd)
+    val pathQuery = rest.substr(hostEnd + 1, length(rest))
     val host = lower(substring_index(hostport, ":", 1))
     val hasPort = instr(hostport, ":") > 0
     val port = substring_index(hostport, ":", -1)

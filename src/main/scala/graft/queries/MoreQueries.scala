@@ -641,7 +641,11 @@ object MoreQueries {
           (col("l_suppkey") + 2000000L).as("supp")).distinct()
       val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(rel.select(col("supp").as("src"), col("cust").as("dst")))
-      graft.operators.LinkRank.pageRank(s, edges, "src", "dst", iterations = 3)
+      // pageRank returns a persisted result (see its closing comment);
+      // scratch-materialize releases the pin, same pattern as d3.
+      graft.core.Scratch.materialize(
+          graft.operators.LinkRank.pageRank(s, edges, "src", "dst", iterations = 3),
+          "linkrank", d)
         .orderBy(col("node"))
     }),
 

@@ -757,12 +757,18 @@ object TextQueries {
         |s2 AS (SELECT cid,
         |  lower(nofrag[1 : strpos(nofrag, '://') - 1]) AS scheme,
         |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1),
-        |s3 AS (SELECT *, string_split(rest, '/')[1] AS hostport,
-        |  rest[length(string_split(rest, '/')[1]) + 1 :] AS pathquery FROM s2),
+        |s3 AS (SELECT *,
+        |  CASE WHEN strpos(rest, '/') > 0
+        |         AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?'))
+        |       THEN strpos(rest, '/') - 1
+        |       WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?') - 1
+        |       ELSE length(rest) END AS hostend FROM s2),
+        |s3b AS (SELECT *, rest[1 : hostend] AS hostport,
+        |  rest[hostend + 1 :] AS pathquery FROM s3),
         |s4 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
         |  strpos(hostport, ':') > 0 AS hasport,
         |  string_split(hostport, ':')[-1] AS port,
-        |  strpos(pathquery, '?') AS qpos FROM s3),
+        |  strpos(pathquery, '?') AS qpos FROM s3b),
         |s5 AS (SELECT *,
         |  CASE WHEN hasport AND NOT ((scheme = 'http' AND port = '80')
         |    OR (scheme = 'https' AND port = '443'))

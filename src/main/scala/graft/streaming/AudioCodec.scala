@@ -106,7 +106,10 @@ object AudioCodec {
     while (off + 8 <= bytes.length && (data == null || !ok)) {
       val id = tag(off)
       val sz = i32(off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      // Long compare: a hostile sz near Int.MaxValue wraps the int sum
+      // past the bound, allocating a ~2 GB data array below; malformed
+      // payloads must return None (byte fallback), never blow the task.
+      if (sz < 0 || off + 8L + sz > bytes.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None

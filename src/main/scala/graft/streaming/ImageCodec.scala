@@ -113,11 +113,17 @@ object ImageCodec {
     val hRaw = i32(22)
     val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
     val compression = i32(30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 ||
+      compression != 0 || dataOff < 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = (w * 3 + 3) & ~3
-    if (dataOff + rowBytes * h > bytes.length) return None
+    // Long arithmetic: hostile headers (w or h near 2^31) overflow the
+    // int products, slipping past the bound check into an allocation or
+    // out-of-bounds read; a malformed payload must return None (byte
+    // fallback), never crash the task.
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L
+    if (dataOff + rowBytesL * h > bytes.length) return None
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Double](w * h)
     var y = 0
     while (y < h) {
@@ -160,8 +166,10 @@ object ImageCodec {
     }
     pos += 1 // the single whitespace byte after maxval
     val w = fields(0); val h = fields(1); val maxval = fields(2)
-    if (w <= 0 || h <= 0 || maxval != 255 || pos + w * h * 3 > bytes.length)
-      return None
+    // Long product: w*h*3 in int overflows for hostile headers (see the
+    // BMP guard above).
+    if (w <= 0 || h <= 0 || maxval != 255 ||
+      pos + w.toLong * h * 3 > bytes.length) return None
     val px = new Array[Double](w * h)
     var i = 0
     while (i < w * h) {

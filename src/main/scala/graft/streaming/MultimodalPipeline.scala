@@ -114,27 +114,22 @@ object MultimodalPipeline {
     * re-encoding across formats where this byte-level signature cannot.
     */
   private[graft] val perceptualHash60 = udf { bytes: Array[Byte] =>
-    if (bytes == null || bytes.isEmpty) 0L
-    else {
-      val bits = graft.operators.Dedup.simHashBits
-      val votes = new Array[Int](bits)
-      val n = math.max(bytes.length - 3, 1)
-      var i = 0
-      while (i < n) {
-        val h = graft.functions.Md5Hash.h1Bytes(
-          bytes, i, math.min(4, bytes.length - i))
-        var bit = 0
-        while (bit < bits) {
-          if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
-          bit += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var bit = 0
-      while (bit < bits) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
-      out
-    }
+    ImageCodec.byteSimHash60(bytes) // ONE implementation — also the
+    // undecodable-payload fallback inside every codec's signature60
+  }
+
+  /** The shared shape of every 60-bit fingerprint pair family: signature
+    * per payload (a per-row executor UDF — the codegen boundary), then
+    * the banded hamming self-join over signatures only. */
+  private def sigPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      sig: Array[Byte] => Long, maxHamming: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val sigU = udf { bytes: Array[Byte] => if (bytes == null) 0L else sig(bytes) }
+    val sigs = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"),
+        sigU(col(payloadCol).cast("binary")).as("simhash"))
+      .persist()
+    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
   }
 
   /** Media near-dup pairs: perceptual signature → the same banded
@@ -143,13 +138,9 @@ object MultimodalPipeline {
     * (id_a, id_b, hamming), persisted.
     */
   def phashNearDupPairs(docs: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = graft.core.Tables.scatter(docs)
-      .select(col(idCol).as("__id"),
-        perceptualHash60(col(payloadCol).cast("binary")).as("simhash"))
-      .persist()
-    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
-  }
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    sigPairs(docs, idCol, payloadCol, ImageCodec.byteSimHash60,
+      maxHamming, bands, maxBucketSize)
 
   /** PIXEL-level perceptual near-dup pairs: decode each payload
     * ([[ImageCodec.decode]] — BMP/PPM, the self-contained formats), DCT
@@ -166,16 +157,9 @@ object MultimodalPipeline {
     * is the UDF, the join machinery stays whole-stage).
     */
   def phashPixelPairs(docs: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    val sig = udf { bytes: Array[Byte] =>
-      if (bytes == null) 0L else ImageCodec.signature60(bytes)
-    }
-    val sigs = graft.core.Tables.scatter(docs)
-      .select(col(idCol).as("__id"),
-        sig(col(payloadCol).cast("binary")).as("simhash"))
-      .persist()
-    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
-  }
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    sigPairs(docs, idCol, payloadCol, ImageCodec.signature60,
+      maxHamming, bands, maxBucketSize)
 
   /** SIGNAL-level audio near-dup pairs: decode each payload
     * ([[AudioCodec.decodeWav]] — RIFF/WAVE PCM, self-contained), take
@@ -190,16 +174,9 @@ object MultimodalPipeline {
     * SimHash, so mixed corpora ride ONE join. Decode + fingerprint are
     * per-row executor work; the join machinery stays whole-stage. */
   def audioFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    val sig = udf { bytes: Array[Byte] =>
-      if (bytes == null) 0L else AudioCodec.signature60(bytes)
-    }
-    val sigs = graft.core.Tables.scatter(docs)
-      .select(col(idCol).as("__id"),
-        sig(col(payloadCol).cast("binary")).as("simhash"))
-      .persist()
-    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
-  }
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    sigPairs(docs, idCol, payloadCol, AudioCodec.signature60,
+      maxHamming, bands, maxBucketSize)
 
   /** FRAME-level video near-dup pairs: decode each payload
     * ([[VideoCodec.decodeAvi]] — RIFF/AVI uncompressed DIB,
@@ -214,6 +191,11 @@ object MultimodalPipeline {
     * guaranteed recall. Undecodable payloads fall back to the byte
     * SimHash, so mixed corpora ride ONE join. Decode + fingerprint are
     * per-row executor work; the join machinery stays whole-stage. */
+  def videoFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    sigPairs(docs, idCol, payloadCol, VideoCodec.signature60,
+      maxHamming, bands, maxBucketSize)
+
   /** Container sniff + fingerprint dispatch for a MIXED media corpus:
     * BMP/PPM → pixel pHash, RIFF/WAVE → audio band-energy signs,
     * RIFF/AVI → video region-luma signs, anything else → the byte-block
@@ -252,15 +234,4 @@ object MultimodalPipeline {
       maxBucketSize, blockCol = Some("blk"))
   }
 
-  def videoFingerprintPairs(docs: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int, bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    val sig = udf { bytes: Array[Byte] =>
-      if (bytes == null) 0L else VideoCodec.signature60(bytes)
-    }
-    val sigs = graft.core.Tables.scatter(docs)
-      .select(col(idCol).as("__id"),
-        sig(col(payloadCol).cast("binary")).as("simhash"))
-      .persist()
-    graft.operators.Dedup.bandedHammingPairs(sigs, maxHamming, bands, maxBucketSize)
-  }
 }

@@ -145,6 +145,7 @@ object VideoCodec {
     def i16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var strfOff = -1
+    var strfSz = -1
     val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var bad = false
     def walk(from: Int, to: Int): Unit = {
@@ -152,7 +153,9 @@ object VideoCodec {
       while (!bad && off + 8 <= to) {
         val id = tag(off)
         val sz = i32(off + 4)
-        if (sz < 0 || off + 8 + sz > to) { bad = true; return }
+        // Long compare — hostile sz wraps the int sum past the bound
+        // (same hardening as the WAV/BMP guards).
+        if (sz < 0 || off + 8L + sz > to) { bad = true; return }
         // descend only into the standard AVI grouping lists — metadata
         // lists (INFO etc.) are skipped wholesale, so their payloads
         // need not parse as chunks
@@ -160,24 +163,29 @@ object VideoCodec {
             (tag(off + 8) == "hdrl" || tag(off + 8) == "strl" ||
              tag(off + 8) == "movi" || tag(off + 8) == "rec "))
           walk(off + 12, off + 8 + sz)
-        else if (id == "strf" && strfOff < 0) strfOff = off + 8
+        else if (id == "strf" && strfOff < 0) { strfOff = off + 8; strfSz = sz }
         else if (id == "00db") frameChunks += ((off + 8, sz))
         off += 8 + sz + (sz & 1) // RIFF pads odd chunks to even
       }
     }
     walk(12, bytes.length)
-    if (bad || strfOff < 0 || frameChunks.isEmpty) return None
+    // strf must hold at least the 20 BITMAPINFOHEADER bytes we read —
+    // a truncated header chunk would otherwise index past its bounds.
+    if (bad || strfOff < 0 || strfSz < 20 || frameChunks.isEmpty) return None
     val w = i32(strfOff + 4)
     val h = i32(strfOff + 8)
     val bpp = i16(strfOff + 14)
     val compression = i32(strfOff + 16)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val rowBytes = (w * 3 + 3) & ~3
+    // Long row stride: hostile w overflows the int product, slipping a
+    // short frame chunk past the size check into out-of-bounds reads.
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L
     val frames = new Array[Gray](frameChunks.length)
     var n = 0
     while (n < frameChunks.length) {
       val (dataOff, sz) = frameChunks(n)
-      if (sz < rowBytes * h) return None
+      if (sz < rowBytesL * h) return None
+      val rowBytes = rowBytesL.toInt
       val px = new Array[Double](w * h)
       var y = 0
       while (y < h) {

@@ -42,6 +42,15 @@ class BudgetCutSpec extends AnyFunSuite with SharedSpark {
     assert(cut(rows, 20L) === Seq(6L, 7L))
   }
 
+  test("null scores are excluded, not crashed on") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(0.9), 10L), (2L, None, 10L), (3L, Some(0.5), 10L))
+    val kept = BudgetCut.qualityBudgetCut(rows.toDF("id", "score", "tok"),
+        "id", "score", "tok", budgetTokens = 30L, buckets = 10)
+      .orderBy(col("id")).select(col("id")).as[Long].collect.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
   test("score 1.0 and clamped out-of-range scores land in stable buckets") {
     val rows = Seq((1L, 1.0, 10L), (2L, 1.7, 10L), (3L, -0.2, 10L))
     // 1.0 and the clamped 1.7 share bucket 10; -0.2 clamps to bucket 0

@@ -113,6 +113,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decode(java.util.Arrays.copyOf(ppm, 50)).isEmpty)
   }
 
+  test("hostile headers (int-overflow sizes, negative offsets) reject, never crash") {
+    import graft.streaming.{AudioCodec, MultimodalPipeline, VideoCodec}
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // BMP with h = 2^28: rowBytes*h overflows int past the bound check
+    val bmp = ImageCodec.encodeBmp(4, 4, (_, _) => 0x808080)
+    System.arraycopy(le32(1 << 28), 0, bmp, 22, 4)
+    assert(ImageCodec.decode(bmp).isEmpty)
+    // BMP with a negative pixel-data offset
+    val bmp2 = ImageCodec.encodeBmp(4, 4, (_, _) => 0x808080)
+    System.arraycopy(le32(-100), 0, bmp2, 10, 4)
+    assert(ImageCodec.decode(bmp2).isEmpty)
+    // PPM with w*h*3 overflowing int
+    val ppm = s"P6\n70000 70000\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](64)(1)
+    assert(ImageCodec.decode(ppm).isEmpty)
+    // WAV whose chunk size near Int.MaxValue wraps the int bound sum
+    val wav = AudioCodec.encodeWav(Array.fill[Short](64)(100), 8000)
+    System.arraycopy(le32(Int.MaxValue - 4), 0, wav, 40, 4) // data chunk size
+    assert(AudioCodec.decodeWav(wav).isEmpty)
+    // AVI with hostile frame width: rowBytes*h overflows int
+    val avi = VideoCodec.encodeAvi(4, 4,
+      IndexedSeq.fill(2)((_: Int, _: Int) => 0x808080))
+    val strf = { // find the strf chunk and poison its width field
+      var i = 12; var found = -1
+      while (found < 0 && i + 8 < avi.length) {
+        if (new String(avi, i, 4, "US-ASCII") == "strf") found = i + 8
+        i += 1
+      }
+      found
+    }
+    assert(strf > 0)
+    System.arraycopy(le32(0x40000000), 0, avi, strf + 4, 4)
+    assert(VideoCodec.decodeAvi(avi).isEmpty)
+    // all of them still sniff into their container block on byte fallback
+    assert(MultimodalPipeline.sniffSignature(bmp)._2 === "img")
+    assert(MultimodalPipeline.sniffSignature(wav)._2 === "aud")
+    assert(MultimodalPipeline.sniffSignature(avi)._2 === "vid")
+  }
+
   test("mixed-corpus sniff routes each container to its codec; junk → byte block") {
     import graft.streaming.{AudioCodec, MultimodalPipeline, VideoCodec}
     val img = ImageCodec.encodeBmp(32, 32, baseRgb(2L))

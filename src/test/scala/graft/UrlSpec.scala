@@ -36,6 +36,15 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
         "https://ex.com/a"))
   }
 
+  test("query directly after the host (no path) still canonicalizes fully") {
+    assert(canon(
+      "https://ex.com?utm_source=x&b=1",   // tracking stripped, no path
+      "https://ex.com:443?b=2&a=1",        // default port dropped + sorted
+      "HTTP://EX.COM:8080?z=1#f")          // case-fold + kept port + fragment
+      === Seq("https://ex.com?b=1", "https://ex.com?a=1&b=2",
+        "http://ex.com:8080?z=1"))
+  }
+
   test("tracking params dropped, rest sorted; '=' inside values survives") {
     assert(canon(
       "https://ex.com/a?utm_source=x&b=2&a=1&gclid=g&ref=r",
