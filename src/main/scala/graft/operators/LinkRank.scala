@@ -59,6 +59,7 @@ object LinkRank {
     val r0 = scale / n
     val teleport = scale * (100L - dampingPct) / 100L / n
     var ranks = base.select(col("node"), col("outdeg"), lit(r0).as("rank"))
+    var prevPinned: DataFrame = null
     for (_ <- 0 until iterations) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
       // rounding can differ from integer floor at picounit magnitudes.
@@ -68,10 +69,19 @@ object LinkRank {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
-      ranks = base.join(contrib, Seq("node"), "left")
+      val next = base.join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(teleport) +
             expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
+        .persist()
+      // The Pregel discipline: materialize each superstep and release
+      // the previous one — without it the lineage chains every
+      // iteration's joins into one deep tree (duplicated exchange
+      // subtrees, and at high iteration counts a plan-size blowup).
+      next.count()
+      if (prevPinned != null) prevPinned.unpersist()
+      prevPinned = next
+      ranks = next
     }
     // Pin and materialize the final ranks, then release the superstep
     // inputs. The returned DataFrame stays persisted — it is |nodes|
@@ -81,6 +91,7 @@ object LinkRank {
     // against the already-released base/e.
     val out = ranks.select(col("node"), col("rank")).persist()
     out.count()
+    if (prevPinned != null) prevPinned.unpersist()
     base.unpersist()
     e.unpersist()
     out

@@ -114,6 +114,39 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"single-partition exchange crept into the cut:\n$p")
   }
 
+  test("pageRank supersteps: pinned inputs, bounded shuffles, no cartesian") {
+    import spark.implicits._
+    val edges = (1L to 200L).map(i => (i % 20, (i * 7) % 20)).toDF("src", "dst")
+    val out = graft.operators.LinkRank.pageRank(spark, edges, "src", "dst",
+      iterations = 3)
+    val p = simple(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"superstep join degenerated:\n$p")
+    // base and e are persisted: the lineage must read the in-memory
+    // relations, not re-execute the upstream edge construction
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"superstep inputs not pinned:\n$p")
+    // each superstep materializes and truncates lineage (the Pregel
+    // discipline), so the FINAL plan is a projection over the last
+    // pinned superstep's InMemoryRelation. explain() prints cached
+    // lineages inline, so count only the LIVE segment above the first
+    // cache boundary — it must be shuffle-free, independent of the
+    // iteration count.
+    val live = p.split("InMemoryRelation")(0)
+    assert(live.contains("InMemoryTableScan") || p.contains("InMemoryTableScan"),
+      s"final ranks not served from the pinned superstep:\n$p")
+    assert(raw"(?m)^[^A-Za-z]*Exchange\s".r.findAllIn(live).isEmpty,
+      s"live segment above the superstep cache shuffles:\n$live")
+    out.unpersist()
+  }
+
+  test("mixed-media pairs never plan a cartesian (blocked banding intact)") {
+    val df = SparkEntry.queries("mm_mixed_media_pairs")(spark, sf)
+    val p = simple(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked banding degenerated:\n$p")
+  }
+
   test("j8 as-of join never degenerates to a nested-loop/cartesian") {
     val p = simple(SparkEntry.queries("j8_asof_join")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"as-of exploded:\n$p")
