@@ -117,6 +117,11 @@ object ImageCodec {
       compression != 0 || dataOff < 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
+    // Pixel count can never exceed payload bytes for an uncompressed
+    // 24-bit format (3 bytes/px), and this check stays exact even when
+    // w and h are BOTH near 2^31 (where rowBytes*h would wrap Long) —
+    // reject absurd dimensions before forming any other product.
+    if (w.toLong * h > bytes.length) return None
     // Long arithmetic: hostile headers (w or h near 2^31) overflow the
     // int products, slipping past the bound check into an allocation or
     // out-of-bounds read; a malformed payload must return None (byte
@@ -158,6 +163,10 @@ object ImageCodec {
         var any = false
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
           v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+          // A >10-digit field would silently wrap Int and decode as a
+          // plausible-but-wrong raster; no sane dimension or maxval
+          // exceeds 2^24, so reject during accumulation (before wrap).
+          if (v > (1 << 24)) return None
         }
         if (!any) return None
         fields(f) = v

@@ -13,7 +13,7 @@ import graft.streaming.ImageCodec.Gray
   * Container: AVI — RIFF('AVI ') with LIST('hdrl'){avih,
   * LIST('strl'){strh,strf=BITMAPINFOHEADER}} and LIST('movi') holding
   * one '00db' chunk of raw bottom-up BGR-padded DIB rows per frame —
-  * pure header math, no libraries. The decoder is a recursive RIFF
+  * pure header math, no libraries. The decoder is a depth-first RIFF
   * walk over the standard grouping lists (hdrl/strl/movi/rec) that
   * picks up the first 'strf' and every '00db' wherever they sit and
   * SKIPS everything else — metadata lists wholesale — so the same
@@ -132,7 +132,7 @@ object VideoCodec {
   }
 
   /** Decode an AVI: grayscale frames for 24-bit uncompressed DIB video;
-    * None for anything else. A generic recursive chunk walk collects
+    * None for anything else. A generic depth-first chunk walk collects
     * the first 'strf' (format) and every '00db' (frame) wherever the
     * mux put them, skipping unknown chunks (odd sizes padded per RIFF),
     * so metadata-bearing layouts decode to the same frames. */
@@ -148,27 +148,41 @@ object VideoCodec {
     var strfSz = -1
     val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var bad = false
-    def walk(from: Int, to: Int): Unit = {
-      var off = from
-      while (!bad && off + 8 <= to) {
+    // Iterative chunk walk over an explicit (from, to) range stack — a
+    // hostile payload of nested grouping lists (12 bytes per level)
+    // would drive a recursive walk O(len/12) frames deep and blow the
+    // executor's thread stack; the range stack lives on the heap and is
+    // bounded by nesting depth. Depth-first document order is preserved
+    // (so "first strf" means the same chunk) by pushing the current
+    // range's continuation BELOW the child range.
+    var stack: List[(Int, Int)] = (12, bytes.length) :: Nil
+    while (!bad && stack.nonEmpty) {
+      var (off, to) = stack.head
+      stack = stack.tail
+      var descended = false
+      while (!bad && !descended && off + 8 <= to) {
         val id = tag(off)
         val sz = i32(off + 4)
         // Long compare — hostile sz wraps the int sum past the bound
         // (same hardening as the WAV/BMP guards).
-        if (sz < 0 || off + 8L + sz > to) { bad = true; return }
-        // descend only into the standard AVI grouping lists — metadata
-        // lists (INFO etc.) are skipped wholesale, so their payloads
-        // need not parse as chunks
-        if (id == "LIST" && sz >= 4 &&
-            (tag(off + 8) == "hdrl" || tag(off + 8) == "strl" ||
-             tag(off + 8) == "movi" || tag(off + 8) == "rec "))
-          walk(off + 12, off + 8 + sz)
-        else if (id == "strf" && strfOff < 0) { strfOff = off + 8; strfSz = sz }
-        else if (id == "00db") frameChunks += ((off + 8, sz))
-        off += 8 + sz + (sz & 1) // RIFF pads odd chunks to even
+        if (sz < 0 || off + 8L + sz > to) bad = true
+        else {
+          // descend only into the standard AVI grouping lists — metadata
+          // lists (INFO etc.) are skipped wholesale, so their payloads
+          // need not parse as chunks
+          if (id == "LIST" && sz >= 4 &&
+              (tag(off + 8) == "hdrl" || tag(off + 8) == "strl" ||
+               tag(off + 8) == "movi" || tag(off + 8) == "rec ")) {
+            stack = (off + 12, off + 8 + sz) ::
+              (off + 8 + sz + (sz & 1), to) :: stack
+            descended = true
+          }
+          else if (id == "strf" && strfOff < 0) { strfOff = off + 8; strfSz = sz }
+          else if (id == "00db") frameChunks += ((off + 8, sz))
+          if (!descended) off += 8 + sz + (sz & 1) // RIFF pads odd chunks to even
+        }
       }
     }
-    walk(12, bytes.length)
     // strf must hold at least the 20 BITMAPINFOHEADER bytes we read —
     // a truncated header chunk would otherwise index past its bounds.
     if (bad || strfOff < 0 || strfSz < 20 || frameChunks.isEmpty) return None
@@ -177,6 +191,11 @@ object VideoCodec {
     val bpp = i16(strfOff + 14)
     val compression = i32(strfOff + 16)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    // Frame pixels can never exceed payload bytes for uncompressed
+    // 24-bit DIB (3 bytes/px), and this check stays exact even when w
+    // and h are BOTH near 2^31 (where rowBytes*h wraps even a Long) —
+    // reject absurd dimensions before forming any other product.
+    if (w.toLong * h > bytes.length) return None
     // Long row stride: hostile w overflows the int product, slipping a
     // short frame chunk past the size check into out-of-bounds reads.
     val rowBytesL = (w.toLong * 3 + 3) & ~3L

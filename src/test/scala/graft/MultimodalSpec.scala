@@ -153,6 +153,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalPipeline.sniffSignature(avi)._2 === "vid")
   }
 
+  test("hostile dimensions that wrap even Long products reject, never crash") {
+    import graft.streaming.VideoCodec
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // BMP with w = h = 2^31-1: rowBytes(Long)*h wraps NEGATIVE, so the
+    // old dataOff+rowBytes*h bound passed and the decode read out of
+    // bounds on a 54-byte file
+    val bmp = ImageCodec.encodeBmp(4, 4, (_, _) => 0x808080)
+    System.arraycopy(le32(Int.MaxValue), 0, bmp, 18, 4)
+    System.arraycopy(le32(Int.MaxValue), 0, bmp, 22, 4)
+    assert(ImageCodec.decode(java.util.Arrays.copyOf(bmp, 54)).isEmpty)
+    assert(ImageCodec.decode(bmp).isEmpty)
+    // PPM with w = h = 2^31-1: pos + w*h*3 wraps Long, the old decode
+    // returned a corrupt Gray(2147483647, 2147483647, 1-element pixels)
+    val ppm = s"P6\n2147483647 2147483647\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(ImageCodec.decode(ppm).isEmpty)
+    // PPM with an 11-digit width: v = v*10 + digit silently wraps Int
+    // into a plausible small dimension → silently-wrong raster
+    val ppm2 = s"P6\n42949672970 4\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(ImageCodec.decode(ppm2).isEmpty)
+    // AVI whose strf carries w = h = 2^31-1 (same Long-wrap shape)
+    val avi = VideoCodec.encodeAvi(4, 4,
+      IndexedSeq.fill(2)((_: Int, _: Int) => 0x808080))
+    val strf = {
+      var i = 12; var found = -1
+      while (found < 0 && i + 8 < avi.length) {
+        if (new String(avi, i, 4, "US-ASCII") == "strf") found = i + 8
+        i += 1
+      }
+      found
+    }
+    assert(strf > 0)
+    System.arraycopy(le32(Int.MaxValue), 0, avi, strf + 4, 4)
+    System.arraycopy(le32(Int.MaxValue), 0, avi, strf + 8, 4)
+    assert(VideoCodec.decodeAvi(avi).isEmpty)
+  }
+
+  test("deeply nested AVI grouping lists walk iteratively, no stack overflow") {
+    import graft.streaming.VideoCodec
+    def put32(out: Array[Byte], off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putTag(out: Array[Byte], off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    // ~3.6 MB of LIST('hdrl') nested 300k deep — 12 bytes per level; the
+    // old recursive walk blew the thread stack on ~2.4 MB of this shape
+    val depth = 300000
+    val avi = new Array[Byte](12 + depth * 12)
+    putTag(avi, 0, "RIFF"); put32(avi, 4, avi.length - 8); putTag(avi, 8, "AVI ")
+    var off = 12
+    var i = 0
+    while (i < depth) {
+      putTag(avi, off, "LIST")
+      put32(avi, off + 4, 4 + (depth - 1 - i) * 12)
+      putTag(avi, off + 8, "hdrl")
+      off += 12; i += 1
+    }
+    assert(VideoCodec.decodeAvi(avi).isEmpty) // no strf/frames → None, no throw
+  }
+
   test("mixed-corpus sniff routes each container to its codec; junk → byte block") {
     import graft.streaming.{AudioCodec, MultimodalPipeline, VideoCodec}
     val img = ImageCodec.encodeBmp(32, 32, baseRgb(2L))
