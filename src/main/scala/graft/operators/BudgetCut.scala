@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   * keep while the inclusive running token sum fits the residual budget —
   * deterministic, and exact integer arithmetic end to end.
   *
-  * Contract: `scoreCol` in [0,1] (clamped); one bucket must fit a task's
-  * window comfortably — with the default 1000 buckets that is 0.1% of
-  * the corpus, and a skew-heavy score distribution wants more buckets,
-  * not a different algorithm.
+  * Contract — ENFORCED, not assumed: `scoreCol` in [0,1] (clamped);
+  * one bucket should fit a task's window comfortably (with the default
+  * 1000 buckets that is 0.1% of the corpus). A degenerate score
+  * distribution (a saturated classifier scoring every doc the same
+  * constant) would put the WHOLE corpus in the boundary bucket and
+  * recreate exactly the single-partition global sort this operator
+  * exists to avoid — so pass 1's driver histogram, which already knows
+  * every bucket's token mass, routes a boundary bucket heavier than
+  * `maxBoundaryShare` of the corpus through
+  * [[GlobalRank.withRunningSum]]: the same exact inclusive running sum,
+  * computed as a range shuffle + per-partition windows + a driver
+  * prefix over partition totals. Same keep set either way; the switch
+  * only changes the physical plan.
   */
 object BudgetCut {
 
@@ -42,7 +51,8 @@ object BudgetCut {
     * defensible position in a quality ordering, and a null bucket would
     * otherwise poison the driver histogram. */
   def qualityBudgetCut(docs: DataFrame, idCol: String, scoreCol: String,
-      tokensCol: String, budgetTokens: Long, buckets: Int = 1000): DataFrame = {
+      tokensCol: String, budgetTokens: Long, buckets: Int = 1000,
+      maxBoundaryShare: Double = 0.05): DataFrame = {
     val withB = docs
       .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
       .select(col(idCol), col(scoreCol), col(tokensCol).cast("long").as(tokensCol))
@@ -60,8 +70,12 @@ object BudgetCut {
     val it = hist.iterator
     while (!done && it.hasNext) {
       val (bk, t) = it.next()
-      if (rem <= 0) done = true
-      else if (t <= rem) { minFull = bk; rem -= t }
+      // `t <= rem` FIRST: a zero-mass bucket (docs with 0 tokens) always
+      // fits, even at exact budget exhaustion (rem == 0) — the full-
+      // bucket keep rule is `prefix + t <= budget`, and checking
+      // exhaustion first would exclude a free bucket sitting on the seam.
+      if (t <= rem) { minFull = bk; rem -= t }
+      else if (rem <= 0) done = true
       else { boundary = bk; boundaryBudget = rem; done = true }
     }
     // Every present bucket ≥ minFull was visited descending and fit
@@ -72,17 +86,28 @@ object BudgetCut {
       if (boundary == Int.MinValue) fullPart
       else {
         // Pass 2 (boundary bucket only): exact cutoff by inclusive
-        // running token sum in (score desc, id) order. The window
-        // partition is the single boundary bucket — tiny by the
-        // bucket-size contract.
-        val w = Window.partitionBy("__b")
-          .orderBy(col(scoreCol).desc, col(idCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // running token sum in (score desc, id) order. Physical plan is
+        // chosen from pass 1's histogram: a boundary bucket inside the
+        // share contract pays one tiny single-bucket window; a heavier
+        // one (degenerate score distribution) pays the distributed
+        // two-pass running sum instead — never a corpus-sized
+        // single-partition sort.
+        val totalMass = hist.iterator.map(_._2).sum
+        val boundaryMass = hist.collectFirst { case (b, t) if b == boundary => t }.getOrElse(0L)
         val boundPart = withB.filter(col("__b") === lit(boundary))
-          .withColumn("__run", sum(tokensCol).over(w))
-          .filter(col("__run") <= boundaryBudget)
-          .drop("__run")
-        fullPart.unionAll(boundPart)
+        val withRun =
+          if (totalMass > 0 && boundaryMass.toDouble / totalMass > maxBoundaryShare)
+            GlobalRank.withRunningSum(boundPart,
+              Seq(col(scoreCol).desc, col(idCol)), tokensCol, "__run")
+          else {
+            val w = Window.partitionBy("__b")
+              .orderBy(col(scoreCol).desc, col(idCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            boundPart.withColumn("__run", sum(tokensCol).over(w))
+          }
+        val cutPart = withRun.filter(col("__run") <= boundaryBudget)
+          .select(fullPart.columns.map(col).toIndexedSeq: _*)
+        fullPart.unionAll(cutPart)
       }
     kept.drop("__b")
   }

@@ -49,6 +49,42 @@ object GlobalRank {
       .drop("__mid", "__pid", "__loc")
   }
 
+  /** `df` plus `sumCol` = exact INCLUSIVE running sum of `valueCol`
+    * (long) under the global `order` — the two-pass shape of
+    * [[withGlobalRank]] with per-partition token sums instead of counts:
+    * range-partition on the order key, local running sums inside each
+    * (normal-sized) shuffle partition, plus a driver prefix over the
+    * partition-count-sized per-partition totals. No single-partition
+    * window anywhere, so the order key's distribution — including the
+    * fully degenerate one-value case — cannot recreate a global sort
+    * on one task. `order` should be a unique total order for a
+    * deterministic result (same contract as [[withGlobalRank]]).
+    */
+  def withRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      sumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val staged = graft.core.Scratch.materialize(
+      df.repartitionByRange(n, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__mid", monotonically_increasing_id()),
+      "runsum", s"$sumCol|$valueCol|${order.map(_.toString).mkString(",")}|${graft.core.Scratch.planKey(df)}")
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+    val totals = staged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] =
+      totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__mid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    staged
+      .withColumn(sumCol,
+        element_at(typedlit(offsets), col("__pid")) + sum(col(valueCol)).over(w))
+      .drop("__mid", "__pid")
+  }
+
   /** `df` plus `bucketCol` = EXACT `ntile(buckets)` semantics over the
     * global `order` (first `n % buckets` buckets get the extra row),
     * built on [[withGlobalRank]] — bit-identical to

@@ -51,6 +51,44 @@ class BudgetCutSpec extends AnyFunSuite with SharedSpark {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("zero-token bucket on the exact-exhaustion seam is kept (free bucket)") {
+    // budget 20 exhausts exactly at bucket 8; bucket 7 holds only a
+    // 0-token doc — the full-bucket rule (prefix + t <= budget) keeps it
+    val rows = Seq((1L, 0.95, 10L), (2L, 0.85, 10L), (9L, 0.75, 0L), (4L, 0.65, 10L))
+    assert(cut(rows, 20L) === Seq(1L, 2L, 9L))
+    // a non-zero bucket on the same seam stays excluded
+    assert(cut(base, 20L) === Seq(1L, 2L))
+  }
+
+  test("constant score column (degenerate single-bucket corpus) cuts exactly, distributed") {
+    // saturated classifier: every doc scores 0.75 → the WHOLE corpus is
+    // the boundary bucket → the share guard must route through the
+    // two-pass running sum, and the keep set is still the exact
+    // (score desc, id asc) prefix
+    val rows = (1L to 200L).map(id => (id, 0.75, 10L))
+    assert(cut(rows, 170L) === (1L to 17L))
+    assert(cut(rows, 175L) === (1L to 17L)) // partial doc never kept
+    assert(cut(rows, 0L) === Seq.empty)
+    assert(cut(rows, 2000L) === (1L to 200L))
+  }
+
+  test("withRunningSum equals the single-partition window running sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.sum
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(id => (id, rnd.nextInt(100).toDouble, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "score", "tok")
+    val order = Seq(col("score").desc, col("id"))
+    val dist = graft.operators.GlobalRank.withRunningSum(df, order, "tok", "run")
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("run", sum(col("tok")).over(w))
+      .select("id", "run").as[(Long, Long)].collect().toMap
+    assert(dist === naive)
+  }
+
   test("score 1.0 and clamped out-of-range scores land in stable buckets") {
     val rows = Seq((1L, 1.0, 10L), (2L, 1.7, 10L), (3L, -0.2, 10L))
     // 1.0 and the clamped 1.7 share bucket 10; -0.2 clamps to bucket 0
