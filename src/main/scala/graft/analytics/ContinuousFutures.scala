@@ -97,6 +97,25 @@ object ContinuousFutures {
   case class SliceSeed(instrument_type: String, slice: Int,
       main: String, mainMat: Int, sec: String, secMat: Int)
 
+  /** Exact FACTOR-scan state at the first day of `slice`: the selection
+    * state plus the previous candidate-bearing day's date and close list
+    * (a roll detected on the slice's first days quotes its factor at
+    * that previous day). `slice == Int.MaxValue` is the end-of-history
+    * sentinel row carrying the final (lastDate, main, sec) for the
+    * neutral last factor. prevDate == Int.MinValue = no candidate-
+    * bearing day yet (cold start). */
+  case class FacSeed(instrument_type: String, slice: Int,
+      main: String, mainMat: Int, sec: String, secMat: Int,
+      prevDate: Int, prevCloses: Seq[CloseE])
+
+  /** One roll event from the sliced factor replay. kind 0 = main roll
+    * (`mainId` is the OLD main, `value` its adjustment); kind 1 =
+    * secondary roll (`mainId` is the CURRENT main, `secId` the old
+    * secondary, `value` its adjustment); kind 2 = end sentinel
+    * (`date` = last candidate-bearing day, ids = final main/sec). */
+  case class FacEvent(instrument_type: String, date: Int, kind: Int,
+      mainId: String, value: Double, secId: String)
+
   /** ~Year-width slice of an epoch-day. Boundaries need no calendar
     * alignment: seeding is exact, so any deterministic slicing yields
     * identical results — width only tunes replay parallelism. */
@@ -117,33 +136,52 @@ object ContinuousFutures {
 
   /** Advance one day. `cands` must be (maturity, id)-sorted; empty days
     * are no-ops (the legacy scan skipped them entirely). Returns true
-    * iff the day was processed (had candidates). */
+    * iff the day was processed (had candidates).
+    *
+    * Allocation-free (round 11): the per-day `HashMap[id, sw]` the first
+    * version built served exactly two lookups — the CURRENT main's and
+    * secondary's quotes — so those ride in locals instead: a linear
+    * pre-scan finds the incumbents' quotes for the day, and a roll's new
+    * quote is the rolled-to candidate's own `sw`. This pass is the
+    * serial boundary chain of both the d1 and d2 pipelines (2a), so its
+    * per-day constant IS the scaling story. Behavior is pinned ≡ the
+    * retained map-based legacy scan by the randomized differentials in
+    * ContinuousFuturesSpec (ids are unique per day by the phase-1
+    * groupBy, so "last put wins" and "last match wins" coincide). */
   private def advanceDay(st: SelState, cands: Seq[Cand]): Boolean = {
     if (cands.isEmpty) return false
-    val sw = new java.util.HashMap[String, java.lang.Double](cands.length * 2)
-    cands.foreach(c => sw.put(c.id, c.sw))
-    for (c <- cands) {
+    var mainSw = 0.0; var haveMainSw = false
+    var secSw = 0.0; var haveSecSw = false
+    if (st.main != null || st.sec != null) {
+      val it = cands.iterator
+      while (it.hasNext) {
+        val c = it.next()
+        if (st.main != null && c.id == st.main) { mainSw = c.sw; haveMainSw = true }
+        if (st.sec != null && c.id == st.sec) { secSw = c.sw; haveSecSw = true }
+      }
+    }
+    val it = cands.iterator
+    while (it.hasNext) {
+      val c = it.next()
       // main only rolls forward: skip candidates expiring before it
       if (!(st.main != null && c.maturity < st.mainMat)) {
-        if (st.main == null) { st.main = c.id; st.mainMat = c.maturity }
-        else {
-          val mv = sw.get(st.main)
-          if (mv == null || mv.doubleValue() < c.sw) {
-            st.main = c.id; st.mainMat = c.maturity
-            if (st.sec != null && (st.main == st.sec || st.secMat < st.mainMat)) {
-              st.sec = null; st.secMat = 0
-            }
+        if (st.main == null) {
+          st.main = c.id; st.mainMat = c.maturity; mainSw = c.sw; haveMainSw = true
+        } else if (!haveMainSw || mainSw < c.sw) {
+          // (a non-quoting incumbent — the old map's null — always rolls)
+          st.main = c.id; st.mainMat = c.maturity; mainSw = c.sw; haveMainSw = true
+          if (st.sec != null && (st.main == st.sec || st.secMat < st.mainMat)) {
+            st.sec = null; st.secMat = 0; haveSecSw = false
           }
         }
         // secondary: any non-main candidate seeds it; upgrades need a
         // later expiry AND strictly larger switch_by than the incumbent
         if (st.sec == null) {
-          if (st.main != c.id) { st.sec = c.id; st.secMat = c.maturity }
-        } else if (st.secMat < c.maturity) {
-          val sv = sw.get(st.sec)
-          if (sv != null && sv.doubleValue() < c.sw) {
-            st.sec = c.id; st.secMat = c.maturity
+          if (st.main != c.id) {
+            st.sec = c.id; st.secMat = c.maturity; secSw = c.sw; haveSecSw = true
           }
+        } else if (st.secMat < c.maturity && haveSecSw && secSw < c.sw) {
+          st.sec = c.id; st.secMat = c.maturity; secSw = c.sw; haveSecSw = true
         }
       }
     }
@@ -194,6 +232,17 @@ object ContinuousFutures {
     reducedCache.getOrElseUpdate((spark, key),
       graft.core.Scratch.materialize(reduceSel(spark, bars).toDF(), "d1red", key))
       .as[DaySel]
+  }
+
+  /** The factor-path reduction is likewise consumed twice (boundary pass
+    * + sliced replay); same memoized-materialization discipline. */
+  private def reducedFullCached(spark: SparkSession, bars: DataFrame): Dataset[DayFull] = {
+    import spark.implicits._
+    reducedCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    val key = "full|" + graft.core.Scratch.planKey(bars)
+    reducedCache.getOrElseUpdate((spark, key),
+      graft.core.Scratch.materialize(reduceFull(spark, bars).toDF(), "d2red", key))
+      .as[DayFull]
   }
 
   // ── D1: sliced, exactly-seeded selection ────────────────────────────
@@ -327,8 +376,201 @@ object ContinuousFutures {
   }
 
   /** D2 — back-adjustment factor series (sparse: one row per roll date
-    * plus the latest date; apply as-of backward). */
+    * plus the latest date; apply as-of backward).
+    *
+    * == Scale architecture (round 11) ==
+    * The d1 slice-seeding discipline applied to the factor scan. The
+    * round-10 form ran [[scanReduced]] whole-type — a serial
+    * O(candidate entries) chain whose parallelism was #types, the worst
+    * remaining §2-core scaling ratio (sf1 3.25×). Now:
+    *
+    *  - '''2a (boundary pass)''': streams each type's reduced day rows
+    *    once carrying only (selection state, previous candidate-bearing
+    *    day's date + close list) and emits the exact factor-scan state
+    *    at each ~year slice boundary, plus an end-of-history sentinel
+    *    (final main/sec at the last candidate day) for the neutral
+    *    last row.
+    *  - '''2b (parallel replay)''': a cogroup keyed on (type, slice)
+    *    replays every slice from its exact seed — per-day close-map
+    *    builds, roll detection and event encoding all run at
+    *    type × slice parallelism — emitting only the sparse ROLL
+    *    EVENTS (one per roll, not per day).
+    *  - '''Final fold''': the reverse cumulation is serial by
+    *    definition (it spans the whole history), but now folds over the
+    *    per-type EVENT list — rolls, typically a few per year — instead
+    *    of the day axis, with operand order identical to the serial
+    *    scan (so factors are bit-exact against it).
+    *
+    * Replay from the true boundary state equals the whole-type scan by
+    * construction (the same transition function resumed mid-stream);
+    * [[adjFactorsSerial]] is retained as the differential oracle
+    * (ContinuousFuturesSpec pins equality).
+    */
   def adjFactors(spark: SparkSession, bars: DataFrame, method: Method = Division): DataFrame = {
+    import spark.implicits._
+    val reduced = reducedFullCached(spark, bars)
+    val events = facEvents(spark, reduced, facSeeds(spark, reduced), method)
+    // Final fold: reverse cumulation over the per-type ROLL LIST (tiny).
+    // The sentinel arrives as a kind-2 event from the replay cogroup —
+    // seeds are consumed exactly once, so the whole pipeline is a single
+    // job with one 2a pass.
+    events
+      .groupByKey(_.instrument_type)
+      .flatMapGroups((t, it) => cumulateEvents(t, it.toSeq, method).iterator)(
+        Encoders.product[FactorRow])
+      .toDF()
+  }
+
+  // phase-timing probe hooks (graft.tools.D2Profile)
+  private[graft] def probeReduce(spark: SparkSession, bars: DataFrame): Long =
+    reducedFullCached(spark, bars).count()
+  private[graft] def probeSeeds(spark: SparkSession, bars: DataFrame): Long =
+    facSeeds(spark, reducedFullCached(spark, bars)).count()
+  private[graft] def probeEvents(spark: SparkSession, bars: DataFrame): Long = {
+    val reduced = reducedFullCached(spark, bars)
+    facEvents(spark, reduced, facSeeds(spark, reduced), Diff).count()
+  }
+
+  /** 2a: exact boundary states + end sentinel, one compact pass/type. */
+  private def facSeeds(spark: SparkSession,
+      reduced: Dataset[DayFull]): Dataset[FacSeed] = {
+    import spark.implicits._
+    reduced.groupByKey(_.instrument_type)
+      .flatMapSortedGroups(col("trade_date")) { (t, days) =>
+        val st = new SelState
+        val out = mutable.ArrayBuffer[FacSeed]()
+        var cur = Int.MinValue
+        var prevDate = Int.MinValue
+        var prevCloses: Seq[CloseE] = Nil
+        for (day <- days) {
+          val sl = sliceOf(day.trade_date)
+          if (sl != cur) {
+            out += FacSeed(t, sl, st.main, st.mainMat, st.sec, st.secMat,
+              prevDate, prevCloses)
+            cur = sl
+          }
+          if (day.cands.nonEmpty) { // the scan skips candidate-free days
+            advanceDay(st, day.cands)
+            prevDate = day.trade_date
+            prevCloses = day.closes
+          }
+        }
+        if (prevDate != Int.MinValue && st.main != null)
+          out += FacSeed(t, Int.MaxValue, st.main, 0, st.sec, 0, prevDate, Nil)
+        out.iterator
+      }
+  }
+
+  /** 2b: parallel replay per (type, slice) from the exact seed,
+    * emitting sparse roll events only. The end-of-history sentinel seed
+    * (slice = Int.MaxValue) forms a day-less cogroup key of its own and
+    * surfaces as a kind-2 event, so the caller consumes ONE dataset and
+    * the seeds subtree is evaluated exactly once. */
+  private def facEvents(spark: SparkSession, reduced: Dataset[DayFull],
+      seeds: Dataset[FacSeed], method: Method): Dataset[FacEvent] = {
+    import spark.implicits._
+    val byShard = reduced.groupByKey(r => (r.instrument_type, sliceOf(r.trade_date)))
+    val seedByShard = seeds.groupByKey(s => (s.instrument_type, s.slice))
+    byShard.cogroupSorted(seedByShard)(col("trade_date"))() {
+      case ((t, sl), days, seedIt) =>
+        if (sl == Int.MaxValue) {
+          // sentinel shard: no day rows by construction
+          seedIt.map(s => FacEvent(t, s.prevDate, 2, s.main, method.neutral, s.sec))
+        } else {
+        val st = new SelState
+        var prevDate = Int.MinValue
+        var prevCloses: Map[String, Double] = Map.empty
+        seedIt.foreach { s =>
+          st.main = s.main; st.mainMat = s.mainMat
+          st.sec = s.sec; st.secMat = s.secMat
+          prevDate = s.prevDate
+          prevCloses = s.prevCloses.map(c => c.id -> c.close).toMap
+        }
+        val out = mutable.ArrayBuffer[FacEvent]()
+        for (day <- days; if day.cands.nonEmpty) {
+          val mainLast = st.main
+          val secLast = st.sec
+          advanceDay(st, day.cands)
+          val seen = prevDate != Int.MinValue
+          if (mainLast != null && mainLast != st.main && seen) {
+            val chg = for {
+              cNew <- prevCloses.get(st.main)
+              cOld <- prevCloses.get(mainLast)
+            } yield if (method == Division) cNew / cOld else cNew - cOld
+            chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
+              out += FacEvent(t, prevDate, 0, mainLast, v, null)
+            }
+          }
+          if (secLast != null && st.sec != null && secLast != st.sec && seen) {
+            val chg = for {
+              cNew <- prevCloses.get(st.sec)
+              cOld <- prevCloses.get(secLast)
+            } yield if (method == Division) cNew / cOld else cNew - cOld
+            chg.filter(v => !v.isNaN && !v.isInfinite).foreach { v =>
+              out += FacEvent(t, prevDate, 1, st.main, v, secLast)
+            }
+          }
+          prevDate = day.trade_date
+          prevCloses = day.closes.map(c => c.id -> c.close).toMap
+        }
+        out.iterator
+        }
+    }(Encoders.product[FacEvent])
+  }
+
+  /** Reverse-chronological cumulation over a type's sparse roll events —
+    * the identical fold [[scanReduced]] runs, lifted off the day axis:
+    * events merge per date (a secondary roll sharing a main-roll date
+    * shares the row, keeping the main roll's old-main id exactly like
+    * the serial scan's same-date merge — both events of a date always
+    * come from the same day iteration, so date-grouping ≡ the serial
+    * adjacency merge), the neutral last row replaces any event on the
+    * final date, and factors cumulate date-descending with the same
+    * operand order as the serial scan (bit-exact). */
+  private def cumulateEvents(t: String, evs: Seq[FacEvent],
+      method: Method): Seq[FactorRow] = {
+    evs.find(_.kind == 2) match {
+      case None => Seq.empty // no candidate-bearing day / null final main
+      case Some(sent) =>
+        val lastDate = sent.date
+        val rows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
+          evs.filter(_.kind < 2).groupBy(_.date).toSeq.flatMap { case (d, es) =>
+            (es.find(_.kind == 0), es.find(_.kind == 1)) match {
+              case (Some(me), Some(se)) =>
+                Seq((d, me.mainId, Some(me.value), Some(se.secId), Some(se.value)))
+              case (Some(me), None) => Seq((d, me.mainId, Some(me.value), None, None))
+              case (None, Some(se)) =>
+                Seq((d, se.mainId, None, Some(se.secId), Some(se.value)))
+              case _ => Seq.empty
+            }
+          }
+        val lastRows: Seq[(Int, String, Option[Double], Option[String], Option[Double])] =
+          Seq((lastDate, sent.mainId, Some(method.neutral),
+            Option(sent.secId), Some(method.neutral)))
+        val raw = (rows.filterNot(_._1 == lastDate) ++ lastRows).sortBy(-_._1)
+        var accM = method.neutral
+        var accS = method.neutral
+        var lastSecId: Option[String] = None
+        raw.map { case (d, mainId, fM, secId, fS) =>
+          accM = method match {
+            case Division => accM * fM.getOrElse(1.0)
+            case Diff => accM + fM.getOrElse(0.0)
+          }
+          accS = method match {
+            case Division => accS * fS.getOrElse(1.0)
+            case Diff => accS + fS.getOrElse(0.0)
+          }
+          lastSecId = secId.orElse(lastSecId)
+          (d, FactorRow(t, toSqlDate(d), mainId, accM, lastSecId.orNull, accS))
+        }.sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** The round-10 whole-type serial factor scan — retained ONLY as the
+    * differential oracle for the sliced [[adjFactors]]
+    * (ContinuousFuturesSpec pins equality on every SF fixture). */
+  private[graft] def adjFactorsSerial(spark: SparkSession, bars: DataFrame,
+      method: Method = Division): DataFrame = {
     import spark.implicits._
     reduceFull(spark, bars).groupByKey(_.instrument_type)
       .flatMapSortedGroups(col("trade_date")) { (t, it) =>

@@ -131,6 +131,24 @@ class ContinuousFuturesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("sliced factor scan ≡ serial whole-type scan, BIT-exact (randomized)") {
+    // The round-11 sliced adjFactors claims identical operand order in
+    // the reverse cumulation — so equality here is on raw doubles, no
+    // rounding shim.
+    for (seed <- Seq(5, 23); method <- Seq(Division, Diff)) {
+      val bars = randomBars(seed)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getDate(1).toString, r.getString(2),
+          r.getDouble(3), Option(r.getString(4)), r.getDouble(5))
+      val got = ContinuousFutures.adjFactors(spark, bars, method)
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      val want = ContinuousFutures.adjFactorsSerial(spark, bars, method)
+        .collect().map(key).sortBy(x => (x._1, x._2))
+      assert(got.toSeq == want.toSeq, s"seed=$seed method=$method not bit-identical")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("D1 missing-volume day falls back without a spurious roll") {
     import spark.implicits._
     val withGap = bars.union(Seq(
