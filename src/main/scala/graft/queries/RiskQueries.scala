@@ -50,9 +50,17 @@ object RiskQueries {
       dropFirst: Boolean = false): IndexedSeq[(Int, Int) => Int] =
     IndexedSeq.tabulate(16) { n =>
       if (dropFirst && n == 0) (_: Int, _: Int) => 0
-      else (x: Int, y: Int) => {
-        val v = (graft.functions.Md5Hash.h1(s"vid:$did:$n:${x / 4}:${y / 4}") % 100 + 20).toInt * gain
-        (v << 16) | (v << 8) | v
+      else {
+        // One md5 per 4×4 block, memoized at closure construction: the
+        // mux evaluates f per PIXEL (16× per block), and the hash is
+        // block-constant — identical pixel values, 16× fewer md5+string
+        // allocations (the microbenched dominant of the old fixture).
+        val block = Array.tabulate(16) { b =>
+          val v = (graft.functions.Md5Hash.h1(
+            s"vid:$did:$n:${b % 4}:${b / 4}") % 100 + 20).toInt * gain
+          (v << 16) | (v << 8) | v
+        }
+        (x: Int, y: Int) => block((y / 4) * 4 + (x / 4))
       }
     }
 
