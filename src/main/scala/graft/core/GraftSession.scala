@@ -39,7 +39,7 @@ object GraftSession {
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        graft.core.Scratch.queryDir("warehouse"))
       .config("spark.ui.enabled", "false")
       // Builder-time Catalyst extension: the native as-of join strategy
       // (graft.plans.AsOfJoinPlan). registerFunctions also injects it

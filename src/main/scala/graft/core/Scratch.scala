@@ -56,29 +56,69 @@ object Scratch {
   }
 
   /** Collision-resistant session cache key for a DataFrame input: the
-    * SHA-256 of the canonicalized analyzed plan's string form.
-    * `semanticHash()` is a 32-bit Int — across many memoized models in
-    * one session a collision would silently hand the wrong codebook /
-    * merge table to a consumer; the full digest closes that class. The
-    * immutable-input contract is unchanged: the plan string covers
-    * paths and literals, not file CONTENTS, so a pipeline that rewrites
-    * a cached path in place must use a new path (or session).
+    * SHA-256 of the canonicalized analyzed plan's string form, plus
+    * content versions for both relation kinds the plan string alone
+    * can't distinguish:
+    *
+    *  - '''LocalRelation rows''': the canonical form (and semanticHash)
+    *    covers the SCHEMA but not the rows — two in-memory inputs of the
+    *    same shape would otherwise share a key and cross-feed each
+    *    other's models.
+    *  - '''File-source mtimes''' (round 11): the plan string covers
+    *    paths and literals, not file CONTENTS — an in-place overwrite of
+    *    a memoized input dir used to serve stale reductions for the
+    *    session. Each file relation's root paths now fold in their own
+    *    and their immediate children's max modification time, so a
+    *    rewrite (Spark overwrites recreate files, bumping the dir and
+    *    partition-dir mtimes) mints a fresh key. One listing level
+    *    bounds the cost; a byte-level rewrite that preserves every
+    *    file name AND every mtime is outside the contract.
     */
   def planKey(df: org.apache.spark.sql.DataFrame): String = {
     val plan = df.queryExecution.analyzed
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(plan.canonicalized.toString.getBytes("UTF-8"))
-    // A LocalRelation's canonical form (and semanticHash) covers its
-    // SCHEMA but not its rows — two in-memory inputs of the same shape
-    // would otherwise share a key and cross-feed each other's models.
-    // File-backed plans are unaffected (path is in the plan string).
+    lazy val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
     plan.foreach {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.foreach { rp =>
+              val ver =
+                try {
+                  val hfs = rp.getFileSystem(hadoopConf)
+                  val st = hfs.getFileStatus(rp)
+                  val sb = new StringBuilder(st.getModificationTime.toString)
+                  if (st.isDirectory)
+                    // child NAMES too: a Spark overwrite mints fresh
+                    // part-file UUIDs, so the key changes even when the
+                    // filesystem's mtime granularity is coarse
+                    hfs.listStatus(rp).sortBy(_.getPath.getName)
+                      .foreach(c => sb.append('|')
+                        .append(c.getPath.getName).append('@')
+                        .append(c.getModificationTime))
+                  sb.toString
+                } catch { case _: java.io.IOException => "-1" }
+              md.update(s"$rp@$ver".getBytes("UTF-8"))
+            }
+          case _ => ()
+        }
       case _ => ()
     }
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Pid-scoped fixed-name scratch dir for a query's side-effect
+    * surface (export dirs, upsert stores, streaming sources/checkpoints).
+    * Two CONCURRENT boards of one repo used to clobber each other's
+    * warehouse tables and stream checkpoints through the shared fixed
+    * /tmp names; the pid suffix isolates them, and the name matches the
+    * `graft_*_p<pid>` sweep pattern so the shutdown hook and the
+    * dead-pid startup sweep clean these up like every other scratch. */
+  def queryDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_p$jvmTag"
 
   def path(kind: String, key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")

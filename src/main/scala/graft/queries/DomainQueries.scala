@@ -24,9 +24,10 @@ object DomainQueries {
   private[queries] def stageParityHalves(s: SparkSession, df: DataFrame,
       idCol: String, name: String): String = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    val tmpRoot = System.getProperty("java.io.tmpdir")
-    val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/$name")
-    val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/${name}_stage")
+    val streamDir = new org.apache.hadoop.fs.Path(
+      graft.core.Scratch.queryDir(name.stripPrefix("graft_")))
+    val stageDir = new org.apache.hadoop.fs.Path(
+      graft.core.Scratch.queryDir(name.stripPrefix("graft_") + "_stage"))
     Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
     fs.mkdirs(streamDir)
     Seq(0, 1).foreach { par =>
@@ -218,7 +219,7 @@ object DomainQueries {
 
     // ── K1: keyed upsert end-to-end (the #1 sink primitive) ──────────
     "k1_upsert_readback" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_flat"
+      val dir = graft.core.Scratch.queryDir("upsert_flat")
       val store = new TableStore(s, dir)
       val spec = TableSpec("orders_upsert", Seq("o_orderkey"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -239,7 +240,7 @@ object DomainQueries {
     // rows carry it, and untouched columns survive. The oracle rebuilds
     // the expected merged table including the null backfill.
     "k1_schema_evolution" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_evolve"
+      val dir = graft.core.Scratch.queryDir("upsert_evolve")
       val store = new TableStore(s, dir)
       val spec = TableSpec("orders_evolve", Seq("o_orderkey"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -257,7 +258,7 @@ object DomainQueries {
     "k1_upsert_partitioned" -> ((s, d) => {
       // Partitioned upsert: the second batch must rewrite only the
       // partitions it touches (1997), leaving the rest byte-identical.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_part"
+      val dir = graft.core.Scratch.queryDir("upsert_part")
       val store = new TableStore(s, dir)
       val spec = TableSpec("orders_part", Seq("o_orderkey"), partitionBy = Seq("od_year"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -281,7 +282,7 @@ object DomainQueries {
 
     "k2_insert_ignore" -> ((s, d) => {
       // INSERT IGNORE: conflicting second batch must NOT win.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_ignore"
+      val dir = graft.core.Scratch.queryDir("upsert_ignore")
       val store = new TableStore(s, dir)
       val spec = TableSpec("orders_ignore", Seq("o_orderkey"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -296,7 +297,7 @@ object DomainQueries {
 
     "k3_overwrite_partitions" -> ((s, d) => {
       // Delete-then-insert of one partition slice (dynamic overwrite).
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_overwrite_part"
+      val dir = graft.core.Scratch.queryDir("overwrite_part")
       val store = new TableStore(s, dir)
       val spec = TableSpec("orders_ow", Seq("o_orderkey"), partitionBy = Seq("od_year"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -317,7 +318,7 @@ object DomainQueries {
       // File streaming sources need a directory: stage the events file
       // into a scratch dir and replay it from there.
       val streamDir = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_src")
+        graft.core.Scratch.queryDir("stream_src"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
@@ -347,7 +348,7 @@ object DomainQueries {
       // time, which is what survives at 100 TB (unbounded exact dedup
       // state does not).
       val streamDir = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup")
+        graft.core.Scratch.queryDir("stream_dedup"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
@@ -386,7 +387,7 @@ object DomainQueries {
       // watermark-bounded exactly like stream_dedup; the corpus table
       // has no event time, so this replay dedups over the full state.
       val streamDir = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_corpus")
+        graft.core.Scratch.queryDir("stream_corpus"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
@@ -546,7 +547,7 @@ object DomainQueries {
       // stream-side shuffle for the join, state only in the final agg.
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val streamDir = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_enrich")
+        graft.core.Scratch.queryDir("stream_enrich"))
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
       org.apache.hadoop.fs.FileUtil.copy(fs,
@@ -580,9 +581,8 @@ object DomainQueries {
       // a 40-day watermark (> the fixture's 30-day span) so no event is
       // late and the final table must equal the batch w11 oracle.
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_sess")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_sess_stage")
+      val streamDir = new org.apache.hadoop.fs.Path(graft.core.Scratch.queryDir("stream_sess"))
+      val stageDir = new org.apache.hadoop.fs.Path(graft.core.Scratch.queryDir("stream_sess_stage"))
       Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
       fs.mkdirs(streamDir)
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -622,8 +622,7 @@ object DomainQueries {
       // oracle pins the deterministic columns: name, terminal status,
       // and input_rows == the fixture's full row count; batch ids and
       // wall-clock stay out of the landed row.
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hb")
+      val streamDir = new org.apache.hadoop.fs.Path(graft.core.Scratch.queryDir("stream_hb"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
@@ -644,7 +643,7 @@ object DomainQueries {
         }
         require(hb.awaitStatus("graft_hb_bars", "terminated", timeoutMs = 15000),
           "heartbeat termination event not observed")
-        val storeDir = s"$tmpRoot/graft_hb_store"
+        val storeDir = graft.core.Scratch.queryDir("hb_store")
         fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
         val store = new graft.core.TableStore(s, storeDir)
         val spec = graft.core.TableSpec("heartbeats", Seq("name"))

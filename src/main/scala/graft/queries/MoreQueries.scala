@@ -68,7 +68,7 @@ object MoreQueries {
       // /root/reference/tasks/utils/to_sqlite.py:334-430): write
       // partitioned by (source, lang), read back through partition
       // discovery.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_export_per_key"
+      val dir = graft.core.Scratch.queryDir("export_per_key")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       // Pre-shuffle onto the partition keys: without it every input task
@@ -87,7 +87,7 @@ object MoreQueries {
 
     "k6_csv_roundtrip" -> ((s, d) => {
       // CSV export + re-read (K6) with an explicit schema.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_export"
+      val dir = graft.core.Scratch.queryDir("csv_export")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       Tables.nation(s, d).write.option("header", "true").csv(dir)
@@ -144,7 +144,7 @@ object MoreQueries {
       // reference's REST payloads, e.g. tushare/ifind responses —
       // /root/reference/tasks/ifind/__init__.py:15): field order and
       // nullability must survive the round trip.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_export"
+      val dir = graft.core.Scratch.queryDir("json_export")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       Tables.supplier(s, d)
@@ -164,7 +164,7 @@ object MoreQueries {
       // Columnar-format breadth: ORC export + re-read through the same
       // summary as k7 — the store is format-agnostic at the edges even
       // though parquet is the house format.
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_export"
+      val dir = graft.core.Scratch.queryDir("orc_export")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       Tables.supplier(s, d)
@@ -336,7 +336,7 @@ object MoreQueries {
       // Streaming bars -> keyed upsert sink (foreachBatch): final table
       // state equals the batch aggregation — replay/late-data idempotent.
       val streamDir = new org.apache.hadoop.fs.Path(
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert_src")
+        graft.core.Scratch.queryDir("stream_upsert_src"))
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       // re-write (not FileUtil.copy): a multi-file events TABLE (a
@@ -344,7 +344,7 @@ object MoreQueries {
       // otherwise nest under streamDir where the flat stream source
       // finds no files
       s.read.parquet(s"$d/events.parquet").write.parquet(streamDir.toString)
-      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_store"
+      val storeDir = graft.core.Scratch.queryDir("stream_store")
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)
       val spec = graft.core.TableSpec("bars", Seq("user_id", "bar_start"))
@@ -375,11 +375,10 @@ object MoreQueries {
     // time across batches — this query proves recovery, not lateness
     // (stream_tick_bars covers watermark semantics).
     "stream_recovery_upsert" -> ((s, d) => {
-      val tmp = System.getProperty("java.io.tmpdir")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val srcDir = s"$tmp/graft_stream_recovery_src"
-      val ckptDir = s"$tmp/graft_stream_recovery_ckpt"
-      val storeDir = s"$tmp/graft_stream_recovery_store"
+      val srcDir = graft.core.Scratch.queryDir("stream_recovery_src")
+      val ckptDir = graft.core.Scratch.queryDir("stream_recovery_ckpt")
+      val storeDir = graft.core.Scratch.queryDir("stream_recovery_store")
       Seq(srcDir, ckptDir, storeDir).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       s.read.parquet(s"$d/events.parquet").repartition(4).write.parquet(srcDir)
@@ -711,9 +710,8 @@ object MoreQueries {
       // dashboards: per-batch work is one partial-agg pass, store size
       // is groups × 2^p rows regardless of stream volume.
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
-      val streamDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hll_src")
-      val stageDir = new org.apache.hadoop.fs.Path(s"$tmpRoot/graft_stream_hll_stage")
+      val streamDir = new org.apache.hadoop.fs.Path(graft.core.Scratch.queryDir("stream_hll_src"))
+      val stageDir = new org.apache.hadoop.fs.Path(graft.core.Scratch.queryDir("stream_hll_stage"))
       Seq(streamDir, stageDir).foreach(p => fs.delete(p, true))
       fs.mkdirs(streamDir)
       val ev = s.read.parquet(s"$d/events.parquet")
@@ -726,7 +724,7 @@ object MoreQueries {
         fs.rename(part, new org.apache.hadoop.fs.Path(streamDir, s"half_$par.parquet"))
       }
       fs.delete(stageDir, true)
-      val storeDir = s"$tmpRoot/graft_stream_hll_store"
+      val storeDir = graft.core.Scratch.queryDir("stream_hll_store")
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)
       val spec = graft.core.TableSpec("hll_regs", Seq("grp", "idx"))
@@ -782,7 +780,7 @@ object MoreQueries {
       val base = graft.operators.CodeMapping.fromWind(windSide, "stock")
       val (updated, inserted) = graft.operators.CodeMapping
         .refreshFromIfind(base, ifindSide, windSide, "stock")
-      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_code_mapping"
+      val storeDir = graft.core.Scratch.queryDir("code_mapping")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)

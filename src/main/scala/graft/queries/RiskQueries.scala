@@ -562,7 +562,7 @@ object RiskQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val centroids = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_store"
+      val storeDir = graft.core.Scratch.queryDir("ivf_index_store")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       val store = new graft.core.TableStore(s, storeDir)
@@ -607,11 +607,10 @@ object RiskQueries {
       // exact-top-k SQL the oracle runs. Store size: groups × capacity
       // rows regardless of stream volume.
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val tmpRoot = System.getProperty("java.io.tmpdir")
       val ev = s.read.parquet(s"$d/events.parquet")
       val streamDir = DomainQueries.stageParityHalves(s, ev, "event_id",
         "graft_stream_topk_src")
-      val storeDir = s"$tmpRoot/graft_stream_topk_store"
+      val storeDir = graft.core.Scratch.queryDir("stream_topk_store")
       fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
       // Partitioned by group and OVERWRITTEN per batch (not PK-upserted):
       // the Misra–Gries trim can DROP tokens from a group's sketch, and a

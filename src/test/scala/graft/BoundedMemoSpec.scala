@@ -37,3 +37,43 @@ class BoundedMemoSpec extends AnyFunSuite {
     assert(get() == null && get() == null && computes == 1)
   }
 }
+
+/** Content-aware planKey: the memo keys that guard scratch-materialized
+  * reductions must change when a memoized input dir is rewritten IN
+  * PLACE — the round-10 foot-gun was a plan-string-only key serving
+  * stale d1 reductions after an overwrite. */
+class PlanKeyContentSpec extends AnyFunSuite with SharedSpark {
+  import org.apache.spark.sql.functions.col
+
+  test("in-place overwrite of a parquet input changes planKey; re-ask gets fresh") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.queryDir("plankey_spec")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val k1 = graft.core.Scratch.planKey(spark.read.parquet(dir))
+    val k1again = graft.core.Scratch.planKey(spark.read.parquet(dir))
+    assert(k1 == k1again, "key must be stable while the input is untouched")
+    Seq((3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val k2 = graft.core.Scratch.planKey(spark.read.parquet(dir))
+    assert(k1 != k2, "in-place overwrite must mint a fresh key")
+  }
+
+  test("memoized d1 reduction serves fresh results after an input overwrite") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.queryDir("plankey_d1_spec")
+    def bars(id: String) = Seq(
+      ("RB", id, java.sql.Date.valueOf("2021-01-04"), 10.0, 100.0,
+        java.sql.Date.valueOf("2021-05-15"))
+    ).toDF("instrument_type", "instrument_id", "trade_date", "close",
+      "switch_by", "last_trade_date")
+    bars("A1").write.mode("overwrite").parquet(dir)
+    val got1 = graft.analytics.ContinuousFutures
+      .dailySelection(spark, spark.read.parquet(dir))
+      .select(col("main_id")).as[String].collect().toSeq
+    assert(got1 == Seq("A1"))
+    bars("B2").write.mode("overwrite").parquet(dir) // in-place rewrite
+    val got2 = graft.analytics.ContinuousFutures
+      .dailySelection(spark, spark.read.parquet(dir))
+      .select(col("main_id")).as[String].collect().toSeq
+    assert(got2 == Seq("B2"), "stale memoized reduction served after overwrite")
+  }
+}
