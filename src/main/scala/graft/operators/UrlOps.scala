@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * The canonicalizer is PURE Column algebra (whole-stage codegen, no
   * UDF), so at 100 TB it is a map fused into the scan, and every step
-  * is replayable in the DuckDB oracle: fragment strip, scheme+host
-  * lower-casing, default-port drop (http:80 / https:443), duplicate-
-  * slash collapse, trailing-slash strip, tracking-parameter removal
-  * (`utm_*`, `fbclid`, `gclid`, `ref`), and query-parameter sorting.
+  * is replayable in the DuckDB oracle: fragment strip, percent-encoding
+  * normalization (RFC 3986 §6.2.2.1-2: decode unreserved escapes,
+  * upper-case the hex of the rest), scheme+host lower-casing,
+  * default-port drop (http:80 / https:443), dot-segment resolution
+  * (`/./` drop, `/../` pop, clamped at the root — RFC 3986 §5.2.4),
+  * duplicate-slash collapse, trailing-slash strip, tracking-parameter
+  * removal (`utm_*`, `fbclid`, `gclid`, `ref`), and query-parameter
+  * sorting.
   *
   * Contract: absolute `http(s)://host[:port][/path][?query][#frag]`
-  * URLs. No percent-decoding and no dot-segment (`/../`) resolution —
-  * both change semantics on hostile inputs and real pipelines run them
-  * upstream in the fetcher; out of scope here, documented.
+  * URLs. Decoding is limited to UNRESERVED escapes (`%7E` → `~`), which
+  * can never change URL structure — reserved escapes (`%2F`, `%23`)
+  * keep their meaning and only their hex case is normalized.
   */
 object UrlOps {
 
@@ -27,9 +31,35 @@ object UrlOps {
     * `name=` prefix match on each `&`-separated parameter). */
   private[graft] val TrackingRe = "^(utm_[^=]*|fbclid|gclid|ref)="
 
+  /** RFC 3986 percent-encoding normalization: decode escapes whose
+    * octet is UNRESERVED (ALPHA / DIGIT / `-._~`), upper-case the hex
+    * digits of every other well-formed escape, and pass malformed `%`
+    * sequences through untouched. Split on `%`: every part after the
+    * first begins at an escape site, so each is classified by its
+    * leading two chars — no regex backtracking, fully codegen'd. */
+  private[graft] def percentNormalize(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val head = element_at(parts, 1)
+    val tail = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val fixed = transform(tail, p => {
+      val rawHex = substring(p, 1, 2)
+      val valid = rawHex.rlike("^[0-9A-Fa-f]{2}$")
+      val hex = upper(rawHex)
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved = (code === 45) || (code === 46) || (code === 95) ||
+        (code === 126) || (code >= 48 && code <= 57) ||
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122)
+      val restOf = substring(p, 3, 1 << 30)
+      when(valid && unreserved, concat(call_function("char", code), restOf))
+        .when(valid, concat(lit("%"), hex, restOf))
+        .otherwise(concat(lit("%"), p)) // malformed escape: literal '%'
+    })
+    concat(head, array_join(fixed, ""))
+  }
+
   /** Canonical form of an absolute http(s) URL; null-safe (null → null). */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = substring_index(url, "#", 1)
+    val noFrag = percentNormalize(substring_index(url, "#", 1))
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)
     // The authority ends at the FIRST of "/" or "?" — a query can start
@@ -53,9 +83,17 @@ object UrlOps {
     val path = when(qPos > 0, pathQuery.substr(lit(1), qPos - 1)).otherwise(pathQuery)
     val query = when(qPos > 0, pathQuery.substr(qPos + 1, length(pathQuery)))
       .otherwise(lit(""))
-    // Collapse duplicate slashes, then strip ALL trailing slashes — the
-    // canonical root path is the empty string ("https://h/" ≡ "https://h").
-    val pathC = regexp_replace(regexp_replace(path, "/{2,}", "/"), "/+$", "")
+    // Segment algebra subsumes three steps at once: splitting on "/"
+    // and dropping empty segments collapses duplicate AND trailing
+    // slashes; dropping "." and popping the accumulator on ".." is RFC
+    // 3986 §5.2.4 dot-segment resolution (the pop regex strips the last
+    // "/segment"; at the root the accumulator is "" and the pop is a
+    // no-op — root's parent is root). The canonical root path is the
+    // empty string ("https://h/" ≡ "https://h").
+    val segs = filter(split(path, "/"), s0 => s0 =!= "" && s0 =!= ".")
+    val pathC = aggregate(segs, lit(""), (acc, s0) =>
+      when(s0 === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), s0)))
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingRe))
     val queryC = array_join(array_sort(params), "&")

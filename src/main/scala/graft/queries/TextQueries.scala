@@ -76,8 +76,21 @@ object TextQueries {
       val u4 = docs.filter(col("doc_id") % 31 === 0)
         .select((col("doc_id") + 6000000L).as("cid"),
           concat(base(col("doc_id")), lit("?b=2&a=1&utm_medium=m")).as("url"))
+      // %37: unreserved escape (%64 → 'd') + './x/..' dot segments —
+      // decodes and resolves ≡ base. %41: a '/../' at the root (clamps)
+      // plus a RESERVED escape in the query whose hex must upper-case
+      // (%2f → %2F) — a singleton whose canonical string pins both.
+      val u5 = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 7000000L).as("cid"),
+          concat(lit("https://www."), col("source"), lit(".example.com/"),
+            col("lang"), lit("/./x/../%64oc-"), col("doc_id")).as("url"))
+      val u6 = docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 8000000L).as("cid"),
+          concat(lit("https://www."), col("source"), lit(".example.com/../"),
+            col("lang"), lit("/doc-"), col("doc_id"), lit("?q=%2fv")).as("url"))
       graft.operators.UrlOps.dedupByCanonicalUrl(
-          Tables.scatter(u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4)),
+          Tables.scatter(u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4)
+            .unionAll(u5).unionAll(u6)),
           "url", "cid")
         .orderBy(col("canonical_url"))
     }),
@@ -742,21 +755,39 @@ object TextQueries {
          |SELECT doc_id, quality, n_tokens FROM keep ORDER BY doc_id""".stripMargin,
 
     // Full canonicalization replay: every step of UrlOps.canonicalizeUrl
-    // (fragment strip, scheme/host lower-case, default-port drop,
-    // slash collapse, trailing-slash strip, tracking-param removal,
-    // param sort) re-expressed in DuckDB string/list algebra over the
-    // SAME synthesized URL ledger, then the same min-id/count group-by.
+    // (fragment strip, percent-encoding normalization — decode
+    // unreserved escapes, upper-case the rest's hex —, scheme/host
+    // lower-case, default-port drop, dot-segment resolution via a
+    // string-accumulator list_reduce, slash collapse, trailing-slash
+    // strip, tracking-param removal, param sort) re-expressed in DuckDB
+    // string/list algebra over the SAME synthesized URL ledger, then
+    // the same min-id/count group-by.
     "t_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id AS cid, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id AS url FROM documents
         |  UNION ALL SELECT doc_id + 3000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?utm_source=feed&utm_campaign=x&fbclid=abc' FROM documents WHERE doc_id % 17 = 0
         |  UNION ALL SELECT doc_id + 4000000, 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/doc-' || doc_id FROM documents WHERE doc_id % 23 = 0
         |  UNION ALL SELECT doc_id + 5000000, 'https://www.' || source || '.example.com//' || lang || '//doc-' || doc_id || '/#frag' FROM documents WHERE doc_id % 29 = 0
-        |  UNION ALL SELECT doc_id + 6000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?b=2&a=1&utm_medium=m' FROM documents WHERE doc_id % 31 = 0),
-        |s1 AS (SELECT cid, string_split(url, '#')[1] AS nofrag FROM u),
+        |  UNION ALL SELECT doc_id + 6000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?b=2&a=1&utm_medium=m' FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL SELECT doc_id + 7000000, 'https://www.' || source || '.example.com/' || lang || '/./x/../%64oc-' || doc_id FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL SELECT doc_id + 8000000, 'https://www.' || source || '.example.com/../' || lang || '/doc-' || doc_id || '?q=%2fv' FROM documents WHERE doc_id % 41 = 0),
+        |s1 AS (SELECT cid, string_split(url, '#')[1] AS nofrag0 FROM u),
+        |s1b AS (SELECT cid, CASE WHEN strpos(nofrag0, '%') = 0 THEN nofrag0 ELSE
+        |  string_split(nofrag0, '%')[1] || array_to_string(list_transform(
+        |    list_transform(string_split(nofrag0, '%')[2:], p -> {'p': p,
+        |      'c': CAST(CASE WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$')
+        |           THEN (strpos('0123456789ABCDEF', upper(p[1:1])) - 1) * 16
+        |              + strpos('0123456789ABCDEF', upper(p[2:2])) - 1
+        |           ELSE -1 END AS INTEGER)}),
+        |    e -> CASE WHEN e.c = -1 THEN '%' || e.p
+        |              WHEN e.c IN (45, 46, 95, 126) OR e.c BETWEEN 48 AND 57
+        |                OR e.c BETWEEN 65 AND 90 OR e.c BETWEEN 97 AND 122
+        |              THEN chr(e.c) || e.p[3:]
+        |              ELSE '%' || upper(e.p[1:2]) || e.p[3:] END), '')
+        |  END AS nofrag FROM s1),
         |s2 AS (SELECT cid,
         |  lower(nofrag[1 : strpos(nofrag, '://') - 1]) AS scheme,
-        |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1),
+        |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1b),
         |s3 AS (SELECT *,
         |  CASE WHEN strpos(rest, '/') > 0
         |         AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?'))
@@ -776,7 +807,10 @@ object TextQueries {
         |  CASE WHEN qpos > 0 THEN pathquery[1 : qpos - 1] ELSE pathquery END AS path,
         |  CASE WHEN qpos > 0 THEN pathquery[qpos + 1 :] ELSE '' END AS qry FROM s4),
         |s6 AS (SELECT *,
-        |  regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/+$', '', 'g') AS pathc,
+        |  list_reduce(list_prepend('', list_filter(string_split(path, '/'),
+        |      x -> x <> '' AND x <> '.')),
+        |    (acc, x) -> CASE WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+        |                     ELSE acc || '/' || x END) AS pathc,
         |  array_to_string(list_sort(list_filter(string_split(qry, '&'),
         |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
         |  FROM s5),

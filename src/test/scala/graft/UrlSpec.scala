@@ -55,6 +55,41 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
         "https://ex.com/a?refx=2&utmx=1", "https://ex.com/a"))
   }
 
+  test("percent-encoding: unreserved escapes decode, reserved upper-case, malformed survive") {
+    assert(canon(
+      "https://ex.com/%7Efoo",         // %7E = '~' (unreserved) → decode
+      "https://ex.com/~foo",           // ≡ the line above
+      "https://ex.com/%41%62c",        // %41='A' %62='b' → decode
+      "https://ex.com/a%2fb",          // %2F = '/' (reserved) → hex upper-cased only
+      "https://ex.com/a%3Fb?x=%3d1",   // reserved ? and = stay escaped, upper-cased
+      "https://ex.com/100%",           // trailing bare '%' is malformed → literal
+      "https://ex.com/a%4",            // truncated escape → literal
+      "https://ex.com/a%zz",           // non-hex escape → literal
+      "https://ex.com/%75tm?%75tm_source=x") // decoded THEN tracking-stripped
+      === Seq("https://ex.com/~foo", "https://ex.com/~foo",
+        "https://ex.com/Abc", "https://ex.com/a%2Fb",
+        "https://ex.com/a%3Fb?x=%3D1", "https://ex.com/100%",
+        "https://ex.com/a%4", "https://ex.com/a%zz",
+        "https://ex.com/utm"))
+  }
+
+  test("dot segments: '.' drops, '..' pops, root parent clamps to root") {
+    assert(canon(
+      "https://ex.com/a/./b",          // '.' dropped
+      "https://ex.com/a/x/../b",       // one pop
+      "https://ex.com/a/b/c/../../d",  // nested pops
+      "https://ex.com/../a",           // parent of root = root
+      "https://ex.com/a/../../../b",   // pops clamp at root
+      "https://ex.com/a/..",           // trailing '..' pops to root
+      "https://ex.com/./.",            // nothing but dots → root
+      "https://ex.com/..a/b",          // '..a' is a normal segment
+      "https://ex.com/a/%2E%2E/b")     // %2E = '.' decodes FIRST, then resolves
+      === Seq("https://ex.com/a/b", "https://ex.com/a/b",
+        "https://ex.com/a/d", "https://ex.com/a", "https://ex.com/b",
+        "https://ex.com", "https://ex.com", "https://ex.com/..a/b",
+        "https://ex.com/b"))
+  }
+
   test("dedupByCanonicalUrl keeps the smallest id and counts the group") {
     import spark.implicits._
     val rows = UrlOps.dedupByCanonicalUrl(
