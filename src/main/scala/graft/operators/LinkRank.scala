@@ -31,12 +31,32 @@ object LinkRank {
     * @param edges  (srcCol, dstCol) — duplicate edges count twice
     *               (parallel-edge semantics; `.distinct()` upstream for
     *               simple-graph semantics)
+    * @param stopL1 optional convergence stop: when ≥ 0, stop early once
+    *               the integer L1 delta between consecutive supersteps
+    *               is ≤ this threshold. At the default 0 the stop fires
+    *               only at an EXACT integer fixed point — every further
+    *               superstep would reproduce the same ranks, so the
+    *               early result is bit-identical to any larger
+    *               iteration budget (LinkRankSpec pins this); a
+    *               positive threshold trades that exactness for fewer
+    *               supersteps. Pass -1 to always run `iterations`.
+    *               The check replaces the superstep's materializing
+    *               count() with a join-and-sum against the previous
+    *               pinned ranks — same shuffle count, one extra agg.
     * @return (node, rank) for every node appearing as src or dst,
     *         rank in picounits of total mass `scale`
     */
   def pageRank(spark: SparkSession, edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, stopL1: Long = -1L): DataFrame =
+    pageRankCounted(spark, edges, srcCol, dstCol, iterations, dampingPct,
+      scale, stopL1)._1
+
+  /** [[pageRank]] plus the number of supersteps actually run — the
+    * observable LinkRankSpec needs to prove the convergence stop fires. */
+  private[graft] def pageRankCounted(spark: SparkSession, edges: DataFrame,
+      srcCol: String, dstCol: String, iterations: Int, dampingPct: Int = 85,
+      scale: Long = 1000000000000L, stopL1: Long = -1L): (DataFrame, Int) = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     // Pin the edge list: it feeds every superstep (plus nodes/outdeg) —
     // without the persist each iteration re-executes the caller's whole
@@ -54,13 +74,14 @@ object LinkRank {
     val n = base.count() // materializes the persist; N for the teleport term
     if (n == 0) { // empty graph: no nodes, no ranks (and no divide-by-zero)
       base.unpersist(); e.unpersist()
-      return base.select(col("node"), lit(0L).as("rank"))
+      return (base.select(col("node"), lit(0L).as("rank")), 0)
     }
     val r0 = scale / n
     val teleport = scale * (100L - dampingPct) / 100L / n
     var ranks = base.select(col("node"), col("outdeg"), lit(r0).as("rank"))
-    var prevPinned: DataFrame = null
-    for (_ <- 0 until iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
       // rounding can differ from integer floor at picounit magnitudes.
       val contrib = e.join(ranks.filter(col("outdeg") > 0)
@@ -69,19 +90,30 @@ object LinkRank {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
+      // The Pregel discipline: localCheckpoint EXECUTES the superstep
+      // and TRUNCATES its lineage to an RDD leaf. persist()+count()
+      // materializes data but leaves the logical plan chaining every
+      // prior superstep — plan size doubles per iteration and the
+      // explain-string machinery OOMs near 25 supersteps (found by
+      // LinkRankSpec's convergence case). Superseded checkpoint storage
+      // is released by the ContextCleaner once the previous ranks frame
+      // drops out of scope; each checkpoint is |nodes| rows of
+      // (long, long, long), MEMORY_AND_DISK.
       val next = base.join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(teleport) +
             expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
-        .persist()
-      // The Pregel discipline: materialize each superstep and release
-      // the previous one — without it the lineage chains every
-      // iteration's joins into one deep tree (duplicated exchange
-      // subtrees, and at high iteration counts a plan-size blowup).
-      next.count()
-      if (prevPinned != null) prevPinned.unpersist()
-      prevPinned = next
+        .localCheckpoint(true)
+      if (stopL1 >= 0) {
+        // integer L1 delta between consecutive supersteps: two cached
+        // leaf frames, one join + one agg — fires only when enabled
+        val l1 = next.join(
+            ranks.select(col("node"), col("rank").as("__prev")), Seq("node"))
+          .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
+        if (l1 <= stopL1) converged = true
+      }
       ranks = next
+      it += 1
     }
     // Pin and materialize the final ranks, then release the superstep
     // inputs. The returned DataFrame stays persisted — it is |nodes|
@@ -91,9 +123,8 @@ object LinkRank {
     // against the already-released base/e.
     val out = ranks.select(col("node"), col("rank")).persist()
     out.count()
-    if (prevPinned != null) prevPinned.unpersist()
     base.unpersist()
     e.unpersist()
-    out
+    (out, it)
   }
 }

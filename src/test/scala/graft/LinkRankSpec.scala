@@ -47,4 +47,27 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     assert(r(2L) === 50000000000L + 2L * share * 85L / 100L)
     assert(r(3L) === 50000000000L + share * 85L / 100L)
   }
+
+  test("convergence stop at an exact integer fixed point equals the full budget") {
+    import spark.implicits._
+    // 2-cycle: uniform mass IS the fixed point, reached at superstep 1 —
+    // the stop must fire there and the early result must be
+    // bit-identical to the full 25-iteration run.
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (early, itersRun) = LinkRank.pageRankCounted(
+      spark, cyc, "src", "dst", iterations = 25, stopL1 = 0L)
+    assert(itersRun < 25, "stop never fired on a fixed-point graph")
+    val full = LinkRank.pageRank(spark, cyc, "src", "dst", iterations = 25)
+    val e = early.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e === f, "early-stopped ranks diverge from the full budget")
+    // asymmetric graph, stop enabled but NOT yet converged: results must
+    // still equal the plain run at the same budget (delta check is
+    // observe-only until it hits zero)
+    val g = Seq((1L, 2L), (1L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (a, _) = LinkRank.pageRankCounted(spark, g, "src", "dst", 4, stopL1 = 0L)
+    val b = LinkRank.pageRank(spark, g, "src", "dst", 4)
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      === b.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
 }
