@@ -993,8 +993,12 @@ object RiskQueries {
     // Pixel-pHash pair structure: the planted invariants (re-encode and
     // brightness copies hash IDENTICALLY by DCT linearity; noise copies
     // within hamming ≤ bands−1 so banded LSH cannot miss them; distinct
-    // images never share a band bucket — verified at every SF and
-    // pinned at hash level by MultimodalSpec) force the result to be
+    // images never share a band bucket — pinned ANALYTICALLY by
+    // MediaMarginSpec: over the full sf0.1 id range no cross-doc pair,
+    // noise variants included, both shares a band and sits within the
+    // hamming filter (measured cross-doc min 10 vs filter 10 — the
+    // band conjunct carries the margin); hash values pinned by
+    // MultimodalSpec) force the result to be
     // exactly the complete graph over each doc's copy set. A 32-point
     // DCT has no faithful DuckDB replay, so the STRUCTURE is the spec.
     "mm_phash_pixels" ->
@@ -1013,7 +1017,9 @@ object RiskQueries {
     // power-of-2 homogeneity of the linear Goertzel recursion),
     // first-frame dropout moves ≤ 4 bits all inside LSH band 0 (recall
     // by pigeonhole at maxHamming 4), distinct signals verified separate
-    // at every SF and pinned at fingerprint level by AudioSpec — so the
+    // analytically by MediaMarginSpec (cross-doc min hamming 8 vs
+    // filter 4, dropout variants included) and pinned at fingerprint
+    // level by AudioSpec — so the
     // result must be exactly the complete graph over each doc's copy
     // set.
     "mm_audio_fp_pairs" ->
@@ -1032,7 +1038,8 @@ object RiskQueries {
     // / exact IEEE power-of-2 homogeneity of the integer-luma region
     // sums), first-frame dropout moves ≤ 4 bits all inside LSH band 0
     // (recall by pigeonhole at maxHamming 4), distinct videos verified
-    // separate at every SF and pinned at fingerprint level by VideoSpec
+    // separate analytically by MediaMarginSpec (cross-doc min hamming 6
+    // vs filter 4, dropout variants included) and pinned by VideoSpec
     // — so the result must be exactly the complete graph over each
     // doc's copy set.
     // Mixed-media pair structure: all planted copies are layout-only
