@@ -57,9 +57,24 @@ object UrlOps {
     concat(head, array_join(fixed, ""))
   }
 
-  /** Canonical form of an absolute http(s) URL; null-safe (null → null). */
-  def canonicalizeUrl(url: Column): Column = {
-    val noFrag = percentNormalize(substring_index(url, "#", 1))
+  /** Canonical form of an absolute http(s) URL; null-safe (null → null).
+    *
+    * NOTE for pipeline authors: this single Column references its input
+    * many times (scheme, host, path, query are all derived from it), so
+    * an EXPENSIVE input expression would be duplicated into every
+    * reference by inlining. [[dedupByCanonicalUrl]] therefore stages
+    * [[percentNormalize]] in its own projection and feeds the
+    * normalized column here — Catalyst's CollapseProject keeps a
+    * non-cheap multi-referenced projection separate, so the escape
+    * normalization runs once per row. Use the same split when embedding
+    * this in other pipelines; this convenience form is for tests and
+    * one-off columns. */
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeNormalized(percentNormalize(substring_index(url, "#", 1)))
+
+  /** [[canonicalizeUrl]] minus the fragment strip and escape
+    * normalization — `noFrag` must already be percent-normalized. */
+  private[graft] def canonicalizeNormalized(noFrag: Column): Column = {
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)
     // The authority ends at the FIRST of "/" or "?" — a query can start
@@ -106,8 +121,10 @@ object UrlOps {
     * hash shuffle on the canonical string with map-side partial
     * aggregation — the scale-correct shape for a 100 TB URL ledger. */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
-    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+    df.select(
+        percentNormalize(substring_index(col(urlCol), "#", 1)).as("__norm"),
         col(idCol).cast("long").as("__id"))
+      .select(canonicalizeNormalized(col("__norm")).as("canonical_url"), col("__id"))
       .groupBy("canonical_url")
       .agg(min("__id").as("keep_id"), count(lit(1)).as("n_urls"))
 }
