@@ -216,33 +216,29 @@ object ContinuousFutures {
           struct(col("id"), col("close")))).as("closes")).as[DayFull]
   }
 
-  /** The phase-1 selection reduction is consumed twice (boundary pass +
-    * sliced replay); materialize it to scratch parquet once per
-    * (session, input plan) so neither consumer re-runs the bar shuffle
-    * and nothing pins the session cache. LRU-bounded and swept of
-    * stopped-session entries on every touch ([[graft.core.BoundedMemo]])
-    * so a long-lived driver process never accumulates dead DataFrame /
-    * session references. */
+  /** ONE shared phase-1 reduction serves the whole d-family (round 11):
+    * d1's selection passes read a column-pruned projection (parquet
+    * never materializes `closes` for them), d2's factor passes and d3's
+    * combined scan read the full rows — so a board that runs d1, d2 and
+    * d3 over the same bar table pays the bar shuffle + scratch write
+    * ONCE. Memoized per (session, input plan) in an LRU bounded memo
+    * swept of stopped-session entries on every touch; the plan key is
+    * content-aware (Scratch.planKey folds source mtimes), so in-place
+    * input rewrites re-derive. */
   private val reducedCache =
     new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
+  private def reducedDayFull(spark: SparkSession, bars: DataFrame): Dataset[DayFull] = {
+    import spark.implicits._
+    reducedCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    val key = "dayfull|" + graft.core.Scratch.planKey(bars)
+    reducedCache.getOrElseUpdate((spark, key),
+      graft.core.Scratch.materialize(reduceFull(spark, bars).toDF(), "dayred", key))
+      .as[DayFull]
+  }
   private def reducedSelCached(spark: SparkSession, bars: DataFrame): Dataset[DaySel] = {
     import spark.implicits._
-    reducedCache.evictIf((k, _) => k._1.sparkContext.isStopped)
-    val key = graft.core.Scratch.planKey(bars)
-    reducedCache.getOrElseUpdate((spark, key),
-      graft.core.Scratch.materialize(reduceSel(spark, bars).toDF(), "d1red", key))
-      .as[DaySel]
-  }
-
-  /** The factor-path reduction is likewise consumed twice (boundary pass
-    * + sliced replay); same memoized-materialization discipline. */
-  private def reducedFullCached(spark: SparkSession, bars: DataFrame): Dataset[DayFull] = {
-    import spark.implicits._
-    reducedCache.evictIf((k, _) => k._1.sparkContext.isStopped)
-    val key = "full|" + graft.core.Scratch.planKey(bars)
-    reducedCache.getOrElseUpdate((spark, key),
-      graft.core.Scratch.materialize(reduceFull(spark, bars).toDF(), "d2red", key))
-      .as[DayFull]
+    reducedDayFull(spark, bars)
+      .select(col("instrument_type"), col("trade_date"), col("cands")).as[DaySel]
   }
 
   // ── D1: sliced, exactly-seeded selection ────────────────────────────
@@ -408,7 +404,7 @@ object ContinuousFutures {
     */
   def adjFactors(spark: SparkSession, bars: DataFrame, method: Method = Division): DataFrame = {
     import spark.implicits._
-    val reduced = reducedFullCached(spark, bars)
+    val reduced = reducedDayFull(spark, bars)
     val events = facEvents(spark, reduced, facSeeds(spark, reduced), method)
     // Final fold: reverse cumulation over the per-type ROLL LIST (tiny).
     // The sentinel arrives as a kind-2 event from the replay cogroup —
@@ -423,11 +419,11 @@ object ContinuousFutures {
 
   // phase-timing probe hooks (graft.tools.D2Profile)
   private[graft] def probeReduce(spark: SparkSession, bars: DataFrame): Long =
-    reducedFullCached(spark, bars).count()
+    reducedDayFull(spark, bars).count()
   private[graft] def probeSeeds(spark: SparkSession, bars: DataFrame): Long =
-    facSeeds(spark, reducedFullCached(spark, bars)).count()
+    facSeeds(spark, reducedDayFull(spark, bars)).count()
   private[graft] def probeEvents(spark: SparkSession, bars: DataFrame): Long = {
-    val reduced = reducedFullCached(spark, bars)
+    val reduced = reducedDayFull(spark, bars)
     facEvents(spark, reduced, facSeeds(spark, reduced), Diff).count()
   }
 
@@ -611,7 +607,9 @@ object ContinuousFutures {
     val callerCached = !cacheInput ||
       bars.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val cached = if (callerCached) bars else bars.persist()
-    val scanned = reduceFull(spark, cached).groupByKey(_.instrument_type)
+    // Shared d-family reduction: a board that already ran d1/d2 over the
+    // same bar table reuses their materialized (type, day) rows here.
+    val scanned = reducedDayFull(spark, cached).groupByKey(_.instrument_type)
       .flatMapSortedGroups(col("trade_date")) { (t, it) =>
         val (sels, facs) = scanReduced(t, it, method)
         sels.iterator.map(s =>
