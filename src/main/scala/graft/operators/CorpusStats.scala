@@ -715,4 +715,35 @@ object CorpusStats {
             (col("sx").cast("double") / lit(1e9)) * (col("sx").cast("double") / lit(1e9))))
       .select(col("grp"), col("n"), col("slope"))
   }
+
+  /** Token-balanced training-shard assignment — boustrophedon ("snake")
+    * placement over the exact global (tokens desc, id asc) order: the
+    * r-th heaviest document (1-based rank) lands in shard
+    * `(r-1) mod S` on even rounds of S and `S-1 - (r-1) mod S` on odd
+    * rounds, so each round deals one document to every shard and
+    * consecutive rounds pair heavy positions with light ones. This is
+    * the distributed stand-in for greedy LPT bin packing (whose every
+    * placement depends on current bin loads — inherently serial):
+    * placement is a pure function of the global rank, shard DOC counts
+    * differ by at most one, and token-mass imbalance is bounded by the
+    * per-round spreads (≤ a couple of max-document-sizes; the
+    * OperatorsSpec property pins it). The rank comes from
+    * [[GlobalRank.withGlobalRank]] — one range shuffle, never a
+    * single-partition window — and the snake arithmetic is a map.
+    *
+    * Returns (idCol, tokensCol (long), ord = 1-based global rank,
+    * shard ∈ [0, shards)).
+    */
+  def tokenBalancedShards(docs: DataFrame, idCol: String, tokensCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val ranked = GlobalRank.withGlobalRank(
+      docs.select(col(idCol), col(tokensCol).cast("long").as(tokensCol)),
+      Seq(col(tokensCol).desc, col(idCol)), "ord")
+    val round = expr(s"(ord - 1) div $shards")
+    val pos = expr(s"(ord - 1) % $shards")
+    ranked.withColumn("shard",
+      when(pmod(round, lit(2)) === 0, pos)
+        .otherwise(lit(shards - 1) - pos).cast("int"))
+  }
 }

@@ -138,6 +138,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "t_token_shards" -> ((s, d) => {
+      // Token-balanced 16-way training shards: exact global
+      // (tokens desc, id) rank via the two-pass GlobalRank (one range
+      // shuffle, never a single-partition window), snake placement as a
+      // map. DuckDB's row_number IS the order GlobalRank distributes,
+      // and the snake arithmetic replays verbatim — full value oracle.
+      val docs = Tables.scatter(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+      graft.operators.CorpusStats
+        .tokenBalancedShards(docs, "doc_id", "n_tokens", 16)
+        .orderBy(col("doc_id"))
+    }),
+
     "t_token_stats" -> ((s, d) =>
       // tokenize once, share across all five metrics (see TextFunctions
       // scaladoc: interpreted higher-order Columns get no CSE); scatter —
@@ -819,6 +834,19 @@ object TextQueries {
         |SELECT canonical_url, CAST(min(cid) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_urls
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Snake-shard replay: row_number over (tokens desc, id) is exactly
+    // the total order GlobalRank distributes; the boustrophedon
+    // placement is pure integer arithmetic on the rank.
+    "t_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |r AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |o AS (SELECT doc_id, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS ord FROM r)
+         |SELECT doc_id, n_tokens, ord,
+         |  CAST(CASE WHEN ((ord - 1) // 16) % 2 = 0 THEN (ord - 1) % 16
+         |            ELSE 15 - (ord - 1) % 16 END AS INT) AS shard
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "t_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents)

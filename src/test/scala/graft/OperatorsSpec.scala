@@ -744,4 +744,35 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
       (3L, "O", "2024-03-01", None, true, 1L)), s"got $got")
     assert(run(1) == got && run(7) == got, "SCD2 fold depends on partitioning")
   }
+
+  test("tokenBalancedShards: snake placement balances skewed token masses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // heavy-tailed token masses — the shape that makes naive modulo
+    // sharding lopsided
+    val docs = (1L to 997L).map(id =>
+      (id, (math.pow(rnd.nextDouble(), 4) * 5000).toLong + 1))
+    val out = graft.operators.CorpusStats.tokenBalancedShards(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.length == 997)
+    assert(out.forall(x => x._4 >= 0 && x._4 < 16))
+    // rank is the exact (tokens desc, id) order
+    val byRank = out.sortBy(_._3)
+    assert(byRank.map(x => (-x._2, x._1)).toSeq == byRank.map(x => (-x._2, x._1)).sorted.toSeq)
+    // each round of 16 deals one doc per shard → doc counts differ ≤ 1
+    val counts = out.groupBy(_._4).view.mapValues(_.length).values
+    assert(counts.max - counts.min <= 1)
+    // token-mass spread bounded by a couple of max docs (snake pairing),
+    // FAR below the heavy tail a fixed modulo would concentrate
+    val mass = out.groupBy(_._4).view.mapValues(_.map(_._2).sum).values
+    val maxDoc = docs.map(_._2).max
+    assert(mass.max - mass.min <= 2 * maxDoc,
+      s"spread ${mass.max - mass.min} vs maxDoc $maxDoc")
+    // deterministic: same input, same assignment
+    val again = graft.operators.CorpusStats.tokenBalancedShards(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(out.forall(x => again(x._1) == x._4))
+  }
 }
