@@ -690,4 +690,62 @@ object Similarity {
       .select(col(idCol), col("__q._1").as("n_dims"), col("__q._2").as("scale"),
         col("__q._3").as("codes_fp"), col("__q._4").as("recon_err"))
   }
+
+  /** Margin-based parallel-pair mining across two embedding blocks —
+    * the LASER/CCMatrix bitext construction (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining", the `ratio` strategy with
+    * forward `max` selection): a raw cosine cutoff over-mines hub
+    * vectors (globally close to everything), so each candidate's score
+    * is its cosine RELATIVE to the mean of both endpoints' k-NN
+    * neighborhoods —
+    * `margin(x,y) = cos(x,y) / ((mean_k cos(x, NNk(x∈tgt)) +
+    * mean_k cos(y, NNk(y∈src))) / 2)` — and each source keeps its best
+    * target iff the margin clears `minMargin` (≥ 1 ⇒ closer than the
+    * neighborhood average).
+    *
+    * Scale shape: two block-kNN passes (here the exact broadcast
+    * kernel — swap [[ivfSearch]] in for corpora past broadcast size;
+    * the margin algebra is agnostic to which kNN produced the
+    * candidates), two model-free partial aggs for the neighborhood
+    * sums, one join back, one per-source top-1 window.
+    *
+    * Determinism/replayability: cosines quantize to exact integer
+    * MICRO-units (`floor(c·1e6 + 0.5)`), neighborhood sums are integer
+    * sums (order-free at any partitioning), and the margin is one
+    * ratio of exact longs — bit-identical in DuckDB. Non-positive
+    * neighborhood sums are dropped (a negative denominator would let
+    * anti-correlated pairs fake a high margin).
+    *
+    * @return (src_id, tgt_id, cosine, margin) — cosine/margin at 6 dp,
+    *         one row per mined source.
+    */
+  def marginBitextMine(src: DataFrame, tgt: DataFrame,
+      sId: String, sVec: String, tId: String, tVec: String,
+      k: Int, minMargin: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val fwd = bruteForceTopK(src, tgt, sId, sVec, tId, tVec, k, rankRound = Some(6))
+      .withColumn("__m", micro(col("cosine")))
+    val bwd = bruteForceTopK(tgt, src, tId, tVec, sId, sVec, k, rankRound = Some(6))
+      .withColumn("__m", micro(col("cosine")))
+    val fwdSum = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum("__m").as("__sf"))
+    val bwdSum = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(sum("__m").as("__st"))
+    val cand = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cosine"), col("__m"))
+      .join(fwdSum, Seq("src_id"))
+      .join(bwdSum, Seq("tgt_id"))
+      .filter(col("__sf") + col("__st") > 0)
+      // cos / ((sf/k + st/k)/2) = 2k·cos / (sf + st), all exact longs
+      .withColumn("margin",
+        floor((col("__m") * lit(2L * k)).cast("double") /
+          (col("__sf") + col("__st")).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(col("margin") >= minMargin)
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
 }

@@ -94,6 +94,29 @@ object QualityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Cross-lingual parallel-pair mining — the LASER/CCMatrix margin
+    // construction over the in-engine hashed embeddings: zh sources vs
+    // de targets, k=4 neighborhoods both directions, ratio margin,
+    // forward-max keep at margin ≥ 1 (strictly closer than the
+    // neighborhood mean — the hub-demoting cutoff a raw cosine
+    // threshold lacks). Integer vectors + micro-unit cosine
+    // quantization make every neighborhood sum and the margin ratio
+    // exact longs/ratios — DuckDB replays the whole pipeline
+    // value-level.
+    "v_bitext_margin" -> ((s, d) => {
+      import graft.operators.Similarity
+      val docs = Tables.documents(s, d)
+      val e = Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          transform(col("vec"), x => x.cast("double")).as("v"))
+      val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
+      val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
+      Similarity.marginBitextMine(src, tgt, "doc_id", "v", "doc_id", "v",
+          k = 4, minMargin = 1.0)
+        .orderBy(col("src_id"))
+    }),
+
     // Contrastive-training negative sampling: k deterministic
     // pseudo-random non-self partners per anchor (md5 of anchor:slot
     // mod corpus size, +1 skip on self-collision) — reproducible at any
@@ -271,6 +294,58 @@ object QualityQueries {
          |  md5(array_to_string(v.vec, '-')) AS vec_fp,
          |  ${jr6("sqrt(list_sum(list_transform(v.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS norm
          |FROM vecs v JOIN nt USING (doc_id) ORDER BY v.doc_id""".stripMargin,
+
+    // Bitext-margin replay: both kNN directions (rank by round(cos,6),
+    // id tie-break), micro-unit cosine sums per neighborhood, the
+    // 2k·cos/(sf+st) exact-long margin ratio, forward-max keep. Every
+    // intermediate is either an exact integer or a ratio of identical
+    // doubles, so the compare is value-level.
+    "v_bitext_margin" ->
+      s"""$hashedVecCtes
+         |e AS (SELECT v.doc_id, d.lang,
+         |    list_transform(v.vec, x -> CAST(x AS DOUBLE)) AS vv
+         |  FROM vecs v JOIN documents d USING (doc_id)),
+         |srcv AS (SELECT doc_id, vv FROM e WHERE lang = 'zh'),
+         |tgtv AS (SELECT doc_id, vv FROM e WHERE lang = 'de'),
+         |fraw AS (SELECT q.doc_id AS src_id, c.doc_id AS tgt_id,
+         |    CASE WHEN sqrt(list_sum(list_transform(q.vv, x -> x * x)))
+         |        * sqrt(list_sum(list_transform(c.vv, x -> x * x))) > 0
+         |      THEN list_sum(list_transform(range(1, 33), i -> q.vv[i] * c.vv[i])) /
+         |        (sqrt(list_sum(list_transform(q.vv, x -> x * x)))
+         |          * sqrt(list_sum(list_transform(c.vv, x -> x * x))))
+         |      ELSE 0.0 END AS cr
+         |  FROM srcv q JOIN tgtv c ON q.doc_id <> c.doc_id),
+         |fwd AS (SELECT src_id, tgt_id, round(cr, 6) AS cosine,
+         |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY round(cr, 6) DESC, tgt_id) AS rk
+         |  FROM fraw),
+         |braw AS (SELECT q.doc_id AS tgt_id, c.doc_id AS src_id,
+         |    CASE WHEN sqrt(list_sum(list_transform(q.vv, x -> x * x)))
+         |        * sqrt(list_sum(list_transform(c.vv, x -> x * x))) > 0
+         |      THEN list_sum(list_transform(range(1, 33), i -> q.vv[i] * c.vv[i])) /
+         |        (sqrt(list_sum(list_transform(q.vv, x -> x * x)))
+         |          * sqrt(list_sum(list_transform(c.vv, x -> x * x))))
+         |      ELSE 0.0 END AS cr
+         |  FROM tgtv q JOIN srcv c ON q.doc_id <> c.doc_id),
+         |bwd AS (SELECT tgt_id, src_id,
+         |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY round(cr, 6) DESC, src_id) AS rk
+         |  FROM braw),
+         |fs AS (SELECT src_id, CAST(sum(m) AS BIGINT) AS sf
+         |  FROM fwd WHERE rk <= 4 GROUP BY 1),
+         |bs AS (SELECT tgt_id, CAST(sum(m) AS BIGINT) AS st
+         |  FROM bwd WHERE rk <= 4 GROUP BY 1),
+         |cand AS (SELECT f.src_id, f.tgt_id, f.cosine,
+         |    floor(CAST(f.m * 8 AS DOUBLE) / CAST(fs.sf + bs.st AS DOUBLE)
+         |      * 1e6 + 0.5) / 1e6 AS margin
+         |  FROM fwd f JOIN fs USING (src_id) JOIN bs USING (tgt_id)
+         |  WHERE f.rk <= 4 AND fs.sf + bs.st > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin DESC, tgt_id) AS rn FROM cand)
+         |SELECT src_id, tgt_id, cosine, margin FROM r
+         |WHERE rn = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
 
     "v_doc_knn_hashed" ->
       s"""$hashedVecCtes
