@@ -35,26 +35,11 @@ object TextQueries {
         "mh_pairs", d))
   }
 
-  val queries: Map[String, Q] = Map(
-    "t_url_dedup" -> ((s, d) => {
-      // URL-ledger dedup — the web-corpus pre-pass BEFORE text dedup:
-      // canonicalize, group by canonical form, first-fetch-wins. Each
-      // doc gets a deterministic URL built from its own columns; planted
-      // variants (positive id offsets) exercise each canonicalization
-      // step: %17 adds only tracking params (utm_*/fbclid → stripped ≡
-      // base), %23 upper-cases scheme+host and adds the default :443
-      // port (case-folded + port-dropped ≡ base), %29 doubles slashes,
-      // adds a trailing slash and a #fragment (collapsed/stripped ≡
-      // base), %31 adds unsorted real params + a tracking param
-      // (canonicalizes to a SORTED ?a=1&b=2 — a singleton group that
-      // pins parameter sorting and selective removal via the canonical
-      // string itself). The oracle replays every canonicalization step
-      // in DuckDB string/list algebra — full value-level compare on
-      // (canonical_url, keep_id, n_urls).
-      // No per-branch scatter: canonicalization is map work that rides
-      // each branch's scan split, and the groupBy's hash exchange does
-      // the real redistribution — one scatter of the unioned ledger
-      // covers the single-split testdata parquet.
+  /** The synthesized URL ledger shared by t_url_dedup (batch) and
+    * stream_url_ledger (micro-batch fold): one row per (cid, url).
+    * Variant blocks ride million-wide id offsets, which the stream
+    * twin uses to split canonical groups across micro-batches. */
+  private def urlLedger(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
       def base(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         concat(lit("https://www."), col("source"),
@@ -88,12 +73,83 @@ object TextQueries {
         .select((col("doc_id") + 8000000L).as("cid"),
           concat(lit("https://www."), col("source"), lit(".example.com/../"),
             col("lang"), lit("/doc-"), col("doc_id"), lit("?q=%2fv")).as("url"))
+      u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4)
+        .unionAll(u5).unionAll(u6)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t_url_dedup" -> ((s, d) => {
+      // URL-ledger dedup — the web-corpus pre-pass BEFORE text dedup:
+      // canonicalize, group by canonical form, first-fetch-wins. Each
+      // doc gets a deterministic URL built from its own columns; planted
+      // variants (positive id offsets) exercise each canonicalization
+      // step: %17 adds only tracking params (utm_*/fbclid → stripped ≡
+      // base), %23 upper-cases scheme+host and adds the default :443
+      // port (case-folded + port-dropped ≡ base), %29 doubles slashes,
+      // adds a trailing slash and a #fragment (collapsed/stripped ≡
+      // base), %31 adds unsorted real params + a tracking param
+      // (canonicalizes to a SORTED ?a=1&b=2 — a singleton group that
+      // pins parameter sorting and selective removal via the canonical
+      // string itself). The oracle replays every canonicalization step
+      // in DuckDB string/list algebra — full value-level compare on
+      // (canonical_url, keep_id, n_urls).
+      // No per-branch scatter: canonicalization is map work that rides
+      // each branch's scan split, and the groupBy's hash exchange does
+      // the real redistribution — one scatter of the unioned ledger
+      // covers the single-split testdata parquet.
       graft.operators.UrlOps.dedupByCanonicalUrl(
-          Tables.scatter(u0.unionAll(u1).unionAll(u2).unionAll(u3).unionAll(u4)
-            .unionAll(u5).unionAll(u6)),
-          "url", "cid")
+          Tables.scatter(urlLedger(s, d)), "url", "cid")
         .orderBy(col("canonical_url"))
     }),
+
+    "stream_url_ledger" -> ((s, d) => {
+      // The URL ledger as a continuously-maintained STREAM — the crawl
+      // ingest shape: each micro-batch canonicalizes its arrivals and
+      // folds (min keep_id, sum n_urls) into a keyed store, so the
+      // ledger is exact first-fetch-wins at any batch boundary. The
+      // synthesized corpus is split by canonical-variant BLOCK (base +
+      // the even-offset variants in batch 0, odd-offset variants in
+      // batch 1), so most groups MUST merge across batches — a
+      // same-batch winner can't fake the fold. min/sum are associative
+      // and commutative and each URL arrives exactly once, so the final
+      // table equals the batch group-by: the oracle IS t_url_dedup's.
+      val ledger = urlLedger(s, d)
+        .withColumn("half", expr("(cid div 1000000) % 2"))
+      val streamDir = DomainQueries.stageParityHalves(
+        s, ledger, "half", "graft_stream_url_src")
+      val storeDir = graft.core.Scratch.queryDir("stream_url_store")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      val store = new graft.core.TableStore(s, storeDir)
+      val spec = graft.core.TableSpec("url_ledger", Seq("canonical_url"))
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ledger.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = raw.writeStream.outputMode("update")
+          .queryName("graft_stream_url")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val agg = graft.operators.UrlOps
+                .dedupByCanonicalUrl(batch.toDF(), "url", "cid")
+              val merged =
+                if (store.exists(spec))
+                  agg.join(store.read(spec)
+                      .select(col("canonical_url"), col("keep_id").as("__k0"),
+                        col("n_urls").as("__n0")),
+                    Seq("canonical_url"), "left")
+                    .select(col("canonical_url"),
+                      least(col("keep_id"),
+                        coalesce(col("__k0"), col("keep_id"))).as("keep_id"),
+                      (col("n_urls") + coalesce(col("__n0"), lit(0L))).as("n_urls"))
+                else agg
+              store.upsert(spec, merged)
+            }
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      store.read(spec).orderBy(col("canonical_url"))
+    }),
+
 
     "t_quality_budget_cut" -> ((s, d) => {
       // Curation cut: the best documents by composite quality until a
@@ -1424,7 +1480,11 @@ object TextQueries {
        |  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
        |GROUP BY 1, 2""".stripMargin
 
-  val oracleSql: Map[String, String] = baseOracles + ("v_recall_report" ->
+  val oracleSql: Map[String, String] = baseOracles +
+    // the streaming ledger's min/sum fold across micro-batches must
+    // converge to exactly the batch group-by — same replay
+    ("stream_url_ledger" -> baseOracles("t_url_dedup")) +
+    ("v_recall_report" ->
     s"""SELECT * FROM (
        |${recallSettingOracle("base", 8, 2)}
        |UNION ALL
