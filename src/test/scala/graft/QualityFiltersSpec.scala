@@ -207,4 +207,49 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     // every doc appears, token counts flow through
     assert(got.size == 4)
   }
+
+  test("marginBitextMine demotes hubs that a raw cosine cutoff would over-mine") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Source s1 aims at target t10; s2/s3/s4 aim at t20/t30/t40.
+    // Target t99 is a HUB: fairly close to EVERY source (a centroid-ish
+    // vector), so raw cosine ranks it competitively everywhere — but
+    // because all of its neighborhood is equally close, its margin
+    // hovers near 1 while true pairs clear it comfortably.
+    def v(xs: Double*): Seq[Double] = xs
+    val src = Seq(
+      (1L, v(10, 0, 0, 1)), (2L, v(0, 10, 0, 1)),
+      (3L, v(0, 0, 10, 1)), (4L, v(7, 7, 0, 1))).toDF("doc_id", "v")
+    val tgt = Seq(
+      (10L, v(9.5, 0.5, 0, 1)), (20L, v(0.5, 9.5, 0, 1)),
+      (30L, v(0.5, 0, 9.5, 1)), (40L, v(6.5, 6.5, 0.5, 1)),
+      (99L, v(4, 4, 4, 1))).toDF("doc_id", "v") // the hub
+    val mined = Similarity.marginBitextMine(src, tgt,
+        "doc_id", "v", "doc_id", "v", k = 3, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // every mined source picked its TRUE counterpart, never the hub
+    assert(mined(1L)._1 == 10L && mined(2L)._1 == 20L && mined(3L)._1 == 30L)
+    assert(mined.get(4L).forall(_._1 == 40L))
+    assert(mined.values.forall(_._1 != 99L), s"hub mined: $mined")
+    // margins of true pairs clear the neighborhood-average bar
+    assert(mined.values.forall(_._2 >= 1.0))
+    // determinism across partitioning
+    val again = Similarity.marginBitextMine(src.repartition(7), tgt.repartition(3),
+        "doc_id", "v", "doc_id", "v", k = 3, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(again == mined)
+  }
+
+  test("marginBitextMine drops non-positive neighborhoods instead of faking margins") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // anti-correlated blocks: every cross cosine is negative, so the
+    // neighborhood sums are negative — a naive ratio would turn "worst
+    // match among awful matches" into margin > 1
+    val src = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("doc_id", "v")
+    val tgt = Seq((10L, Seq(-1.0, -0.1)), (20L, Seq(-0.1, -1.0))).toDF("doc_id", "v")
+    val mined = Similarity.marginBitextMine(src, tgt,
+      "doc_id", "v", "doc_id", "v", k = 2, minMargin = 1.0)
+    assert(mined.count() == 0)
+  }
 }
