@@ -110,6 +110,38 @@ object CorpusQueries {
           round(col("ppl"), 6).as("ppl"))
         .orderBy(col("doc_id"))),
 
+    // CCNet's head/middle/tail corpus partition (Wenzek et al. 2020):
+    // per-LANGUAGE perplexity terciles of the corpus-trained bigram LM.
+    // The tercile cuts come from the mergeable per-group histogram
+    // sketch (one partial-agg shuffle of sketch-sized rows, per-group
+    // interpolation over ≤ nBins rows) — never a per-language global
+    // sort, which is the 100 TB shape CCNet itself needs — and the
+    // bucket label is a broadcast join + map. round6 ppl is
+    // bit-identical cross-engine, the bin floor and the interpolated
+    // cut expression replay exactly, so bucket labels compare
+    // value-level. Docs under 2 tokens have no bigrams and drop out by
+    // the t_bigram_ppl contract.
+    "t_ccnet_buckets" -> ((s, d) => {
+      val ppl = LanguageModel.bigramPerplexity(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      val hist = Sketches.histogramBy(ppl, col("lang"), col("ppl"),
+        lo = 0.0, hi = 2000.0, nBins = 1000)
+      val cuts = Sketches.histQuantilesBy(hist, Seq(1.0 / 3, 2.0 / 3),
+          0.0, 2000.0, nBins = 1000)
+        .groupBy(col("grp").as("lang"))
+        .agg(min(when(col("q") < 0.5, col("est"))).as("c33"),
+          min(when(col("q") >= 0.5, col("est"))).as("c67"))
+      ppl.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("ppl"),
+          when(col("ppl") <= col("c33"), lit("head"))
+            .when(col("ppl") <= col("c67"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer training: 64 merges learned from the top-300 word
     // frequencies (one corpus pass, then a driver-local merge loop — the
     // production trainer shape); the oracle replays every iteration
@@ -630,6 +662,50 @@ object CorpusQueries {
          |SELECT doc_id, n_bigrams, ${jr6("h")} AS cross_entropy,
          |  ${jr6("exp(h)")} AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // CCNet-bucket replay: the t_bigram_ppl chain feeding the grouped-
+    // histogram tercile interpolation (t_hist_grouped_quantiles idiom)
+    // and the label CASE — cuts are the identical IEEE expression on
+    // both sides, so the comparisons agree exactly.
+    "t_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |m AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS m
+         |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(lt) - 1),
+         |      i -> struct_pack(w1 := lt[i + 1], w2 := lt[i + 2]))) AS b
+         |    FROM t WHERE len(lt) >= 2)
+         |  GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, sum(m) AS c12 FROM m GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(lt) AS tok FROM t)),
+         |s AS (
+         |  SELECT m.doc_id, m.m,
+         |    ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+         |  FROM m JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, -sum(m * lp) / sum(m) AS h FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id, d.lang, ${jr6("exp(a.h)")} AS ppl
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |b2 AS (SELECT lang,
+         |    CAST(least(greatest(floor((ppl - 0.0) / 2.0), 0.0), 999.0) AS INT) AS bin
+         |  FROM p),
+         |h2 AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt FROM b2 GROUP BY 1, 2),
+         |c AS (SELECT lang, bin, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM h2),
+         |tot AS (SELECT lang, max(cum) AS n FROM c GROUP BY 1),
+         |qs AS (SELECT unnest([(1.0/3)::DOUBLE, (2.0/3)::DOUBLE]) AS q),
+         |pick AS (SELECT c.lang, q, bin, cnt, cum - cnt AS prev, q * tot.n AS target,
+         |    row_number() OVER (PARTITION BY c.lang, q ORDER BY bin) AS rn
+         |  FROM qs CROSS JOIN c JOIN tot ON tot.lang = c.lang
+         |  WHERE cum >= q * tot.n),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN q < 0.5 THEN 0.0 + 2.0 * (bin + (target - prev) / cnt) END) AS c33,
+         |    min(CASE WHEN q >= 0.5 THEN 0.0 + 2.0 * (bin + (target - prev) / cnt) END) AS c67
+         |  FROM pick WHERE rn = 1 GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.ppl,
+         |  CASE WHEN p.ppl <= cuts.c33 THEN 'head'
+         |       WHEN p.ppl <= cuts.c67 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM p JOIN cuts USING (lang) ORDER BY p.doc_id""".stripMargin,
 
     "t_pmi_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
