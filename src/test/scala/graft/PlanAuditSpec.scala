@@ -66,8 +66,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     val p = simple(df)
     assert(p.contains("FileScan parquet"),
       "d1 should scan the materialized phase-1 reduction")
-    assert(p.contains("d1red"),
-      s"d1 should read the (type, day) reduction, not raw bars:\n$p")
+    assert(p.contains("dayred"),
+      s"d1 should read the shared (type, day) reduction, not raw bars:\n$p")
+    // the reduction file is shared with d2/d3 and carries `closes`; the
+    // selection path must COLUMN-PRUNE it at the scan (r11)
+    assert(!p.contains("closes"),
+      s"d1's scan should prune the closes column:\n$p")
   }
 
   test("a1 aggregation is partial (map-side combine) and codegen'd") {
