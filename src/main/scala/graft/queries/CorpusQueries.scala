@@ -122,11 +122,17 @@ object CorpusQueries {
     // value-level. Docs under 2 tokens have no bigrams and drop out by
     // the t_bigram_ppl contract.
     "t_ccnet_buckets" -> ((s, d) => {
-      val ppl = LanguageModel.bigramPerplexity(
-          Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 0.5)
-        .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
-        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
-          Seq("doc_id"))
+      // materialize the scored ledger once: the histogram pass and the
+      // final label join both consume it (the realistic shape anyway —
+      // a scoring job writes the ppl ledger, the partition is a second
+      // job over it)
+      val ppl = graft.core.Scratch.materialize(
+        LanguageModel.bigramPerplexity(
+            Tables.scatter(Tables.documents(s, d)), "doc_id", "text", k = 0.5)
+          .select(col("doc_id"), round(col("ppl"), 6).as("ppl"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+            Seq("doc_id")),
+        "ccnet_ppl", d)
       val hist = Sketches.histogramBy(ppl, col("lang"), col("ppl"),
         lo = 0.0, hi = 2000.0, nBins = 1000)
       val cuts = Sketches.histQuantilesBy(hist, Seq(1.0 / 3, 2.0 / 3),

@@ -106,10 +106,14 @@ object QualityQueries {
     "v_bitext_margin" -> ((s, d) => {
       import graft.operators.Similarity
       val docs = Tables.documents(s, d)
-      val e = Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          transform(col("vec"), x => x.cast("double")).as("v"))
+      // materialize the embedding once: both kNN directions consume
+      // both sides, so the inline plan would re-embed the corpus 4×
+      val e = graft.core.Scratch.materialize(
+        Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            transform(col("vec"), x => x.cast("double")).as("v")),
+        "bitext_emb", d)
       val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
       val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
       Similarity.marginBitextMine(src, tgt, "doc_id", "v", "doc_id", "v",
