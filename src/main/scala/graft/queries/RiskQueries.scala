@@ -71,9 +71,19 @@ object RiskQueries {
     * invariants). Junk payloads are 16 concatenated md5-hex blocks —
     * mutually dissimilar by construction, so the byte SimHash separates
     * distinct junk docs while identical copies collide at hamming 0. */
-  private[graft] def mixedRaster(did: Long)(x: Int, y: Int): Int = {
-    val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
-    (v << 16) | (v << 8) | v
+  private[graft] def mixedRaster(did: Long): (Int, Int) => Int =
+    mixedRaster(did, shift = 0)
+  /** One md5 per 4×4 block, memoized at closure construction (the
+    * encoders call the function per PIXEL — 16× per block; same fix as
+    * [[videoFrames]]); `shift` adds a uniform brightness offset (the
+    * mm_phash_pixels %29 variant — a pHash invariant by DCT linearity). */
+  private[graft] def mixedRaster(did: Long, shift: Int): (Int, Int) => Int = {
+    val block = Array.tabulate(64) { b =>
+      val v = (graft.functions.Md5Hash.h1(
+        s"img:$did:${b % 8}:${b / 8}") % 200 + 20).toInt + shift
+      (v << 16) | (v << 8) | v
+    }
+    (x: Int, y: Int) => block((y / 4) * 8 + (x / 4))
   }
   private[graft] def mixedBase(did: Long): Array[Byte] = (did % 3) match {
     case 0 => graft.streaming.ImageCodec.encodeBmp(32, 32, mixedRaster(did))
@@ -382,22 +392,16 @@ object RiskQueries {
       // copy set — which is exactly what those invariants force; hash
       // VALUES are pinned by spec, not SQL (a 32-point DCT has no
       // faithful DuckDB replay).
+      // all four share the block-memoized raster (identical pixel values
+      // to the original per-pixel form; 16× fewer md5s — the video
+      // fixture lesson applied to images)
       val mkBmp = udf { did: Long =>
-        graft.streaming.ImageCodec.encodeBmp(32, 32, (x, y) => {
-          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
-          (v << 16) | (v << 8) | v
-        })
-      }
+        graft.streaming.ImageCodec.encodeBmp(32, 32, mixedRaster(did)) }
       val mkPpm = udf { did: Long =>
-        graft.streaming.ImageCodec.encodePpm(32, 32, (x, y) => {
-          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
-          (v << 16) | (v << 8) | v
-        })
-      }
+        graft.streaming.ImageCodec.encodePpm(32, 32, mixedRaster(did)) }
       val mkNoise = udf { did: Long =>
-        val px = Array.tabulate(32, 32) { (y, x) =>
-          (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt
-        }
+        val base = mixedRaster(did)
+        val px = Array.tabulate(32, 32)((y, x) => base(x, y) & 0xff)
         for (k <- 0 until 6) {
           val x = (graft.functions.Md5Hash.h1(s"nx:$did:$k") % 32).toInt
           val y = (graft.functions.Md5Hash.h1(s"ny:$did:$k") % 32).toInt
@@ -408,11 +412,7 @@ object RiskQueries {
           (px(y)(x) << 16) | (px(y)(x) << 8) | px(y)(x))
       }
       val mkBright = udf { did: Long =>
-        graft.streaming.ImageCodec.encodeBmp(32, 32, (x, y) => {
-          val v = (graft.functions.Md5Hash.h1(s"img:$did:${x / 4}:${y / 4}") % 200 + 20).toInt + 8
-          (v << 16) | (v << 8) | v
-        })
-      }
+        graft.streaming.ImageCodec.encodeBmp(32, 32, mixedRaster(did, shift = 8)) }
       val ids = Tables.documents(s, d).select(col("doc_id"))
       val corpus = ids.select(col("doc_id"), mkBmp(col("doc_id")).as("payload"))
         .unionAll(ids.filter(col("doc_id") % 17 === 0)
