@@ -324,6 +324,38 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Measured LSH dedup quality — the dedup twin of v_recall_report:
+    // the MinHash-LSH pipeline (16 hashes × 4 bands, estimate
+    // prefilter, exact verify; τ=0.4 on 5-gram shingles) audited
+    // against the PPJoin EXACT threshold join run at the SAME
+    // (shingleLen, τ). LSH verifies its candidates with exact Jaccard,
+    // so precision is 1 by construction (up to 64-bit gram-hash
+    // collisions); recall measures exactly what banding, the estimate
+    // prefilter and the mega-bucket cap lose — the number a dedup
+    // deployment must KNOW, not assume. Counts are exact longs and the
+    // ratios are floor-micro quantized, so the report replays
+    // value-level.
+    "dd_lsh_recall_report" -> ((s, d) => {
+      val lsh = minhashPairsShared(s, d).select(col("id_a"), col("id_b"))
+      val exact = graft.core.Scratch.materialize(
+        graft.operators.Dedup.prefixFilterPairs(
+          Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
+          shingleLen = 5, tau = 0.4)
+          .select(col("id_a"), col("id_b")),
+        "exact_j54", d)
+      val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      def r6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
+            col("n_exact").cast("double"))).as("lsh_recall"),
+          when(col("n_lsh") > 0, r6(col("n_hit").cast("double") /
+            col("n_lsh").cast("double"))).as("lsh_precision"))
+    }),
+
     "dd_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.scatter(Tables.documents(s, d)), "text")
         .select(col("doc_id"), col("simhash"))
@@ -1074,6 +1106,34 @@ object TextQueries {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recall-report replay: the full LSH pipeline CTEs (prs) against a
+    // brute-force 5-gram τ=0.4 ground truth, membership-intersected.
+    "dd_lsh_recall_report" ->
+      s"""WITH $minhashPairCtes,
+         |ex0 AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len($toksLower) - 5, 0) + 1),
+         |      i -> array_to_string(($toksLower)[i + 1:i + 5], ' '))) AS w5
+         |  FROM documents),
+         |exp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ex0 a JOIN ex0 b ON b.doc_id > a.doc_id
+         |  WHERE len(a.w5) > 0 AND len(b.w5) > 0
+         |    AND CAST(len(list_intersect(a.w5, b.w5)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
+         |l AS (SELECT id_a, id_b FROM prs),
+         |h AS (SELECT * FROM exp INTERSECT SELECT * FROM l),
+         |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM exp) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hit)
+         |SELECT n_exact, n_lsh, n_hit,
+         |  CASE WHEN n_exact > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |  END AS lsh_recall,
+         |  CASE WHEN n_lsh > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |  END AS lsh_precision
+         |FROM c""".stripMargin,
 
     // Connected components over the minhash pairs: recursive min-label
     // propagation (transitive closure is fine at the dup-pair graph's
