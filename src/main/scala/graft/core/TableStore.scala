@@ -102,8 +102,16 @@ final class TableStore(spark: SparkSession, root: String) {
   /** `pairs` are (batchDir, partitionDir) with partitionDir == "" meaning
     * the whole batch dir (unpartitioned tables), or "." for a pre-manifest
     * plain parquet directory adopted in place.
+    *
+    * `props` are caller-supplied key→value strings committed ATOMICALLY
+    * with the data (same manifest rename). This is what makes the
+    * transactional-foreachBatch pattern possible: a streaming fold
+    * records the applied micro-batch id in the same commit as the rows,
+    * so "data landed but the marker didn't" cannot happen — see
+    * [[graft.streaming.ExactlyOnce]].
     */
-  private case class Manifest(version: Long, pairs: Seq[(String, String)])
+  private case class Manifest(version: Long, pairs: Seq[(String, String)],
+      props: Map[String, String] = Map.empty)
 
   private def manifestDir(name: String) = new Path(path(name), "_manifests")
 
@@ -121,24 +129,37 @@ final class TableStore(spark: SparkSession, root: String) {
   private def readManifestFile(f: FileSystem, name: String, version: Long): Manifest = {
     val in = f.open(new Path(manifestDir(name), f"m-$version%09d"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val pairs = text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+    val lines = text.split("\n").filter(_.nonEmpty).toSeq
+    // Header lines `#key=value` carry the commit props; manifests written
+    // before props existed have none and read back as Map.empty.
+    val props = lines.takeWhile(_.startsWith("#")).map { line =>
+      val i = line.indexOf('=')
+      (line.substring(1, i), line.substring(i + 1))
+    }.toMap
+    val pairs = lines.dropWhile(_.startsWith("#")).map { line =>
       val i = line.indexOf('\t')
       (line.substring(0, i), line.substring(i + 1))
     }
-    Manifest(version, pairs)
+    Manifest(version, pairs, props)
   }
 
   private def latestManifest(f: FileSystem, name: String): Option[Manifest] =
     manifestVersions(f, name).lastOption.map(readManifestFile(f, name, _))
 
   private def commit(f: FileSystem, name: String, version: Long,
-      pairs: Seq[(String, String)]): Unit = {
+      pairs: Seq[(String, String)],
+      props: Map[String, String] = Map.empty): Unit = {
+    require(props.forall { case (k, v) =>
+      !k.contains('=') && !k.contains('\n') && !v.contains('\n') },
+      s"TableStore: prop keys must be '='-free and values newline-free")
     val dir = manifestDir(name)
     if (!f.exists(dir)) must(f.mkdirs(dir), s"mkdirs $dir")
     val fin = new Path(dir, f"m-$version%09d")
     val tmp = new Path(dir, f".tmp-m-$version%09d-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write(pairs.map { case (d, p) => s"$d\t$p" }.mkString("\n").getBytes("UTF-8"))
+    val body = (props.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+      pairs.map { case (d, p) => s"$d\t$p" }).mkString("\n")
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     // HDFS rename is atomic and fails on an existing destination; POSIX
     // rename silently REPLACES it, so the explicit exists check is what
@@ -309,6 +330,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(spec: TableSpec): Boolean = current(fs, spec).nonEmpty
 
+  /** Props recorded with the CURRENT manifest (empty for a missing table
+    * or a pre-props manifest). Props carry forward across commits until
+    * overwritten — a commit's props are `previous ++ supplied`.
+    */
+  def props(spec: TableSpec): Map[String, String] =
+    current(fs, spec).map(_.props).getOrElse(Map.empty)
+
   def read(spec: TableSpec): DataFrame = {
     val m = current(fs, spec).getOrElse(
       throw new IOException(s"TableStore: table ${spec.name} does not exist"))
@@ -342,7 +370,8 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Append rows without merging (K4 watermark-append path). */
-  def append(spec: TableSpec, batch0: DataFrame): Unit = {
+  def append(spec: TableSpec, batch0: DataFrame,
+      props: Map[String, String] = Map.empty): Unit = {
     val batch = conformToSchema(spec, batch0, "append")
     val f = fs
     val cur = current(f, spec)
@@ -358,8 +387,9 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     val version = cur.map(_.version).getOrElse(0L) + 1
     val (dir, parts) = writeBatch(f, spec, batch, version)
-    val next = Manifest(version, cur.map(_.pairs).getOrElse(Nil) ++ parts.map(dir -> _))
-    commit(f, spec.name, version, next.pairs)
+    val next = Manifest(version, cur.map(_.pairs).getOrElse(Nil) ++ parts.map(dir -> _),
+      cur.map(_.props).getOrElse(Map.empty) ++ props)
+    commit(f, spec.name, version, next.pairs, next.props)
     gc(f, spec.name, next)
   }
 
@@ -375,7 +405,8 @@ final class TableStore(spark: SparkSession, root: String) {
     *        ⊆ primaryKey, where a moved value is by definition a new key.
     */
   def upsert(spec: TableSpec, batch0: DataFrame, newWins: Boolean = true,
-      evictMovedKeys: Boolean = true): Unit = {
+      evictMovedKeys: Boolean = true,
+      props: Map[String, String] = Map.empty): Unit = {
     require(spec.primaryKey.nonEmpty, s"${spec.name}: upsert needs a primary key")
     val batch = conformToSchema(spec, batch0, "upsert")
     val f = fs
@@ -391,8 +422,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val cur = current(f, spec)
     if (cur.isEmpty) {
       val (dir, parts) = writeBatch(f, spec, newDeduped.drop("__prio"), 1L)
-      val next = Manifest(1L, parts.map(dir -> _))
-      commit(f, spec.name, 1L, next.pairs)
+      val next = Manifest(1L, parts.map(dir -> _), props)
+      commit(f, spec.name, 1L, next.pairs, next.props)
       gc(f, spec.name, next)
       return
     }
@@ -444,8 +475,9 @@ final class TableStore(spark: SparkSession, root: String) {
       if (spec.partitionBy.isEmpty) cur.get.pairs.map(_._2).toSet
       else newParts.toSet ++ affected.map(partRelPath(spec, _)).toSet
     val next = Manifest(version,
-      cur.get.pairs.filterNot { case (_, p) => removed.contains(p) } ++ newParts.map(dir -> _))
-    commit(f, spec.name, version, next.pairs)
+      cur.get.pairs.filterNot { case (_, p) => removed.contains(p) } ++ newParts.map(dir -> _),
+      cur.get.props ++ props)
+    commit(f, spec.name, version, next.pairs, next.props)
     gc(f, spec.name, next)
   }
 
@@ -454,7 +486,8 @@ final class TableStore(spark: SparkSession, root: String) {
     upsert(spec, batch, newWins = false)
 
   /** K3 — wipe the partition slice(s) present in `batch`, then load it. */
-  def overwritePartitions(spec: TableSpec, batch0: DataFrame): Unit = {
+  def overwritePartitions(spec: TableSpec, batch0: DataFrame,
+      props: Map[String, String] = Map.empty): Unit = {
     require(spec.partitionBy.nonEmpty, s"${spec.name}: no partition columns")
     val batch = conformToSchema(spec, batch0, "overwritePartitions")
     val f = fs
@@ -464,8 +497,9 @@ final class TableStore(spark: SparkSession, root: String) {
     val removed = parts.toSet
     val next = Manifest(version,
       cur.map(_.pairs).getOrElse(Nil).filterNot { case (_, p) => removed.contains(p) } ++
-        parts.map(dir -> _))
-    commit(f, spec.name, version, next.pairs)
+        parts.map(dir -> _),
+      cur.map(_.props).getOrElse(Map.empty) ++ props)
+    commit(f, spec.name, version, next.pairs, next.props)
     gc(f, spec.name, next)
   }
 
@@ -547,8 +581,8 @@ final class TableStore(spark: SparkSession, root: String) {
       }
     val (dir, parts) = writeBatch(f, spec, compacted, version,
       clusterByPartition = false)
-    val next = Manifest(version, parts.map(dir -> _))
-    commit(f, spec.name, version, next.pairs)
+    val next = Manifest(version, parts.map(dir -> _), cur.props)
+    commit(f, spec.name, version, next.pairs, next.props)
     gc(f, spec.name, next, keepHistory = false)
   }
 

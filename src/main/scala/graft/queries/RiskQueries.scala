@@ -126,6 +126,89 @@ object RiskQueries {
         RiskStats.toMicro(col("mret")).as("mret_micro"))
   }
 
+  /** Shared runner for the streaming heavy-hitters fold (see the
+    * stream_topk_upsert / stream_topk_recovery query comments).
+    * Partitioned by group and OVERWRITTEN per batch (not PK-upserted):
+    * the Misra–Gries trim can DROP tokens from a group's sketch, and a
+    * PK upsert cannot delete — a trimmed token would linger with a
+    * stale count and resurrect in the next merge, breaking both the
+    * groups × capacity size bound and the error-bound bookkeeping.
+    * Each folded batch carries every group it read, so the partition
+    * overwrite replaces exactly the sketches it recomputed.
+    * `injectCrash=true` runs the stream_recovery protocol: a checkpoint,
+    * an exception after batch 0's store commit, and a restart from the
+    * same checkpoint that replays batch 0.
+    */
+  private def runTopkStream(s: SparkSession, d: String, tag: String,
+      injectCrash: Boolean): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val streamDir = DomainQueries.stageParityHalves(s, ev, "event_id",
+      s"graft_stream_${tag}_src")
+    val storeDir = graft.core.Scratch.queryDir(s"stream_${tag}_store")
+    val ckptDir = graft.core.Scratch.queryDir(s"stream_${tag}_ckpt")
+    Seq(storeDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val store = new graft.core.TableStore(s, storeDir)
+    val spec = graft.core.TableSpec("topk_sketch", Seq("grp", "token"),
+      partitionBy = Seq("grp"))
+    @volatile var injected = false
+    def fold(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      // ExactlyOnce: count merges are additive, so a replayed batch
+      // (at-least-once foreachBatch) must no-op instead of re-folding.
+      if (!graft.streaming.ExactlyOnce.alreadyApplied(store, spec, batchId) &&
+          !batch.isEmpty) {
+        val batchRows = batch.toDF()
+          .select(col("event_type").as("group"), col("user_id").cast("string").as("token"),
+            lit(1L).as("cnt"))
+        val unioned =
+          if (store.exists(spec))
+            store.read(spec).select(col("grp").as("group"), col("token"), col("cnt"))
+              .unionByName(batchRows)
+          else batchRows
+        val folded = TopKSketch.mergePartials(unioned,
+          col("group"), col("token"), col("cnt"), capacity = 4096)
+        store.overwritePartitions(spec,
+          folded.select(col("group").as("grp"), col("token"), col("cnt")),
+          props = graft.streaming.ExactlyOnce.applied(batchId))
+      }
+      if (injectCrash && !injected && batchId == 0) {
+        injected = true
+        throw new RuntimeException(
+          "injected crash: fold committed, batch not committed")
+      }
+    }
+    def run(crashRun: Boolean): Unit =
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = raw.writeStream.outputMode("update")
+          .queryName(s"graft_stream_$tag")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch(fold _).start()
+        if (crashRun) {
+          try q.processAllAvailable() catch { case _: Throwable => () }
+          try q.stop() catch { case _: Throwable => () }
+        } else {
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+    if (injectCrash) {
+      run(crashRun = true)
+      require(injected, "crash injection never fired — recovery untested")
+    }
+    run(crashRun = false)
+    val ranked = store.read(spec)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token").asc))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+    ranked.select(col("grp").as("event_type"), col("token").as("user_id"),
+        col("cnt"), col("rank"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "fin_max_drawdown" -> ((s, d) =>
       RiskStats.maxDrawdown(Tables.orders(s, d), col("o_custkey"),
@@ -605,53 +688,22 @@ object RiskQueries {
       // any test SF), so after two parity-split batches the stored
       // sketch must equal the whole-corpus build — which is exactly the
       // exact-top-k SQL the oracle runs. Store size: groups × capacity
-      // rows regardless of stream volume.
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val ev = s.read.parquet(s"$d/events.parquet")
-      val streamDir = DomainQueries.stageParityHalves(s, ev, "event_id",
-        "graft_stream_topk_src")
-      val storeDir = graft.core.Scratch.queryDir("stream_topk_store")
-      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
-      // Partitioned by group and OVERWRITTEN per batch (not PK-upserted):
-      // the Misra–Gries trim can DROP tokens from a group's sketch, and a
-      // PK upsert cannot delete — a trimmed token would linger with a
-      // stale count and resurrect in the next merge, breaking both the
-      // groups × capacity size bound and the error-bound bookkeeping.
-      // Each folded batch carries every group it read, so the partition
-      // overwrite replaces exactly the sketches it recomputed.
-      val store = new graft.core.TableStore(s, storeDir)
-      val spec = graft.core.TableSpec("topk_sketch", Seq("grp", "token"),
-        partitionBy = Seq("grp"))
-      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
-        val raw = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir)
-        val q = raw.writeStream.outputMode("update").queryName("graft_stream_topk")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            if (!batch.isEmpty) {
-              val batchRows = batch.toDF()
-                .select(col("event_type").as("group"), col("user_id").cast("string").as("token"),
-                  lit(1L).as("cnt"))
-              val unioned =
-                if (store.exists(spec))
-                  store.read(spec).select(col("grp").as("group"), col("token"), col("cnt"))
-                    .unionByName(batchRows)
-                else batchRows
-              val folded = TopKSketch.mergePartials(unioned,
-                col("group"), col("token"), col("cnt"), capacity = 4096)
-              store.overwritePartitions(spec,
-                folded.select(col("group").as("grp"), col("token"), col("cnt")))
-            }
-          }.start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      val ranked = store.read(spec)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token").asc))
-          .cast("long"))
-        .filter(col("rank") <= 10)
-      ranked.select(col("grp").as("event_type"), col("token").as("user_id"),
-          col("cnt"), col("rank"))
-        .orderBy(col("event_type"), col("rank"))
+      // rows regardless of stream volume. Count merges are additive and
+      // thus NOT replay-idempotent, so the fold rides the ExactlyOnce
+      // applied-batchId guard (crash-proven by stream_topk_recovery).
+      runTopkStream(s, d, tag = "topk", injectCrash = false)
+    }),
+
+    "stream_topk_recovery" -> ((s, d) => {
+      // §2.11 crash-recovery proof for the sketch fold: checkpointed run,
+      // injected crash after batch 0's partition overwrite committed but
+      // before the engine commits the batch, restart from the same
+      // checkpoint. The replayed batch 0 would re-union its counts into
+      // the stored sketch (doubling every batch-0 contribution — the
+      // exact-regime top-10 and counts would shift) unless the
+      // ExactlyOnce guard no-ops it. Oracle: the unchanged whole-corpus
+      // exact top-k.
+      runTopkStream(s, d, tag = "topk_rec", injectCrash = true)
     }),
 
     "dd_incremental_spans" -> ((s, d) => {
@@ -742,6 +794,16 @@ object RiskQueries {
     */
   private def microSql(r: String): String =
     s"CAST(${Oracles.jr(s"least(greatest($r, -0.99), 9.99) * 1000000.0", 0)} AS BIGINT)"
+
+  private val topkOracle: String =
+    """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+      |    count(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cnt,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 10
+      |ORDER BY event_type, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "fin_max_drawdown" ->
@@ -1080,15 +1142,10 @@ object RiskQueries {
         |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.value DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
 
-    "stream_topk_upsert" ->
-      """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
-        |    count(*) AS cnt FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, user_id, cnt,
-        |    CAST(row_number() OVER (
-        |      PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
-        |  FROM c)
-        |SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 10
-        |ORDER BY event_type, rank""".stripMargin,
+    "stream_topk_upsert" -> topkOracle,
+    // the crash-injected replay must converge to the SAME sketch — the
+    // ExactlyOnce guard is correct iff this unchanged oracle stays green
+    "stream_topk_recovery" -> topkOracle,
 
     "dd_incremental_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksRaw AS t FROM documents),

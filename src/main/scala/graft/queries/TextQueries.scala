@@ -77,6 +77,79 @@ object TextQueries {
         .unionAll(u5).unionAll(u6)
   }
 
+  /** Shared runner for the streaming URL-ledger fold (see the
+    * stream_url_ledger / stream_url_ledger_recovery query comments).
+    * `injectCrash=true` runs the stream_recovery protocol: a checkpoint,
+    * an exception thrown in foreachBatch after batch 0's store commit,
+    * and a second start from the same checkpoint that replays batch 0.
+    */
+  private def runUrlLedgerStream(s: SparkSession, d: String, tag: String,
+      injectCrash: Boolean): DataFrame = {
+    val ledger = urlLedger(s, d)
+      .withColumn("half", expr("(cid div 1000000) % 2"))
+    val streamDir = DomainQueries.stageParityHalves(
+      s, ledger, "half", s"graft_stream_${tag}_src")
+    val storeDir = graft.core.Scratch.queryDir(s"stream_${tag}_store")
+    val ckptDir = graft.core.Scratch.queryDir(s"stream_${tag}_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq(storeDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val store = new graft.core.TableStore(s, storeDir)
+    val spec = graft.core.TableSpec("url_ledger", Seq("canonical_url"))
+    @volatile var injected = false
+    def fold(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      // ExactlyOnce: the n_urls sum is not idempotent, so a replayed
+      // batch (same batchId, at-least-once foreachBatch) must no-op.
+      if (!graft.streaming.ExactlyOnce.alreadyApplied(store, spec, batchId) &&
+          !batch.isEmpty) {
+        val agg = graft.operators.UrlOps
+          .dedupByCanonicalUrl(batch.toDF(), "url", "cid")
+        val merged =
+          if (store.exists(spec))
+            agg.join(store.read(spec)
+                .select(col("canonical_url"), col("keep_id").as("__k0"),
+                  col("n_urls").as("__n0")),
+              Seq("canonical_url"), "left")
+              .select(col("canonical_url"),
+                least(col("keep_id"),
+                  coalesce(col("__k0"), col("keep_id"))).as("keep_id"),
+                (col("n_urls") + coalesce(col("__n0"), lit(0L))).as("n_urls"))
+          else agg
+        // the applied-batchId marker commits in the SAME manifest rename
+        // as the folded rows — no window where one landed without the other
+        store.upsert(spec, merged,
+          props = graft.streaming.ExactlyOnce.applied(batchId))
+      }
+      if (injectCrash && !injected && batchId == 0) {
+        injected = true
+        throw new RuntimeException(
+          "injected crash: fold committed, batch not committed")
+      }
+    }
+    def run(crashRun: Boolean): Unit =
+      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
+        val raw = s.readStream.schema(ledger.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = raw.writeStream.outputMode("update")
+          .queryName(s"graft_stream_$tag")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch(fold _).start()
+        if (crashRun) {
+          try q.processAllAvailable() catch { case _: Throwable => () }
+          try q.stop() catch { case _: Throwable => () }
+        } else {
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+    if (injectCrash) {
+      run(crashRun = true)
+      require(injected, "crash injection never fired — recovery untested")
+    }
+    run(crashRun = false)
+    store.read(spec).orderBy(col("canonical_url"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t_url_dedup" -> ((s, d) => {
       // URL-ledger dedup — the web-corpus pre-pass BEFORE text dedup:
@@ -113,41 +186,24 @@ object TextQueries {
       // same-batch winner can't fake the fold. min/sum are associative
       // and commutative and each URL arrives exactly once, so the final
       // table equals the batch group-by: the oracle IS t_url_dedup's.
-      val ledger = urlLedger(s, d)
-        .withColumn("half", expr("(cid div 1000000) % 2"))
-      val streamDir = DomainQueries.stageParityHalves(
-        s, ledger, "half", "graft_stream_url_src")
-      val storeDir = graft.core.Scratch.queryDir("stream_url_store")
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
-      val store = new graft.core.TableStore(s, storeDir)
-      val spec = graft.core.TableSpec("url_ledger", Seq("canonical_url"))
-      graft.streaming.TickBarStream.withShufflePartitions(s, 8) {
-        val raw = s.readStream.schema(ledger.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir)
-        val q = raw.writeStream.outputMode("update")
-          .queryName("graft_stream_url")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            if (!batch.isEmpty) {
-              val agg = graft.operators.UrlOps
-                .dedupByCanonicalUrl(batch.toDF(), "url", "cid")
-              val merged =
-                if (store.exists(spec))
-                  agg.join(store.read(spec)
-                      .select(col("canonical_url"), col("keep_id").as("__k0"),
-                        col("n_urls").as("__n0")),
-                    Seq("canonical_url"), "left")
-                    .select(col("canonical_url"),
-                      least(col("keep_id"),
-                        coalesce(col("__k0"), col("keep_id"))).as("keep_id"),
-                      (col("n_urls") + coalesce(col("__n0"), lit(0L))).as("n_urls"))
-                else agg
-              store.upsert(spec, merged)
-            }
-          }.start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      store.read(spec).orderBy(col("canonical_url"))
+      // The fold is a read-modify-write whose sum is NOT idempotent, so
+      // it rides the ExactlyOnce applied-batchId guard (proven under an
+      // injected crash by stream_url_ledger_recovery below).
+      runUrlLedgerStream(s, d, tag = "url", injectCrash = false)
+    }),
+
+    "stream_url_ledger_recovery" -> ((s, d) => {
+      // §2.11 crash-recovery proof for the READ-MODIFY-WRITE fold family
+      // (the stream_recovery_upsert protocol, MoreQueries.scala): run the
+      // ledger stream over a checkpoint, crash AFTER batch 0's fold
+      // committed but BEFORE the engine commits the batch — the
+      // worst-ordered failure — then restart from the same checkpoint.
+      // The engine replays batch 0; without the ExactlyOnce guard the
+      // replay double-counts every batch-0 group's n_urls (min keep_id
+      // would survive, the sum would not) and the value-level oracle
+      // catches it. With the guard the final table equals the one-shot
+      // batch group-by: the oracle is t_url_dedup's, unchanged.
+      runUrlLedgerStream(s, d, tag = "url_rec", injectCrash = true)
     }),
 
 
@@ -324,36 +380,53 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Measured LSH dedup quality — the dedup twin of v_recall_report:
-    // the MinHash-LSH pipeline (16 hashes × 4 bands, estimate
-    // prefilter, exact verify; τ=0.4 on 5-gram shingles) audited
-    // against the PPJoin EXACT threshold join run at the SAME
-    // (shingleLen, τ). LSH verifies its candidates with exact Jaccard,
-    // so precision is 1 by construction (up to 64-bit gram-hash
-    // collisions); recall measures exactly what banding, the estimate
-    // prefilter and the mega-bucket cap lose — the number a dedup
-    // deployment must KNOW, not assume. Counts are exact longs and the
-    // ratios are floor-micro quantized, so the report replays
-    // value-level.
+    // Measured LSH dedup quality — the dedup twin of v_recall_report,
+    // at TWO operating points against the PPJoin EXACT threshold join
+    // run at the SAME (shingleLen=5, τ=0.4):
+    //   base  = 16 hashes × 4 bands (4 rows/band): the cheap default.
+    //     Band-match probability at similarity s is 1-(1-s⁴)⁴ — steep,
+    //     so borderline true pairs are mostly lost (measured 0.594
+    //     recall at sf0.1 duplicate density in round 11).
+    //   tuned = 64 hashes × 32 bands (2 rows/band): threshold-matched —
+    //     1-(1-s²)³² ≥ 0.996 at s=0.4, at 4× the signature hashing and
+    //     8× the banding shuffle. The at-scale trade is explicit: pay
+    //     ~4× signature CPU for ≥0.9 recall, or run the exact PPJoin
+    //     path when recall must be 1.
+    // LSH verifies its candidates with exact Jaccard, so precision is 1
+    // by construction (up to 64-bit gram-hash collisions); recall
+    // measures exactly what banding, the estimate prefilter and the
+    // mega-bucket cap lose — the number a dedup deployment must KNOW,
+    // not assume. Counts are exact longs and the ratios are floor-micro
+    // quantized, so the report replays value-level.
     "dd_lsh_recall_report" -> ((s, d) => {
-      val lsh = minhashPairsShared(s, d).select(col("id_a"), col("id_b"))
       val exact = graft.core.Scratch.materialize(
         graft.operators.Dedup.prefixFilterPairs(
           Tables.scatter(Tables.documents(s, d)), "doc_id", "text",
           shingleLen = 5, tau = 0.4)
           .select(col("id_a"), col("id_b")),
         "exact_j54", d)
-      val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       def r6(x: org.apache.spark.sql.Column) =
         floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-          when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
-            col("n_exact").cast("double"))).as("lsh_recall"),
-          when(col("n_lsh") > 0, r6(col("n_hit").cast("double") /
-            col("n_lsh").cast("double"))).as("lsh_precision"))
+      def settingRow(setting: String, pairs: DataFrame): DataFrame = {
+        val lsh = pairs.select(col("id_a"), col("id_b"))
+        val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(setting).as("setting"),
+            col("n_exact"), col("n_lsh"), col("n_hit"),
+            when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
+              col("n_exact").cast("double"))).as("lsh_recall"),
+            when(col("n_lsh") > 0, r6(col("n_hit").cast("double") /
+              col("n_lsh").cast("double"))).as("lsh_precision"))
+      }
+      val tunedPairs = graft.core.Scratch.materialize(
+        Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4),
+        "mh_pairs_tuned", d)
+      settingRow("base", minhashPairsShared(s, d))
+        .unionByName(settingRow("tuned", tunedPairs))
+        .orderBy(col("setting"))
     }),
 
     "dd_simhash" -> ((s, d) =>
@@ -693,12 +766,12 @@ object TextQueries {
   // single-quote doubled for embedding in SQL string literals
   private val punctClass = """[.,!?;:''"()\[\]{}-]"""
 
-  /** Shared CTE list for the MinHash-LSH pipeline, ending in
-    * `prs(id_a, id_b, jac)` — used by both the pair oracle and the
-    * connected-components oracle. MATERIALIZED so a recursive consumer
-    * evaluates the pipeline once.
+  /** Corpus-side CTEs shared by every MinHash-LSH setting: normalized
+    * text → distinct 5-char shingles → (h1, h2) MD5 hash pairs. The
+    * per-setting pipelines ([[minhashSettingCtes]]) differ only in how
+    * many Kirsch–Mitzenmacher combinations they take and how they band.
     */
-  private def minhashPairCtes =
+  private def minhashBaseCtes =
     s"""t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
        |sh AS (SELECT doc_id,
        |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
@@ -708,34 +781,77 @@ object TextQueries {
        |    list_transform(shingles, s ->
        |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
        |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
-       |  FROM sh),
-       |sigs AS (SELECT doc_id,
-       |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
-       |    list_transform(range(0, 16),
-       |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
+       |  FROM sh)""".stripMargin
+
+  /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]],
+    * ending in `prs$p(id_a, id_b, jac)`: signatures (`numHashes`
+    * Kirsch–Mitzenmacher combinations), banding (`bands` bands of
+    * numHashes/bands rows — bucket KEYS differ from the engine's
+    * xxhash64 but bucket MEMBERSHIP is identical), the ≤100 mega-bucket
+    * cap, the est ≥ 0.15 signature prefilter, and the exact
+    * hashed-shingle Jaccard ≥ τ verify — the exact replay of
+    * [[graft.operators.Dedup.minHashDupPairs]]. MATERIALIZED so a
+    * recursive consumer evaluates the pipeline once.
+    */
+  private def minhashSettingCtes(p: String, numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    s"""sigs$p AS (SELECT doc_id,
+       |    list_distinct(list_transform(hp, q -> q[1])) AS hl,
+       |    list_transform(range(0, $numHashes),
+       |      k -> list_min(list_transform(hp, q -> q[1] + k * q[2]))) AS sig
        |  FROM hs),
-       |banded AS (SELECT doc_id, b.range AS band,
-       |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
-       |  FROM sigs, range(0, 4) b),
-       |ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) <= 100),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN ok USING (band, bh)
-       |  JOIN banded b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
-       |est AS (SELECT id_a, id_b
-       |  FROM cand
-       |  JOIN sigs sa ON sa.doc_id = cand.id_a
-       |  JOIN sigs sb ON sb.doc_id = cand.id_b
-       |  WHERE CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.15),
-       |prs AS MATERIALIZED (
+       |banded$p AS (SELECT doc_id, b.range AS band,
+       |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
+       |  FROM sigs$p, range(0, $bands) b),
+       |ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= 100),
+       |cand$p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded$p a JOIN ok$p USING (band, bh)
+       |  JOIN banded$p b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
+       |est$p AS (SELECT id_a, id_b
+       |  FROM cand$p
+       |  JOIN sigs$p sa ON sa.doc_id = cand$p.id_a
+       |  JOIN sigs$p sb ON sb.doc_id = cand$p.id_b
+       |  WHERE CAST(len(list_filter(range(1, ${numHashes + 1}),
+       |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes >= 0.15),
+       |prs$p AS MATERIALIZED (
        |  SELECT id_a, id_b, jac FROM (
        |    SELECT id_a, id_b,
        |      CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
        |        CAST(len(list_intersect(sa.hl, sb.hl)) AS DOUBLE) /
        |        len(list_distinct(list_concat(sa.hl, sb.hl))) ELSE 0.0 END AS jac
-       |    FROM est
-       |    JOIN sigs sa ON sa.doc_id = est.id_a
-       |    JOIN sigs sb ON sb.doc_id = est.id_b) x
+       |    FROM est$p
+       |    JOIN sigs$p sa ON sa.doc_id = est$p.id_a
+       |    JOIN sigs$p sb ON sb.doc_id = est$p.id_b) x
        |  WHERE jac >= 0.4)""".stripMargin
+  }
+
+  /** The default (base) pipeline with unprefixed CTE names, ending in
+    * `prs` — used by the pair oracle and the connected-components
+    * oracles.
+    */
+  private def minhashPairCtes =
+    s"""$minhashBaseCtes,
+       |${minhashSettingCtes("", numHashes = 16, bands = 4)}""".stripMargin
+
+  /** One recall-report row CTE: setting label + counts + floor-micro
+    * recall/precision of LSH pair table `prsName` vs the exact CTE
+    * `exp`.
+    */
+  private def lshReportCte(setting: String, prsName: String, cteName: String): String =
+    s"""$cteName AS (
+       |  SELECT '$setting' AS setting, n_exact, n_lsh, n_hit,
+       |    CASE WHEN n_exact > 0 THEN
+       |      floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    END AS lsh_recall,
+       |    CASE WHEN n_lsh > 0 THEN
+       |      floor(CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    END AS lsh_precision
+       |  FROM (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM exp) AS n_exact,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM $prsName) AS n_lsh,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM
+       |      (SELECT id_a, id_b FROM exp INTERSECT
+       |       SELECT id_a, id_b FROM $prsName) h) AS n_hit) x)""".stripMargin
   private val enStops =
     englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1107,33 +1223,26 @@ object TextQueries {
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Recall-report replay: the full LSH pipeline CTEs (prs) against a
-    // brute-force 5-gram τ=0.4 ground truth, membership-intersected.
+    // Recall-report replay: BOTH full LSH pipelines (base prs, tuned
+    // prs_tu) against a brute-force 5-gram τ=0.4 ground truth,
+    // membership-intersected per setting.
     "dd_lsh_recall_report" ->
       s"""WITH $minhashPairCtes,
+         |${minhashSettingCtes("_tu", numHashes = 64, bands = 32)},
          |ex0 AS (SELECT doc_id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),
          |      i -> array_to_string(($toksLower)[i + 1:i + 5], ' '))) AS w5
          |  FROM documents),
-         |exp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |exp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM ex0 a JOIN ex0 b ON b.doc_id > a.doc_id
          |  WHERE len(a.w5) > 0 AND len(b.w5) > 0
          |    AND CAST(len(list_intersect(a.w5, b.w5)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
-         |l AS (SELECT id_a, id_b FROM prs),
-         |h AS (SELECT * FROM exp INTERSECT SELECT * FROM l),
-         |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM exp) AS n_exact,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh,
-         |    (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hit)
-         |SELECT n_exact, n_lsh, n_hit,
-         |  CASE WHEN n_exact > 0 THEN
-         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
-         |  END AS lsh_recall,
-         |  CASE WHEN n_lsh > 0 THEN
-         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) * 1e6 + 0.5) / 1e6
-         |  END AS lsh_precision
-         |FROM c""".stripMargin,
+         |${lshReportCte("base", "prs", "c_base")},
+         |${lshReportCte("tuned", "prs_tu", "c_tuned")}
+         |SELECT * FROM c_base UNION ALL SELECT * FROM c_tuned
+         |ORDER BY setting""".stripMargin,
 
     // Connected components over the minhash pairs: recursive min-label
     // propagation (transitive closure is fine at the dup-pair graph's
@@ -1544,6 +1653,9 @@ object TextQueries {
     // the streaming ledger's min/sum fold across micro-batches must
     // converge to exactly the batch group-by — same replay
     ("stream_url_ledger" -> baseOracles("t_url_dedup")) +
+    // the crash-injected replay must land on the SAME final table — the
+    // ExactlyOnce guard is correct iff this unchanged oracle stays green
+    ("stream_url_ledger_recovery" -> baseOracles("t_url_dedup")) +
     ("v_recall_report" ->
     s"""SELECT * FROM (
        |${recallSettingOracle("base", 8, 2)}
