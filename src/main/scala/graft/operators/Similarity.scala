@@ -704,9 +704,10 @@ object Similarity {
     * neighborhood average).
     *
     * Scale shape: two block-kNN passes (here the exact broadcast
-    * kernel — swap [[ivfSearch]] in for corpora past broadcast size;
-    * the margin algebra is agnostic to which kNN produced the
-    * candidates), two model-free partial aggs for the neighborhood
+    * kernel; [[marginBitextMineIvf]] is the same margin algebra over
+    * [[ivfSearch]] kNN for corpora past broadcast size, and
+    * [[marginBitextMineAuto]] dispatches between them on measured
+    * side sizes), two model-free partial aggs for the neighborhood
     * sums, one join back, one per-source top-1 window.
     *
     * Determinism/replayability: cosines quantize to exact integer
@@ -723,12 +724,79 @@ object Similarity {
       sId: String, sVec: String, tId: String, tVec: String,
       k: Int, minMargin: Double): DataFrame = {
     require(k > 0, "k must be positive")
+    val fwd = bruteForceTopK(src, tgt, sId, sVec, tId, tVec, k, rankRound = Some(6))
+    val bwd = bruteForceTopK(tgt, src, tId, tVec, sId, sVec, k, rankRound = Some(6))
+    marginFromKnn(fwd, bwd, k, minMargin)
+  }
+
+  /** [[marginBitextMine]] with BOTH kNN directions served by
+    * [[ivfSearch]] — the at-scale form: neither side is broadcast, so
+    * this is what a CCMatrix-scale run (billions of sentences per side)
+    * actually executes. Each direction probes the OTHER side's coarse
+    * cells: forward kNN partitions the target corpus under
+    * `tgtCentroids`, backward kNN partitions the source corpus under
+    * `srcCentroids`; the only wide exchanges are the two probe-cell
+    * joins on cell id. The margin algebra is shared with the exact
+    * kernel ([[marginFromKnn]]) and is agnostic to which kNN produced
+    * the neighborhoods.
+    *
+    * IVF kNN has recall < 1, so mined pairs and margins can deviate
+    * from the exact kernel's two ways: a missed candidate, and a
+    * neighborhood-mean computed over slightly different neighbors.
+    * v_bitext_recall (QualityQueries) measures exactly this deviation
+    * at the shipped operating point — run it before trusting a new
+    * (nCells, nprobe) setting.
+    */
+  def marginBitextMineIvf(src: DataFrame, tgt: DataFrame,
+      sId: String, sVec: String, tId: String, tVec: String,
+      k: Int, minMargin: Double,
+      srcCentroids: DataFrame, tgtCentroids: DataFrame,
+      centId: String, centVec: String, nprobe: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val fwd = ivfSearch(src, tgt, sId, sVec, tId, tVec,
+      tgtCentroids, centId, centVec, nprobe, k, rankRound = Some(6))
+    val bwd = ivfSearch(tgt, src, tId, tVec, sId, sVec,
+      srcCentroids, centId, centVec, nprobe, k, rankRound = Some(6))
+    marginFromKnn(fwd, bwd, k, minMargin)
+  }
+
+  /** Dispatching miner: exact broadcast kNN while BOTH sides fit the
+    * broadcast budget, IVF kNN (self-trained [[kmeansTrain]] coarse
+    * quantizers, one per side) beyond it. The size probe is two count
+    * jobs at plan-construction time (the documented cost-probe pattern,
+    * cf. Dedup.collapsePays); centroid training only runs on the IVF
+    * path. `broadcastRowLimit` defaults well under Spark's 8 GB
+    * broadcast-table hard cap for the engine's embedding widths
+    * (~0.5 KB/row at dim 64 → ~1 GB at the default).
+    */
+  def marginBitextMineAuto(src: DataFrame, tgt: DataFrame,
+      sId: String, sVec: String, tId: String, tVec: String,
+      k: Int, minMargin: Double,
+      broadcastRowLimit: Long = 2000000L,
+      nCells: Int = 1024, nprobe: Int = 128, kmeansIters: Int = 2): DataFrame = {
+    if (src.count() <= broadcastRowLimit && tgt.count() <= broadcastRowLimit)
+      marginBitextMine(src, tgt, sId, sVec, tId, tVec, k, minMargin)
+    else {
+      val srcCent = kmeansTrain(src, sId, sVec, nCells, kmeansIters)
+      val tgtCent = kmeansTrain(tgt, tId, tVec, nCells, kmeansIters)
+      marginBitextMineIvf(src, tgt, sId, sVec, tId, tVec, k, minMargin,
+        srcCent, tgtCent, "cent_id", "centroid", nprobe)
+    }
+  }
+
+  /** The shared margin algebra over two directed kNN frames
+    * (`query_id, neighbor_id, cosine` with cosine already rounded to
+    * 6 dp): micro-unit quantization, integer neighborhood sums, the
+    * `2k·cos/(sf+st)` exact-long ratio, forward-max keep at
+    * `minMargin`. See [[marginBitextMine]] for the semantics and the
+    * determinism argument.
+    */
+  private def marginFromKnn(fwd0: DataFrame, bwd0: DataFrame,
+      k: Int, minMargin: Double): DataFrame = {
     def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * lit(1e6) + lit(0.5)).cast("long")
-    val fwd = bruteForceTopK(src, tgt, sId, sVec, tId, tVec, k, rankRound = Some(6))
-      .withColumn("__m", micro(col("cosine")))
-    val bwd = bruteForceTopK(tgt, src, tId, tVec, sId, sVec, k, rankRound = Some(6))
-      .withColumn("__m", micro(col("cosine")))
+    val fwd = fwd0.withColumn("__m", micro(col("cosine")))
+    val bwd = bwd0.withColumn("__m", micro(col("cosine")))
     val fwdSum = fwd.groupBy(col("query_id").as("src_id"))
       .agg(sum("__m").as("__sf"))
     val bwdSum = bwd.groupBy(col("query_id").as("tgt_id"))

@@ -121,6 +121,49 @@ object QualityQueries {
         .orderBy(col("src_id"))
     }),
 
+    // The ANN-backed miner measuring itself against the exact kernel —
+    // the v_recall_report composition for bitext mining: the SAME
+    // corpus, k and margin cutoff mined twice, exact broadcast kNN vs
+    // marginBitextMineIvf (both kNN directions through ivfSearch, 8
+    // deterministic low-id coarse cells per side, nprobe=6). IVF kNN
+    // has recall < 1 AND perturbs the neighborhood means the margin
+    // divides by, so mined-pair recall is the honest end-to-end number
+    // (not per-neighbor recall). Counts are exact longs; the recall
+    // ratio is floor-micro quantized — value-level replay.
+    "v_bitext_recall" -> ((s, d) => {
+      import graft.operators.Similarity
+      val docs = Tables.documents(s, d)
+      val e = graft.core.Scratch.materialize(
+        Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            transform(col("vec"), x => x.cast("double")).as("v")),
+        "bitext_emb", d)
+      val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
+      val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
+      val exact = Similarity.marginBitextMine(src, tgt,
+          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"))
+      val srcCent = src.orderBy(col("doc_id")).limit(8)
+        .select(col("doc_id").as("cent_id"), col("v").as("cv"))
+      val tgtCent = tgt.orderBy(col("doc_id")).limit(8)
+        .select(col("doc_id").as("cent_id"), col("v").as("cv"))
+      val ann = Similarity.marginBitextMineIvf(src, tgt,
+          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0,
+          srcCent, tgtCent, "cent_id", "cv", nprobe = 6)
+        .select(col("src_id"), col("tgt_id"))
+      val hit = exact.join(ann, Seq("src_id", "tgt_id"), "left_semi")
+      def r6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit("ivf_c8_p6").as("setting"),
+          col("n_exact"), col("n_ann"), col("n_hit"),
+          when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
+            col("n_exact").cast("double"))).as("recall"))
+    }),
+
     // Contrastive-training negative sampling: k deterministic
     // pseudo-random non-self partners per anchor (md5 of anchor:slot
     // mod corpus size, +1 skip on self-collision) — reproducible at any
@@ -303,53 +346,49 @@ object QualityQueries {
     // id tie-break), micro-unit cosine sums per neighborhood, the
     // 2k·cos/(sf+st) exact-long margin ratio, forward-max keep. Every
     // intermediate is either an exact integer or a ratio of identical
-    // doubles, so the compare is value-level.
+    // doubles, so the compare is value-level. (CTE helpers shared with
+    // the v_bitext_recall replay.)
     "v_bitext_margin" ->
       s"""$hashedVecCtes
-         |e AS (SELECT v.doc_id, d.lang,
-         |    list_transform(v.vec, x -> CAST(x AS DOUBLE)) AS vv
-         |  FROM vecs v JOIN documents d USING (doc_id)),
-         |srcv AS (SELECT doc_id, vv FROM e WHERE lang = 'zh'),
-         |tgtv AS (SELECT doc_id, vv FROM e WHERE lang = 'de'),
-         |fraw AS (SELECT q.doc_id AS src_id, c.doc_id AS tgt_id,
-         |    CASE WHEN sqrt(list_sum(list_transform(q.vv, x -> x * x)))
-         |        * sqrt(list_sum(list_transform(c.vv, x -> x * x))) > 0
-         |      THEN list_sum(list_transform(range(1, 33), i -> q.vv[i] * c.vv[i])) /
-         |        (sqrt(list_sum(list_transform(q.vv, x -> x * x)))
-         |          * sqrt(list_sum(list_transform(c.vv, x -> x * x))))
-         |      ELSE 0.0 END AS cr
-         |  FROM srcv q JOIN tgtv c ON q.doc_id <> c.doc_id),
-         |fwd AS (SELECT src_id, tgt_id, round(cr, 6) AS cosine,
-         |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
-         |    row_number() OVER (PARTITION BY src_id
-         |      ORDER BY round(cr, 6) DESC, tgt_id) AS rk
-         |  FROM fraw),
-         |braw AS (SELECT q.doc_id AS tgt_id, c.doc_id AS src_id,
-         |    CASE WHEN sqrt(list_sum(list_transform(q.vv, x -> x * x)))
-         |        * sqrt(list_sum(list_transform(c.vv, x -> x * x))) > 0
-         |      THEN list_sum(list_transform(range(1, 33), i -> q.vv[i] * c.vv[i])) /
-         |        (sqrt(list_sum(list_transform(q.vv, x -> x * x)))
-         |          * sqrt(list_sum(list_transform(c.vv, x -> x * x))))
-         |      ELSE 0.0 END AS cr
-         |  FROM tgtv q JOIN srcv c ON q.doc_id <> c.doc_id),
-         |bwd AS (SELECT tgt_id, src_id,
-         |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
-         |    row_number() OVER (PARTITION BY tgt_id
-         |      ORDER BY round(cr, 6) DESC, src_id) AS rk
-         |  FROM braw),
-         |fs AS (SELECT src_id, CAST(sum(m) AS BIGINT) AS sf
-         |  FROM fwd WHERE rk <= 4 GROUP BY 1),
-         |bs AS (SELECT tgt_id, CAST(sum(m) AS BIGINT) AS st
-         |  FROM bwd WHERE rk <= 4 GROUP BY 1),
-         |cand AS (SELECT f.src_id, f.tgt_id, f.cosine,
-         |    floor(CAST(f.m * 8 AS DOUBLE) / CAST(fs.sf + bs.st AS DOUBLE)
-         |      * 1e6 + 0.5) / 1e6 AS margin
-         |  FROM fwd f JOIN fs USING (src_id) JOIN bs USING (tgt_id)
-         |  WHERE f.rk <= 4 AND fs.sf + bs.st > 0),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
-         |    ORDER BY margin DESC, tgt_id) AS rn FROM cand)
-         |SELECT src_id, tgt_id, cosine, margin FROM r
-         |WHERE rn = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
+         |$bitextSideCtes,
+         |${bitextKnnCtes("",
+             "srcv q JOIN tgtv c ON q.doc_id <> c.doc_id",
+             "tgtv q JOIN srcv c ON q.doc_id <> c.doc_id")},
+         |${bitextMinedCtes("")}
+         |SELECT src_id, tgt_id, cosine, margin FROM mined
+         |ORDER BY src_id""".stripMargin,
+
+    // v_bitext_recall replay: the exact-mined set (the CTEs above) next
+    // to a full IVF-kNN replay — per-side low-id coarse centroids,
+    // sqrt-L2 nearest-cell assignment (cid tie-break), nprobe=6 probe
+    // cells per query, within-cell kNN, the same margin fold — then
+    // exact-long counts and a floor-micro recall ratio.
+    "v_bitext_recall" ->
+      s"""$hashedVecCtes
+         |$bitextSideCtes,
+         |${bitextKnnCtes("",
+             "srcv q JOIN tgtv c ON q.doc_id <> c.doc_id",
+             "tgtv q JOIN srcv c ON q.doc_id <> c.doc_id")},
+         |${bitextMinedCtes("")},
+         |$bitextIvfCtes,
+         |${bitextKnnCtes("_iv",
+             """fprobe p JOIN srcv q ON q.doc_id = p.qid
+               |    JOIN tcell tc ON tc.cell = p.cell
+               |    JOIN tgtv c ON c.doc_id = tc.doc_id""".stripMargin,
+             """bprobe p JOIN tgtv q ON q.doc_id = p.qid
+               |    JOIN scell sc ON sc.cell = p.cell
+               |    JOIN srcv c ON c.doc_id = sc.doc_id""".stripMargin)},
+         |${bitextMinedCtes("_iv")}
+         |SELECT 'ivf_c8_p6' AS setting, n_exact, n_ann, n_hit,
+         |  CASE WHEN n_exact > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |  END AS recall
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mined) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mined_iv) AS n_ann,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT src_id, tgt_id FROM mined INTERSECT
+         |     SELECT src_id, tgt_id FROM mined_iv) h) AS n_hit) x""".stripMargin,
 
     "v_doc_knn_hashed" ->
       s"""$hashedVecCtes
@@ -475,6 +514,95 @@ object QualityQueries {
 
   /** Shared CTE chain: text → 32-dim hashed signed-count vectors
     * (zero-filled via the doc × dim grid, assembled in j order). */
+  /** 32-dim cosine over `vv` double-list columns with the zero-norm
+    * guard (0 when a norm is 0), matching the engine's cosine kernels.
+    */
+  private def bitextCos(q: String, c: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($q, x -> x * x)))
+       |        * sqrt(list_sum(list_transform($c, x -> x * x))) > 0
+       |      THEN list_sum(list_transform(range(1, 33), i -> $q[i] * $c[i])) /
+       |        (sqrt(list_sum(list_transform($q, x -> x * x)))
+       |          * sqrt(list_sum(list_transform($c, x -> x * x))))
+       |      ELSE 0.0 END""".stripMargin
+
+  /** zh/de embedding sides on top of [[hashedVecCtes]]:
+    * `srcv`/`tgtv(doc_id, vv)`. */
+  private def bitextSideCtes: String =
+    s"""e AS (SELECT v.doc_id, d.lang,
+       |    list_transform(v.vec, x -> CAST(x AS DOUBLE)) AS vv
+       |  FROM vecs v JOIN documents d USING (doc_id)),
+       |srcv AS (SELECT doc_id, vv FROM e WHERE lang = 'zh'),
+       |tgtv AS (SELECT doc_id, vv FROM e WHERE lang = 'de')""".stripMargin
+
+  /** Directed-kNN CTEs `fwd$p(src_id, tgt_id, cosine, m, rk)` /
+    * `bwd$p(tgt_id, src_id, m, rk)` over caller-supplied candidate-pair
+    * FROM clauses binding `q` (query side) and `c` (corpus side) rows
+    * with `doc_id`/`vv` columns — the full cross join for the exact
+    * kernel, probe-cell-pruned joins for the IVF replay.
+    */
+  private def bitextKnnCtes(p: String, fwdFrom: String, bwdFrom: String): String =
+    s"""fraw$p AS (SELECT q.doc_id AS src_id, c.doc_id AS tgt_id,
+       |    ${bitextCos("q.vv", "c.vv")} AS cr
+       |  FROM $fwdFrom),
+       |fwd$p AS (SELECT src_id, tgt_id, round(cr, 6) AS cosine,
+       |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY round(cr, 6) DESC, tgt_id) AS rk
+       |  FROM fraw$p),
+       |braw$p AS (SELECT q.doc_id AS tgt_id, c.doc_id AS src_id,
+       |    ${bitextCos("q.vv", "c.vv")} AS cr
+       |  FROM $bwdFrom),
+       |bwd$p AS (SELECT tgt_id, src_id,
+       |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
+       |    row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY round(cr, 6) DESC, src_id) AS rk
+       |  FROM braw$p)""".stripMargin
+
+  /** The margin fold over `fwd$p`/`bwd$p` (k=4, 2k=8, margin ≥ 1.0),
+    * ending in `mined$p(src_id, tgt_id, cosine, margin)`. */
+  private def bitextMinedCtes(p: String): String =
+    s"""fs$p AS (SELECT src_id, CAST(sum(m) AS BIGINT) AS sf
+       |  FROM fwd$p WHERE rk <= 4 GROUP BY 1),
+       |bs$p AS (SELECT tgt_id, CAST(sum(m) AS BIGINT) AS st
+       |  FROM bwd$p WHERE rk <= 4 GROUP BY 1),
+       |cand$p AS (SELECT f.src_id, f.tgt_id, f.cosine,
+       |    floor(CAST(f.m * 8 AS DOUBLE) / CAST(fs$p.sf + bs$p.st AS DOUBLE)
+       |      * 1e6 + 0.5) / 1e6 AS margin
+       |  FROM fwd$p f JOIN fs$p USING (src_id) JOIN bs$p USING (tgt_id)
+       |  WHERE f.rk <= 4 AND fs$p.sf + bs$p.st > 0),
+       |mined$p AS (SELECT src_id, tgt_id, cosine, margin FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin DESC, tgt_id) AS rn FROM cand$p) z
+       |  WHERE rn = 1 AND margin >= 1.0)""".stripMargin
+
+  /** IVF-side CTEs for the bitext replay: per-side low-id centroid
+    * tables (`srcc`/`tgtc(cid, cv)`), corpus nearest-cell assignments
+    * (`scell`/`tcell(doc_id, cell)` — sqrt-L2 asc, cid tie-break), and
+    * nprobe=6 probe lists per query (`fprobe`/`bprobe(qid, cell)`).
+    */
+  private def bitextIvfCtes: String = {
+    def l2(a: String, b: String): String =
+      s"sqrt(list_sum(list_transform(range(1, 33), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))))"
+    s"""srcc AS (SELECT doc_id AS cid, vv AS cv FROM srcv ORDER BY doc_id LIMIT 8),
+       |tgtc AS (SELECT doc_id AS cid, vv AS cv FROM tgtv ORDER BY doc_id LIMIT 8),
+       |tcell AS (SELECT doc_id, cid AS cell FROM (
+       |    SELECT t.doc_id, c.cid, row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY ${l2("t.vv", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM tgtv t CROSS JOIN tgtc c) x WHERE rn = 1),
+       |scell AS (SELECT doc_id, cid AS cell FROM (
+       |    SELECT t.doc_id, c.cid, row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY ${l2("t.vv", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM srcv t CROSS JOIN srcc c) x WHERE rn = 1),
+       |fprobe AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.doc_id AS qid, c.cid, row_number() OVER (PARTITION BY q.doc_id
+       |      ORDER BY ${l2("q.vv", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM srcv q CROSS JOIN tgtc c) x WHERE rn <= 6),
+       |bprobe AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.doc_id AS qid, c.cid, row_number() OVER (PARTITION BY q.doc_id
+       |      ORDER BY ${l2("q.vv", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM tgtv q CROSS JOIN srcc c) x WHERE rn <= 6)""".stripMargin
+  }
+
   private def hashedVecCtes: String =
     s"""WITH t AS (SELECT doc_id, $toksLower AS lt FROM documents),
        |tok AS (SELECT doc_id, unnest(lt) AS w FROM t),
