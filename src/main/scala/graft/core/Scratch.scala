@@ -71,9 +71,50 @@ object Scratch {
     *    and their immediate children's max modification time, so a
     *    rewrite (Spark overwrites recreate files, bumping the dir and
     *    partition-dir mtimes) mints a fresh key. One listing level
-    *    bounds the cost; a byte-level rewrite that preserves every
-    *    file name AND every mtime is outside the contract.
+    *    bounds the cost per path; a short-TTL per-path version memo
+    *    ([[PathVersionTtlMs]]) bounds it per SESSION — a hot memo
+    *    lookup loop (many queries sharing one input dir) does the
+    *    getFileStatus+listStatus round-trip at most once per TTL
+    *    window per path instead of once per invocation. The TTL is
+    *    the staleness bound: an in-place rewrite is picked up by the
+    *    first planKey call more than [[PathVersionTtlMs]] after it.
+    *    A byte-level rewrite that preserves every file name AND every
+    *    mtime is outside the contract.
     */
+  /** How long a probed path version stays good without re-listing. */
+  private[graft] val PathVersionTtlMs = 10000L
+  private val pathVersionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Test seam: drop the TTL memo so the next planKey re-probes. */
+  private[graft] def invalidatePathVersions(): Unit = pathVersionMemo.clear()
+
+  private def pathVersion(rp: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    val now = System.currentTimeMillis()
+    val cached = pathVersionMemo.get(rp.toString)
+    if (cached != null && now - cached._1 < PathVersionTtlMs) cached._2
+    else {
+      val ver =
+        try {
+          val hfs = rp.getFileSystem(hadoopConf)
+          val st = hfs.getFileStatus(rp)
+          val sb = new StringBuilder(st.getModificationTime.toString)
+          if (st.isDirectory)
+            // child NAMES too: a Spark overwrite mints fresh
+            // part-file UUIDs, so the key changes even when the
+            // filesystem's mtime granularity is coarse
+            hfs.listStatus(rp).sortBy(_.getPath.getName)
+              .foreach(c => sb.append('|')
+                .append(c.getPath.getName).append('@')
+                .append(c.getModificationTime))
+          sb.toString
+        } catch { case _: java.io.IOException => "-1" }
+      pathVersionMemo.put(rp.toString, (now, ver))
+      ver
+    }
+  }
+
   def planKey(df: org.apache.spark.sql.DataFrame): String = {
     val plan = df.queryExecution.analyzed
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -86,22 +127,7 @@ object Scratch {
         rel.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths.foreach { rp =>
-              val ver =
-                try {
-                  val hfs = rp.getFileSystem(hadoopConf)
-                  val st = hfs.getFileStatus(rp)
-                  val sb = new StringBuilder(st.getModificationTime.toString)
-                  if (st.isDirectory)
-                    // child NAMES too: a Spark overwrite mints fresh
-                    // part-file UUIDs, so the key changes even when the
-                    // filesystem's mtime granularity is coarse
-                    hfs.listStatus(rp).sortBy(_.getPath.getName)
-                      .foreach(c => sb.append('|')
-                        .append(c.getPath.getName).append('@')
-                        .append(c.getModificationTime))
-                  sb.toString
-                } catch { case _: java.io.IOException => "-1" }
-              md.update(s"$rp@$ver".getBytes("UTF-8"))
+              md.update(s"$rp@${pathVersion(rp, hadoopConf)}".getBytes("UTF-8"))
             }
           case _ => ()
         }

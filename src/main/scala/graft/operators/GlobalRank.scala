@@ -59,6 +59,11 @@ object GlobalRank {
     * fully degenerate one-value case — cannot recreate a global sort
     * on one task. `order` should be a unique total order for a
     * deterministic result (same contract as [[withGlobalRank]]).
+    *
+    * Null `valueCol` values count as 0 — both in the per-partition
+    * totals (sum skips nulls; an all-null partition's total is
+    * coalesced to 0) and in the window branch (`sum` over a running
+    * frame likewise skips nulls), so the two passes agree.
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
       sumCol: String): DataFrame = {
@@ -71,7 +76,7 @@ object GlobalRank {
       "runsum", s"$sumCol|$valueCol|${order.map(_.toString).mkString(",")}|${graft.core.Scratch.planKey(df)}")
       .withColumn("__pid", shiftright(col("__mid"), 33))
     val totals = staged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__s"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Long, Long] =
       totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
@@ -81,7 +86,8 @@ object GlobalRank {
         org.apache.spark.sql.expressions.Window.currentRow)
     staged
       .withColumn(sumCol,
-        element_at(typedlit(offsets), col("__pid")) + sum(col(valueCol)).over(w))
+        element_at(typedlit(offsets), col("__pid")) +
+          coalesce(sum(col(valueCol)).over(w), lit(0L)))
       .drop("__mid", "__pid")
   }
 

@@ -16,15 +16,27 @@ import org.apache.spark.sql.functions._
   * dangling-node mass) is part of the spec, not an accident: exactness
   * of the replay beats the ~1e-12 relative mass drift.
   *
-  * Plan shape per iteration: one shuffle join (edges ⋈ ranks on src,
-  * both hash-partitioned on the join key) + one partial-agg shuffle
-  * (groupBy dst) + a broadcast-free left join back to the static node
-  * table — the Pregel superstep expressed in joins, linear in |edges|,
-  * no driver-side adjacency. Iterations are a fixed small constant
-  * (rank converges geometrically at `damping`), so total cost is
-  * O(iterations × |edges|) with bounded shuffles.
+  * Plan shape per iteration: the edge store is hash-partitioned on
+  * `src` ONCE up front (the in-session equivalent of a table bucketed
+  * by src) and pinned, so the edges ⋈ ranks join never exchanges the
+  * edge side inside the loop — each checkpointed ranks frame likewise
+  * carries its hash(node) partitioning through the alias to `src`, so
+  * the only per-superstep shuffle is the contribution partial-agg
+  * (groupBy dst). The join back to the static node table reuses both
+  * sides' hash(node) partitioning. That is the Pregel superstep
+  * expressed in joins — linear in |edges|, ONE |contributions|-sized
+  * exchange per superstep, no driver-side adjacency. Iterations are a
+  * fixed small constant (rank converges geometrically at `damping`),
+  * so total cost is O(iterations × |edges|) with bounded shuffles.
+  * LinkRankSpec audits the superstep's executed plan: zero Exchange
+  * over the edge-store scan.
   */
 object LinkRank {
+
+  /** Executed physical plan of the most recent run's FIRST superstep —
+    * the observable LinkRankSpec's plan audit reads (pageRank runs the
+    * loop internally, so the plan is not otherwise reachable). */
+  @volatile private[graft] var lastSuperstepPlan: String = ""
 
   /** Integer PageRank over a directed edge list.
     *
@@ -58,11 +70,18 @@ object LinkRank {
       srcCol: String, dstCol: String, iterations: Int, dampingPct: Int = 85,
       scale: Long = 1000000000000L, stopL1: Long = -1L): (DataFrame, Int) = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
-    // Pin the edge list: it feeds every superstep (plus nodes/outdeg) —
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    // Pin the edge list hash-partitioned on `src` (the join key of
+    // every superstep): it feeds every superstep (plus nodes/outdeg) —
     // without the persist each iteration re-executes the caller's whole
-    // upstream lineage (joins, distincts) from the scan.
+    // upstream lineage (joins, distincts) from the scan, and without
+    // the repartition each superstep's join re-shuffles the FULL edge
+    // list (scan partitioning satisfies nothing). One |edges| shuffle
+    // up front buys an exchange-free edge side for the whole loop —
+    // the bucketed-edge-store pattern, in-session.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+      col(dstCol).cast("long").as("dst"))
+      .repartition(shufN, col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))
@@ -79,6 +98,17 @@ object LinkRank {
     val r0 = scale / n
     val teleport = scale * (100L - dampingPct) / 100L / n
     var ranks = base.select(col("node"), col("outdeg"), lit(r0).as("rank"))
+    // Handle to the RDD backing the CURRENT checkpointed ranks frame,
+    // so superseded supersteps' MEMORY_AND_DISK blocks are freed
+    // eagerly rather than whenever the ContextCleaner's GC-driven
+    // sweep notices the frame is unreachable — at high iteration
+    // counts on large graphs the lazy path can accumulate every
+    // superstep's checkpoint until a driver GC happens to run.
+    var ranksCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
@@ -99,11 +129,13 @@ object LinkRank {
       // is released by the ContextCleaner once the previous ranks frame
       // drops out of scope; each checkpoint is |nodes| rows of
       // (long, long, long), MEMORY_AND_DISK.
-      val next = base.join(contrib, Seq("node"), "left")
+      val stepDf = base.join(contrib, Seq("node"), "left")
         .select(col("node"), col("outdeg"),
           (lit(teleport) +
             expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
-        .localCheckpoint(true)
+      val next = stepDf.localCheckpoint(true)
+      if (it == 0) // AQE has finalized stepDf's plan by now (eager cp)
+        lastSuperstepPlan = stepDf.queryExecution.executedPlan.toString
       if (stopL1 >= 0) {
         // integer L1 delta between consecutive supersteps: two cached
         // leaf frames, one join + one agg — fires only when enabled
@@ -112,6 +144,13 @@ object LinkRank {
           .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
         if (l1 <= stopL1) converged = true
       }
+      // `next` is fully materialized (eager checkpoint) and the L1
+      // check above was the last reader of `ranks` — free the
+      // superseded superstep's blocks now. Safe because a local
+      // checkpoint's lineage is already truncated to its own blocks:
+      // nothing downstream can re-read the old ones.
+      ranksCp.foreach(_.unpersist(blocking = false))
+      ranksCp = checkpointRdd(next)
       ranks = next
       it += 1
     }
@@ -125,6 +164,11 @@ object LinkRank {
     out.count()
     base.unpersist()
     e.unpersist()
+    // The FINAL checkpoint is deliberately left to the ContextCleaner:
+    // `out`'s cache recomputes from it on eviction, and its lineage is
+    // truncated — freeing it here would make that recompute impossible.
+    // Only the in-loop superseded checkpoints (never re-read) are freed
+    // eagerly.
     (out, it)
   }
 }

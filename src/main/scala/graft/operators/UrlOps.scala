@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * Contract: absolute `http(s)://host[:port][/path][?query][#frag]`
   * URLs. Decoding is limited to UNRESERVED escapes (`%7E` → `~`), which
-  * can never change URL structure — reserved escapes (`%2F`, `%23`)
-  * keep their meaning and only their hex case is normalized.
+  * is structure-preserving AT THE ESCAPE SITE — reserved escapes
+  * (`%2F`, `%23`) keep their meaning and only their hex case is
+  * normalized. One intended composition: a decoded `.` (`%2E`) that
+  * forms a `.`/`..` path segment then participates in the LATER
+  * dot-segment resolution (`a/%2E%2E/b` → `b`), which is exactly RFC
+  * 3986 §6.2.2's order (decode §6.2.2.2 before syntax-based path
+  * normalization §6.2.2.3) — UrlSpec pins that case.
   */
 object UrlOps {
 

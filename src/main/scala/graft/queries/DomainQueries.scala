@@ -313,6 +313,73 @@ object DomainQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── E2E: the reference's daily futures operation as ONE DAG ──────
+    // reorg → D1 selection → D2 factors → D3 continuous series → K3
+    // partition overwrite → K6 CSV export, run INCREMENTALLY across two
+    // watermark loads (/root/reference/tasks/wind/future_reorg/
+    // reversion_rights_factors.py orchestrates exactly this daily).
+    // Run 2 discovers its delta from the SINK's watermark
+    // (IncrementalPlanner.newerThanSink), recomputes the (small,
+    // per-(type,day)) series from the watermark-assembled bar table, and
+    // rewrites ONLY the year partitions whose content changed — computed
+    // by a snapshot diff (the D10 discipline applied before a write),
+    // not assumed, because backward Diff adjustment rewrites history at
+    // every new roll. The oracle is the from-scratch d3 replay over the
+    // FULL bar table: the second incremental run must be
+    // indistinguishable from a full rebuild.
+    "e2e_futures_daily" -> ((s, d) => {
+      val dir = graft.core.Scratch.queryDir("e2e_futures")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("continuous_series", Seq("instrument_type", "trade_date"),
+        partitionBy = Seq("yr"))
+      val bars = futuresBarsCached(s, d)
+      val seriesCols = Seq("instrument_type", "trade_date", "main_id", "close",
+        "adj_factor_main", "close_adj")
+      def series(b: DataFrame, tag: String): DataFrame =
+        graft.core.Scratch.materialize(
+          ContinuousFutures.continuousSeries(s, b, ContinuousFutures.Diff,
+            cacheInput = false),
+          "e2e_series", s"$tag|$d")
+          .withColumn("yr", year(col("trade_date")))
+          .select((seriesCols :+ "yr").map(col): _*)
+      // Run 1: the world as of the cutoff — initial full load (K3 path).
+      val cutoff = lit(java.sql.Date.valueOf("1998-06-01"))
+      store.overwritePartitions(spec,
+        series(bars.filter(col("trade_date") < cutoff), "run1"))
+      // Run 2: the delta is DISCOVERED from the sink's watermark, never
+      // from the cutoff constant — the incremental contract under test.
+      val sunk = store.read(spec)
+      val newBars = graft.core.IncrementalPlanner.newerThanSink(bars, sunk, "trade_date")
+      val wm = graft.core.IncrementalPlanner.globalWatermark(sunk, "trade_date").get
+      val s2 = series(bars.filter(col("trade_date") <= lit(wm)).unionByName(newBars), "run2")
+      val cur = store.read(spec).select(seriesCols.map(col): _*)
+        .withColumn("yr", year(col("trade_date")))
+      // Changed partitions = years appearing in EITHER side of the row
+      // diff; bounded driver collect (≤ #years). Years can only gain or
+      // change rows here (the bar table is append-only), so a partition
+      // absent from s2 cannot occur and overwrite covers the whole set.
+      val changedYears = s2.exceptAll(cur).select(col("yr"))
+        .unionByName(cur.exceptAll(s2).select(col("yr")))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (changedYears.nonEmpty)
+        store.overwritePartitions(spec, s2.filter(col("yr").isin(changedYears: _*)))
+      // K6: the consumer-facing CSV export, read back typed.
+      val outDir = graft.core.Scratch.queryDir("e2e_csv")
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      store.read(spec).select(seriesCols.map(col): _*)
+        .write.option("header", "true").csv(outDir)
+      s.read.option("header", "true")
+        .schema("instrument_type STRING, trade_date DATE, main_id STRING, " +
+          "close DOUBLE, adj_factor_main DOUBLE, close_adj DOUBLE")
+        .csv(outDir)
+        .withColumn("close", round6(col("close")))
+        .withColumn("adj_factor_main", round6(col("adj_factor_main")))
+        .withColumn("close_adj", round6(col("close_adj")))
+        .orderBy(col("instrument_type"), col("trade_date"))
+    }),
+
     // ── Streaming: watermarked tick→bar replay (parity with a3) ──────
     "stream_tick_bars" -> ((s, d) => {
       // File streaming sources need a directory: stage the events file
@@ -845,6 +912,24 @@ object DomainQueries {
         |FROM fac ORDER BY instrument_type, trade_date""".stripMargin,
 
     "d3_continuous_series" ->
+      s"""WITH RECURSIVE $d2FactorCtes,
+        |fiv AS (
+        |  SELECT itype, fd, accM,
+        |    lag(fd) OVER (PARTITION BY itype ORDER BY fd) AS pfd
+        |  FROM fac)
+        |SELECT v.itype AS instrument_type, v.d AS trade_date, v.m AS main_id,
+        |  floor(b.close * 1000000 + 0.5) / 1000000 AS close,
+        |  floor(f.accM * 1000000 + 0.5) / 1000000 AS adj_factor_main,
+        |  floor((b.close + COALESCE(f.accM, 0.0)) * 1000000 + 0.5) / 1000000 AS close_adj
+        |FROM (SELECT * FROM sel WHERE m IS NOT NULL) v
+        |JOIN bars b ON b.itype = v.itype AND b.iid = v.m AND b.d = v.d
+        |LEFT JOIN fiv f ON f.itype = v.itype AND v.d <= f.fd
+        |  AND (f.pfd IS NULL OR v.d > f.pfd)
+        |ORDER BY instrument_type, trade_date""".stripMargin,
+
+    // The incremental two-run pipeline must equal the from-scratch
+    // rebuild — i.e., exactly the d3 replay over the full bar table.
+    "e2e_futures_daily" ->
       s"""WITH RECURSIVE $d2FactorCtes,
         |fiv AS (
         |  SELECT itype, fd, accM,

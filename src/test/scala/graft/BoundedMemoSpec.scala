@@ -53,8 +53,15 @@ class PlanKeyContentSpec extends AnyFunSuite with SharedSpark {
     val k1again = graft.core.Scratch.planKey(spark.read.parquet(dir))
     assert(k1 == k1again, "key must be stable while the input is untouched")
     Seq((3L, "c")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    // the short-TTL path-version memo bounds probe I/O: a rewrite
+    // INSIDE the TTL window still serves the cached version...
+    val kStale = graft.core.Scratch.planKey(spark.read.parquet(dir))
+    assert(kStale == k1, "within the TTL window the memoized version holds")
+    // ...and the first probe past the TTL mints a fresh key (the test
+    // seam stands in for the 10 s clock)
+    graft.core.Scratch.invalidatePathVersions()
     val k2 = graft.core.Scratch.planKey(spark.read.parquet(dir))
-    assert(k1 != k2, "in-place overwrite must mint a fresh key")
+    assert(k1 != k2, "in-place overwrite must mint a fresh key past the TTL")
   }
 
   test("memoized d1 reduction serves fresh results after an input overwrite") {
@@ -71,6 +78,7 @@ class PlanKeyContentSpec extends AnyFunSuite with SharedSpark {
       .select(col("main_id")).as[String].collect().toSeq
     assert(got1 == Seq("A1"))
     bars("B2").write.mode("overwrite").parquet(dir) // in-place rewrite
+    graft.core.Scratch.invalidatePathVersions() // stand-in for TTL expiry
     val got2 = graft.analytics.ContinuousFutures
       .dailySelection(spark, spark.read.parquet(dir))
       .select(col("main_id")).as[String].collect().toSeq

@@ -70,4 +70,27 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
       === b.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
+
+  test("superstep plan: edge store is exchange-free inside the loop") {
+    import spark.implicits._
+    // big enough that AQE does not broadcast the ranks side (which
+    // would trivially satisfy the audit); the point is the SHUFFLE
+    // join path the operator takes at scale.
+    val edges = (1 to 50000).map(i => (i.toLong % 4096, (i * 7L) % 4099))
+      .toDF("src", "dst")
+    LinkRank.pageRank(spark, edges, "src", "dst", 2)
+    val plan = LinkRank.lastSuperstepPlan
+    assert(plan.contains("InMemoryTableScan"),
+      "superstep must read the pinned edge store")
+    // The edge store is pre-partitioned on src: no Exchange may sit
+    // between the edges⋈ranks join and the edge-side InMemoryTableScan.
+    val lines = plan.linesIterator.toVector
+    val emtsIdx = lines.indexWhere(l => l.contains("InMemoryTableScan") &&
+      l.contains("src") && l.contains("dst"))
+    assert(emtsIdx >= 0, "edge-store scan (src,dst) not found in plan")
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"), emtsIdx)
+    assert(joinIdx >= 0, "no join above the edge-store scan")
+    assert(!lines.slice(joinIdx, emtsIdx).exists(_.contains("Exchange")),
+      s"edge side re-shuffles inside the loop:\n$plan")
+  }
 }
