@@ -41,6 +41,19 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         graft.core.Scratch.queryDir("warehouse"))
       .config("spark.ui.enabled", "false")
+      // Streaming state-store provider seam: SPARK_GRAFT_STATE_STORE=
+      // rocksdb swaps the default heap-backed HDFS provider for RocksDB
+      // (state spills to executor-local disk instead of occupying heap
+      // — the at-scale configuration; results must be provider-
+      // independent, which StreamingParitySpec pins at toy scale and
+      // the BASELINE.md sf1 stream table re-proves on 10× data).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+          case Some("rocksdb") =>
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          case _ =>
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        })
       // Builder-time Catalyst extension: the native as-of join strategy
       // (graft.plans.AsOfJoinPlan). registerFunctions also injects it
       // via experimental.extraStrategies for already-built sessions.

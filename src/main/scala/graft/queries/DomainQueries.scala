@@ -42,6 +42,33 @@ object DomainQueries {
     streamDir.toString
   }
 
+  /** Stage a parquet TABLE into `streamDir` as FLAT `<name>*.parquet`
+    * files. The driver testdata ships single-file tables, but any
+    * Spark-written table (ScaleUp corpora, store exports) is a
+    * DIRECTORY of part files — and the file stream source does not
+    * recurse, so a directory copied whole under the stream dir reads
+    * as ZERO rows (found by the first sf1-directory correctness run).
+    * Flat staging preserves the one-batch replay either way: the
+    * source lists every staged file in micro-batch 0.
+    */
+  private[queries] def stageTableFiles(s: SparkSession, table: String,
+      streamDir: org.apache.hadoop.fs.Path, name: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val src = new org.apache.hadoop.fs.Path(table)
+    if (fs.getFileStatus(src).isDirectory)
+      fs.listStatus(src).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (p, i) =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+            new org.apache.hadoop.fs.Path(streamDir, s"${name}_$i.parquet"),
+            false, conf)
+        }
+    else
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(streamDir, s"$name.parquet"), false, conf)
+  }
+
   private val dec = "decimal(18,2)"
 
   /** Engine-portable 6-decimal rounding: pure IEEE double ops, so Spark
@@ -389,9 +416,7 @@ object DomainQueries {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
-      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
-        fs, new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
+      stageTableFiles(s, s"$d/events.parquet", streamDir, "events")
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
@@ -419,12 +444,7 @@ object DomainQueries {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
-      Seq("a", "b").foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
-          fs, new org.apache.hadoop.fs.Path(streamDir, s"$n.parquet"),
-          false, s.sparkContext.hadoopConfiguration)
-      }
+      Seq("a", "b").foreach(n => stageTableFiles(s, s"$d/events.parquet", streamDir, n))
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
@@ -458,12 +478,7 @@ object DomainQueries {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
-      Seq("a", "b").foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, new org.apache.hadoop.fs.Path(s"$d/documents.parquet"),
-          fs, new org.apache.hadoop.fs.Path(streamDir, s"$n.parquet"),
-          false, s.sparkContext.hadoopConfiguration)
-      }
+      Seq("a", "b").foreach(n => stageTableFiles(s, s"$d/documents.parquet", streamDir, n))
       TickBarStream.withShufflePartitions(s, 8) {
         val raw = s.readStream.schema(
           s.read.parquet(s"$d/documents.parquet").schema).parquet(streamDir.toString)
@@ -617,10 +632,7 @@ object DomainQueries {
         graft.core.Scratch.queryDir("stream_enrich"))
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
-        fs, new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
+      stageTableFiles(s, s"$d/events.parquet", streamDir, "events")
       val cust = s.read.parquet(s"$d/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
       TickBarStream.withShufflePartitions(s, 8) {
@@ -693,10 +705,7 @@ object DomainQueries {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(streamDir, true)
       fs.mkdirs(streamDir)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(s"$d/events.parquet"), fs,
-        new org.apache.hadoop.fs.Path(streamDir, "events.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
+      stageTableFiles(s, s"$d/events.parquet", streamDir, "events")
       val hb = graft.streaming.Heartbeat.attach(s)
       try {
         TickBarStream.withShufflePartitions(s, 8) {

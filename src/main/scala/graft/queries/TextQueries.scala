@@ -387,11 +387,18 @@ object TextQueries {
     //     Band-match probability at similarity s is 1-(1-s⁴)⁴ — steep,
     //     so borderline true pairs are mostly lost (measured 0.594
     //     recall at sf0.1 duplicate density in round 11).
-    //   tuned = 64 hashes × 32 bands (2 rows/band): threshold-matched —
-    //     1-(1-s²)³² ≥ 0.996 at s=0.4, at 4× the signature hashing and
-    //     8× the banding shuffle. The at-scale trade is explicit: pay
-    //     ~4× signature CPU for ≥0.9 recall, or run the exact PPJoin
-    //     path when recall must be 1.
+    //   tuned = 64 hashes × 32 bands (2 rows/band), bucket cap 2000:
+    //     threshold-matched — 1-(1-s²)³² ≥ 0.996 at s=0.4, at 4× the
+    //     signature hashing and 8× the banding shuffle. The cap must
+    //     scale with the band key's coarseness: 2-row band hashes put
+    //     whole duplicate CLUSTERS in one bucket, so the r=4-calibrated
+    //     default cap of 100 silently drops the densest (most
+    //     duplicate-rich) buckets — measured round 12: recall 0.68 at
+    //     cap 100 vs 0.97 at cap 2000, identical precision, no
+    //     measurable cost change (candidates stay bounded by cap²·
+    //     buckets and the estimate prefilter). The at-scale trade is
+    //     explicit: pay ~4× signature CPU for ≥0.9 recall, or run the
+    //     exact PPJoin path when recall must be 1.
     // LSH verifies its candidates with exact Jaccard, so precision is 1
     // by construction (up to 64-bit gram-hash collisions); recall
     // measures exactly what banding, the estimate prefilter and the
@@ -422,7 +429,8 @@ object TextQueries {
       }
       val tunedPairs = graft.core.Scratch.materialize(
         Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4),
+          shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4,
+          maxBucketSize = 2000),
         "mh_pairs_tuned", d)
       settingRow("base", minhashPairsShared(s, d))
         .unionByName(settingRow("tuned", tunedPairs))
@@ -793,7 +801,8 @@ object TextQueries {
     * [[graft.operators.Dedup.minHashDupPairs]]. MATERIALIZED so a
     * recursive consumer evaluates the pipeline once.
     */
-  private def minhashSettingCtes(p: String, numHashes: Int, bands: Int): String = {
+  private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
+      maxBucket: Int = 100): String = {
     val rows = numHashes / bands
     s"""sigs$p AS (SELECT doc_id,
        |    list_distinct(list_transform(hp, q -> q[1])) AS hl,
@@ -803,7 +812,7 @@ object TextQueries {
        |banded$p AS (SELECT doc_id, b.range AS band,
        |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
        |  FROM sigs$p, range(0, $bands) b),
-       |ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= 100),
+       |ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
        |cand$p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded$p a JOIN ok$p USING (band, bh)
        |  JOIN banded$p b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
@@ -1228,7 +1237,7 @@ object TextQueries {
     // membership-intersected per setting.
     "dd_lsh_recall_report" ->
       s"""WITH $minhashPairCtes,
-         |${minhashSettingCtes("_tu", numHashes = 64, bands = 32)},
+         |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 2000)},
          |ex0 AS (SELECT doc_id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),

@@ -16,10 +16,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata ships single files; ScaleUp output is a Spark
+        # parquet DIRECTORY — glob its part files in that case
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     # Verify-side execution errors: surface them as explicit FAIL rows so
