@@ -51,7 +51,7 @@ object DomainQueries {
     * Flat staging preserves the one-batch replay either way: the
     * source lists every staged file in micro-batch 0.
     */
-  private[queries] def stageTableFiles(s: SparkSession, table: String,
+  private[graft] def stageTableFiles(s: SparkSession, table: String,
       streamDir: org.apache.hadoop.fs.Path, name: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
