@@ -89,6 +89,37 @@ object Scratch {
   /** Test seam: drop the TTL memo so the next planKey re-probes. */
   private[graft] def invalidatePathVersions(): Unit = pathVersionMemo.clear()
 
+  /** Drop memoized versions for `written` and every memo entry related
+    * to it by path containment (ancestors whose listing just changed,
+    * descendants the write replaced). Every in-repo write site
+    * ([[materialize]], [[TableStore]] commits) calls this, so a
+    * write-then-read pipeline inside one session can never observe the
+    * TTL's stale window on its own writes — the TTL only bounds
+    * staleness for rewrites performed OUTSIDE the engine's write paths.
+    */
+  def invalidatePath(written: String): Unit = {
+    // memo keys are hadoop Path.toString (may carry a scheme like
+    // file:/...); strip the scheme so a plain local path matches them
+    def norm(s: String): String = {
+      val noScheme = s.indexOf(":/") match {
+        case i if i > 0 && s.take(i).forall(c => c.isLetterOrDigit || c == '+' || c == '.') =>
+          s.drop(i + 1).dropWhile(_ == '/') match { case r => "/" + r }
+        case _ => s
+      }
+      if (noScheme.length > 1) noScheme.stripSuffix("/") else noScheme
+    }
+    val w = norm(written)
+    val keys = pathVersionMemo.keys()
+    while (keys.hasMoreElements) {
+      val k = keys.nextElement()
+      val kk = norm(k)
+      // path-boundary containment either way: /a/b relates to /a/b/c
+      // (ancestor listing changed) and vice versa, never /a/bc
+      if (kk == w || kk.startsWith(w + "/") || w.startsWith(kk + "/"))
+        pathVersionMemo.remove(k)
+    }
+  }
+
   private def pathVersion(rp: org.apache.hadoop.fs.Path,
       hadoopConf: org.apache.hadoop.conf.Configuration): String = {
     val now = System.currentTimeMillis()
@@ -109,9 +140,12 @@ object Scratch {
                 .append(c.getPath.getName).append('@')
                 .append(c.getModificationTime))
           sb.toString
-        } catch { case _: java.io.IOException => "-1" }
-      pathVersionMemo.put(rp.toString, (now, ver))
-      ver
+        } catch { case _: java.io.IOException => null }
+      // never memoize a failed probe: a path probed just before it is
+      // created (or during a transient FS error) must not key as
+      // missing for the whole TTL window
+      if (ver != null) { pathVersionMemo.put(rp.toString, (now, ver)); ver }
+      else "-1"
     }
   }
 
@@ -165,6 +199,7 @@ object Scratch {
       key: String): org.apache.spark.sql.DataFrame = {
     val p = path(kind, key)
     df.write.mode("overwrite").parquet(p)
+    invalidatePath(p)
     df.unpersist()
     df.sparkSession.read.parquet(p)
   }

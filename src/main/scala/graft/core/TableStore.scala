@@ -171,6 +171,11 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new IOException(
         s"TableStore: commit of ${name} v$version failed (concurrent writer?)")
     }
+    // every table mutation lands here: drop any Scratch.planKey path
+    // versions memoized under this table so a read in the same session
+    // immediately sees the new commit (ADVICE r12 — the TTL memo must
+    // never serve a stale version across the engine's OWN write paths)
+    Scratch.invalidatePath(path(name))
   }
 
   /** Retained manifest versions double as readable snapshots

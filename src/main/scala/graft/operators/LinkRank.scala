@@ -38,6 +38,13 @@ object LinkRank {
     * loop internally, so the plan is not otherwise reachable). */
   @volatile private[graft] var lastSuperstepPlan: String = ""
 
+  /** Same superstep's executed [[org.apache.spark.sql.execution.SparkPlan]]
+    * TREE — the spec walks typed nodes (ShuffleExchangeExec between the
+    * join and the edge-store scan) instead of string slicing, which is
+    * robust to plan-string formatting drift and AQE reuse nodes. */
+  @volatile private[graft] var lastSuperstepExec:
+    org.apache.spark.sql.execution.SparkPlan = null
+
   /** Integer PageRank over a directed edge list.
     *
     * @param edges  (srcCol, dstCol) — duplicate edges count twice
@@ -105,6 +112,14 @@ object LinkRank {
     // counts on large graphs the lazy path can accumulate every
     // superstep's checkpoint until a driver GC happens to run.
     var ranksCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    // The checkpoint superseded in the PREVIOUS iteration, freed at the
+    // TOP of the next one: deferring the free a full iteration makes
+    // the hazard window explicit — while any iteration's body runs
+    // (including its L1 read of the previous `ranks`), both the current
+    // and the previous frames' blocks are still live, so no ordering
+    // inside the body can observe missing checkpoint blocks. Cost: at
+    // most two |nodes|-row frames persisted instead of one.
+    var staleCp: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -112,6 +127,8 @@ object LinkRank {
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
+      staleCp.foreach(_.unpersist(blocking = false))
+      staleCp = None
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
       // rounding can differ from integer floor at picounit magnitudes.
       val contrib = e.join(ranks.filter(col("outdeg") > 0)
@@ -134,8 +151,10 @@ object LinkRank {
           (lit(teleport) +
             expr(s"(coalesce(s, 0L) * $dampingPct) div 100")).as("rank"))
       val next = stepDf.localCheckpoint(true)
-      if (it == 0) // AQE has finalized stepDf's plan by now (eager cp)
-        lastSuperstepPlan = stepDf.queryExecution.executedPlan.toString
+      if (it == 0) { // AQE has finalized stepDf's plan by now (eager cp)
+        lastSuperstepExec = stepDf.queryExecution.executedPlan
+        lastSuperstepPlan = lastSuperstepExec.toString
+      }
       if (stopL1 >= 0) {
         // integer L1 delta between consecutive supersteps: two cached
         // leaf frames, one join + one agg — fires only when enabled
@@ -144,12 +163,10 @@ object LinkRank {
           .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
         if (l1 <= stopL1) converged = true
       }
-      // `next` is fully materialized (eager checkpoint) and the L1
-      // check above was the last reader of `ranks` — free the
-      // superseded superstep's blocks now. Safe because a local
-      // checkpoint's lineage is already truncated to its own blocks:
-      // nothing downstream can re-read the old ones.
-      ranksCp.foreach(_.unpersist(blocking = false))
+      // `next` is fully materialized (eager checkpoint); the old
+      // `ranks` frame is now superseded but stays live until the top of
+      // the NEXT iteration — see `staleCp` above.
+      staleCp = ranksCp
       ranksCp = checkpointRdd(next)
       ranks = next
       it += 1
@@ -162,6 +179,9 @@ object LinkRank {
     // against the already-released base/e.
     val out = ranks.select(col("node"), col("rank")).persist()
     out.count()
+    // `out` is materialized — the frame superseded in the final
+    // iteration has no remaining reader; free it now.
+    staleCp.foreach(_.unpersist(blocking = false))
     base.unpersist()
     e.unpersist()
     // The FINAL checkpoint is deliberately left to the ContextCleaner:

@@ -56,15 +56,20 @@ object DomainQueries {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val src = new org.apache.hadoop.fs.Path(table)
-    if (fs.getFileStatus(src).isDirectory)
-      fs.listStatus(src).map(_.getPath)
+    if (fs.getFileStatus(src).isDirectory) {
+      val parts = fs.listStatus(src).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (p, i) =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
-            new org.apache.hadoop.fs.Path(streamDir, s"${name}_$i.parquet"),
-            false, conf)
-        }
-    else
+      // loud-fail on zero parquet children (e.g. a zero-partition write
+      // that left only _SUCCESS): silently staging nothing reproduces
+      // the exact zero-row stream read this helper exists to eliminate
+      require(parts.nonEmpty,
+        s"stageTableFiles: $table is a directory with no *.parquet files")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+          new org.apache.hadoop.fs.Path(streamDir, s"${name}_$i.parquet"),
+          false, conf)
+      }
+    } else
       org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
         new org.apache.hadoop.fs.Path(streamDir, s"$name.parquet"), false, conf)
   }

@@ -64,6 +64,55 @@ class PlanKeyContentSpec extends AnyFunSuite with SharedSpark {
     assert(k1 != k2, "in-place overwrite must mint a fresh key past the TTL")
   }
 
+  test("in-repo write paths invalidate the TTL memo immediately (no stale window)") {
+    import spark.implicits._
+    // 1) Scratch.materialize: write-then-read inside one session must
+    //    mint a fresh key even within the TTL window
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    val mat1 = graft.core.Scratch.materialize(df1, "inv_spec", "key1")
+    val kA = graft.core.Scratch.planKey(mat1)
+    // same scratch path, new content (same kind+key → same path)
+    val df2 = Seq((2L, "b"), (3L, "c")).toDF("k", "v")
+    val mat2 = graft.core.Scratch.materialize(df2, "inv_spec", "key1")
+    val kB = graft.core.Scratch.planKey(mat2)
+    assert(kA != kB,
+      "materialize must invalidate its own path — stale key within TTL")
+
+    // 2) TableStore commit: an upsert between two reads of the same
+    //    table must change the key with no TTL wait
+    val dir = graft.core.Scratch.queryDir("plankey_store_spec")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val store = new graft.core.TableStore(spark, dir)
+    val spec = graft.core.TableSpec("t", Seq("k"))
+    store.upsert(spec, Seq((1L, "a")).toDF("k", "v"))
+    val k1 = graft.core.Scratch.planKey(store.read(spec))
+    store.upsert(spec, Seq((1L, "z")).toDF("k", "v"))
+    val k2 = graft.core.Scratch.planKey(store.read(spec))
+    assert(k1 != k2,
+      "TableStore commit must invalidate the table's memoized versions")
+  }
+
+  test("a failed path probe is not memoized: create-after-probe keys fresh") {
+    import spark.implicits._
+    val dir = graft.core.Scratch.queryDir("plankey_miss_spec")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    val df = spark.read.parquet(dir) // analyzed while the dir exists
+    // delete the dir and probe: the failure sentinel must NOT enter the
+    // memo, so recreating the dir inside the TTL window keys fresh
+    graft.core.Scratch.invalidatePathVersions()
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val kMissing = graft.core.Scratch.planKey(df)
+    Seq((2L, "b")).toDF("k", "v").write.parquet(dir)
+    val kBack = graft.core.Scratch.planKey(df)
+    assert(kMissing != kBack,
+      "failure sentinel memoized for the TTL — create-after-probe reads stale")
+  }
+
   test("memoized d1 reduction serves fresh results after an input overwrite") {
     import spark.implicits._
     val dir = graft.core.Scratch.queryDir("plankey_d1_spec")

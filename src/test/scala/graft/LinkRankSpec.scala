@@ -79,18 +79,41 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     val edges = (1 to 50000).map(i => (i.toLong % 4096, (i * 7L) % 4099))
       .toDF("src", "dst")
     LinkRank.pageRank(spark, edges, "src", "dst", 2)
-    val plan = LinkRank.lastSuperstepPlan
-    assert(plan.contains("InMemoryTableScan"),
-      "superstep must read the pinned edge store")
-    // The edge store is pre-partitioned on src: no Exchange may sit
-    // between the edges⋈ranks join and the edge-side InMemoryTableScan.
-    val lines = plan.linesIterator.toVector
-    val emtsIdx = lines.indexWhere(l => l.contains("InMemoryTableScan") &&
-      l.contains("src") && l.contains("dst"))
-    assert(emtsIdx >= 0, "edge-store scan (src,dst) not found in plan")
-    val joinIdx = lines.lastIndexWhere(_.contains("Join"), emtsIdx)
-    assert(joinIdx >= 0, "no join above the edge-store scan")
-    assert(!lines.slice(joinIdx, emtsIdx).exists(_.contains("Exchange")),
-      s"edge side re-shuffles inside the loop:\n$plan")
+    val root = LinkRank.lastSuperstepExec
+    assert(root != null, "superstep plan was not captured")
+    // Walk the executed plan TREE (not its string form): find the path
+    // from the root down to the edge-store InMemoryTableScan and assert
+    // no shuffle node sits between the nearest enclosing join and that
+    // scan. Typed matching is robust to plan-string formatting drift
+    // and to AQE wrapper nodes (query stages, ReusedExchange,
+    // AQEShuffleRead), which the old line-slicing heuristic was not.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    def pathToEdgeScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case s: InMemoryTableScanExec
+          if Seq("src", "dst").forall(n => s.output.exists(_.name == n)) &&
+             s.output.length == 2 =>
+        Some(List(p))
+      case _ =>
+        kids(p).view.flatMap(pathToEdgeScan).headOption.map(p :: _)
+    }
+    val path = pathToEdgeScan(root)
+      .getOrElse(fail(s"edge-store scan (src,dst) not found in plan:\n$root"))
+    val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+    assert(joinIdx >= 0, s"no join above the edge-store scan:\n$root")
+    val between = path.drop(joinIdx + 1)
+    val shuffles = between.filter(n =>
+      n.isInstanceOf[ShuffleExchangeLike] || n.isInstanceOf[AQEShuffleReadExec])
+    assert(shuffles.isEmpty,
+      s"edge side re-shuffles inside the loop (${shuffles.map(_.nodeName)}):\n$root")
   }
 }

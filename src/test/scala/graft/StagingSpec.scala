@@ -58,4 +58,21 @@ class StagingSpec extends AnyFunSuite with SharedSpark {
       staged.head.getPath.getName == "t.parquet")
     assert(drain(streamDir.toString, "stage_spec_one_out") == 2L)
   }
+
+  test("staging a directory with no parquet children fails loudly") {
+    // a zero-partition write leaves only _SUCCESS — staging nothing
+    // silently would reproduce the zero-row stream read bug
+    val dir = new org.apache.hadoop.fs.Path(
+      graft.core.Scratch.queryDir("stage_spec_empty"))
+    fs.delete(dir, true); fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")).close()
+    val streamDir = new org.apache.hadoop.fs.Path(
+      graft.core.Scratch.queryDir("stage_spec_stream_e"))
+    fs.delete(streamDir, true); fs.mkdirs(streamDir)
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.DomainQueries.stageTableFiles(
+        spark, dir.toString, streamDir, "t")
+    }
+    assert(ex.getMessage.contains("no *.parquet files"))
+  }
 }
