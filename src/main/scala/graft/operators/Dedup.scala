@@ -150,7 +150,7 @@ object Dedup {
     * than per-pair string hash sets) and the verify join shuffles 8
     * bytes per shingle instead of the shingle text.
     */
-  private def sigAndHashedShingles(shingleLen: Int, numHashes: Int) =
+  private[graft] def sigAndHashedShingles(shingleLen: Int, numHashes: Int) =
     udf { text: String =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var sh = Array.empty[Long]
@@ -222,7 +222,93 @@ object Dedup {
     */
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
+      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame =
+    minHashPairsCore(docs, idCol, textCol, shingleLen, numHashes, bands,
+      jaccardThreshold, Left(maxBucketSize))
+
+  /** [[minHashDupPairs]] with BOTH knobs derived instead of hand-set —
+    * the operating point a deployment can trust without a per-corpus
+    * sweep (the r12 cap sweep found the hand-set default silently
+    * costing 41% recall; this automates exactly that computation):
+    *
+    *  - '''(rowsPerBand, bands)''' analytically from the threshold: the
+    *    probability a true pair at similarity s=τ shares ≥1 band is
+    *    1-(1-τ^r)^b, so b(r) = ⌈ln(1-R)/ln(1-τ^r)⌉ bands reach target
+    *    recall R at the threshold (and MORE than R above it — the
+    *    S-curve is increasing). The largest r whose b(r) fits `maxBands`
+    *    wins: larger r sharpens the curve (fewer sub-threshold
+    *    candidates) at the cost of more signature components.
+    *  - '''mega-bucket cap''' from the MEASURED bucket-size histogram:
+    *    duplicate clusters and ordinary shared-phrase cohorts populate a
+    *    DENSE range of bucket sizes (every size present or nearly so),
+    *    while degenerate noise cohorts (empty text, boilerplate shared
+    *    by a large corpus fraction) sit far outside that bulk. The cap
+    *    cuts at the largest RELATIVE gap between consecutive distinct
+    *    sizes (among sizes ≥ `minOutlierBucket`, and only when that gap
+    *    exceeds `outlierGapRatio` — no qualifying gap means no outliers,
+    *    keep every bucket). Measured here: the driver corpus reads a
+    *    dense bulk then a ~2× jump to the noise cohorts at every SF
+    *    (124→242 at sf0.001, 100→215 at sf0.01, 1091→2248 at sf0.1) —
+    *    the same knee the round-12 MANUAL cap sweep found at sf0.1. The
+    *    histogram is one tiny aggregate over the banding frame (one row
+    *    per distinct size), so selection costs one model-sized pass. A
+    *    pair-cost budget was tried and rejected: bucket size alone does
+    *    not order "duplicate-rich" before "noise" (measured recall 0.55
+    *    at sf0.1 under any per-doc budget that kept the join affordable).
+    *
+    * Both derivations are deterministic functions of (τ, corpus), so a
+    * SQL oracle replays them exactly (dd_lsh_recall_report's auto row).
+    */
+  def minHashDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, jaccardThreshold: Double = 0.6,
+      targetRecall: Double = 0.99, maxBands: Int = 64,
+      minOutlierBucket: Int = 16, outlierGapRatio: Double = 1.5): DataFrame = {
+    val (r, b) = lshAutoShape(jaccardThreshold, targetRecall, maxBands)
+    minHashPairsCore(docs, idCol, textCol, shingleLen, r * b, b,
+      jaccardThreshold, Right((minOutlierBucket, outlierGapRatio)))
+  }
+
+  /** Analytic (rowsPerBand, bands) for target recall R at threshold τ —
+    * see [[minHashDupPairsAuto]]. Pure, engine-independent. */
+  private[graft] def lshAutoShape(tau: Double, targetRecall: Double,
+      maxBands: Int): (Int, Int) = {
+    require(tau > 0 && tau < 1, s"threshold $tau must be in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "target recall in (0,1)")
+    (8 to 1 by -1).view
+      .map { r =>
+        val p = math.pow(tau, r)
+        (r, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+      }
+      .find(_._2 <= maxBands)
+      .getOrElse((1, maxBands))
+  }
+
+  /** Data-derived mega-bucket cap: cut at the largest relative gap in
+    * the distinct bucket-size sequence — see [[minHashDupPairsAuto]].
+    * Only ordering comparisons (argmax by (ratio, n)), no float
+    * equality, so DuckDB replays the selection bit-identically. */
+  private def autoBucketCap(banded0: DataFrame, minOutlierBucket: Int,
+      outlierGapRatio: Double): Int = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per DISTINCT bucket size: model-sized at any corpus scale,
+    // so the single-partition lead() window is fine
+    val ds = banded0.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__n")).distinct()
+    val gaps = ds
+      .withColumn("__nx", lead(col("__n"), 1).over(Window.orderBy(col("__n"))))
+      .filter(col("__n") >= minOutlierBucket && col("__nx").isNotNull)
+      .withColumn("__ratio", col("__nx").cast("double") / col("__n"))
+    val best = gaps.orderBy(desc("__ratio"), desc("__n")).limit(1).collect()
+    if (best.isEmpty || best(0).getDouble(2) < outlierGapRatio) {
+      val m = ds.agg(max(col("__n"))).head()
+      if (m.isNullAt(0)) 1 else m.getLong(0).toInt
+    } else best(0).getLong(0).toInt
+  }
+
+  private def minHashPairsCore(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int, bands: Int,
+      jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes — a remainder would " +
       "silently drop trailing signature components and lower recall")
@@ -246,7 +332,13 @@ object Dedup {
     // Degenerate mega-buckets (a band hash shared by a large fraction of
     // the corpus) are noise, not signal: they quadratically explode the
     // candidate join while contributing almost no true near-dups. Cap
-    // them — the standard LSH skew guard at web scale.
+    // them — the standard LSH skew guard at web scale. The cap is either
+    // caller-fixed or derived from the measured histogram (auto path).
+    val maxBucketSize = capSpec match {
+      case Left(fixed) => fixed
+      case Right((minOutlier, gapRatio)) =>
+        autoBucketCap(banded0, minOutlier, gapRatio)
+    }
     val bucketSizes = banded0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)

@@ -433,7 +433,17 @@ object TextQueries {
           shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4,
           maxBucketSize = 1000),
         "mh_pairs_tuned", d)
-      settingRow("base", minhashPairsShared(s, d))
+      // auto = both knobs DERIVED (r13): (rows, bands) analytically from
+      // τ and the recall target, the mega-bucket cap from the measured
+      // bucket-size histogram's largest relative gap — no hand-set cap.
+      // Measured recall 1.0 / 1.0 / 0.9805 at sf0.001/0.01/0.1 (tuned
+      // reads 0.969 at sf0.1), precision 1.0 everywhere.
+      val autoPairs = graft.core.Scratch.materialize(
+        Dedup.minHashDupPairsAuto(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4),
+        "mh_pairs_auto", d)
+      settingRow("auto", autoPairs)
+        .unionByName(settingRow("base", minhashPairsShared(s, d)))
         .unionByName(settingRow("tuned", tunedPairs))
         .orderBy(col("setting"))
     }),
@@ -803,8 +813,24 @@ object TextQueries {
     * recursive consumer evaluates the pipeline once.
     */
   private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
-      maxBucket: Int = 100): String = {
+      maxBucket: Int = 100, autoCap: Boolean = false): String = {
     val rows = numHashes / bands
+    // Auto mode replays Dedup.autoBucketCap: cut at the largest relative
+    // gap (argmax by (ratio, n) — ordering only, no float equality)
+    // between consecutive distinct bucket sizes ≥ 16, falling back to
+    // max(n) when no gap reaches 1.5×.
+    val capClause =
+      if (autoCap) s"(SELECT cap FROM cap$p)" else maxBucket.toString
+    val autoCtes = if (!autoCap) "" else
+      s"""|bsz$p AS (SELECT band, bh, count(*) AS n FROM banded$p GROUP BY 1, 2),
+          |ds$p AS (SELECT DISTINCT n FROM bsz$p),
+          |gap$p AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM ds$p),
+          |cap$p AS (SELECT COALESCE(
+          |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gap$p
+          |       WHERE n >= 16 AND nx IS NOT NULL AND CAST(nx AS DOUBLE) / n >= 1.5
+          |       ORDER BY r DESC, n DESC LIMIT 1) g),
+          |    (SELECT max(n) FROM ds$p)) AS cap),
+          |""".stripMargin
     s"""sigs$p AS (SELECT doc_id,
        |    list_distinct(list_transform(hp, q -> q[1])) AS hl,
        |    list_transform(range(0, $numHashes),
@@ -813,7 +839,7 @@ object TextQueries {
        |banded$p AS (SELECT doc_id, b.range AS band,
        |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
        |  FROM sigs$p, range(0, $bands) b),
-       |ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+       |${autoCtes}ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= $capClause),
        |cand$p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded$p a JOIN ok$p USING (band, bh)
        |  JOIN banded$p b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
@@ -1239,6 +1265,10 @@ object TextQueries {
     "dd_lsh_recall_report" ->
       s"""WITH $minhashPairCtes,
          |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 1000)},
+         |${
+           val (r, b) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+           minhashSettingCtes("_au", numHashes = r * b, bands = b, autoCap = true)
+         },
          |ex0 AS (SELECT doc_id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),
@@ -1250,8 +1280,10 @@ object TextQueries {
          |    AND CAST(len(list_intersect(a.w5, b.w5)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
          |${lshReportCte("base", "prs", "c_base")},
-         |${lshReportCte("tuned", "prs_tu", "c_tuned")}
-         |SELECT * FROM c_base UNION ALL SELECT * FROM c_tuned
+         |${lshReportCte("tuned", "prs_tu", "c_tuned")},
+         |${lshReportCte("auto", "prs_au", "c_auto")}
+         |SELECT * FROM c_auto UNION ALL SELECT * FROM c_base
+         |UNION ALL SELECT * FROM c_tuned
          |ORDER BY setting""".stripMargin,
 
     // Connected components over the minhash pairs: recursive min-label

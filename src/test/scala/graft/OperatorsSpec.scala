@@ -126,6 +126,35 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.length < 10) // and not everything pairs with everything
   }
 
+  test("auto LSH shape: analytic bands reach the recall target at the threshold") {
+    // b(r) = ceil(ln(1-R)/ln(1-τ^r)); the largest r fitting maxBands wins
+    assert(Dedup.lshAutoShape(0.4, 0.99, 64) == (2, 27))
+    for (tau <- Seq(0.3, 0.4, 0.6, 0.8); target <- Seq(0.95, 0.99)) {
+      val (r, b) = Dedup.lshAutoShape(tau, target, 64)
+      assert(b <= 64 && r >= 1)
+      val recallAtTau = 1.0 - math.pow(1.0 - math.pow(tau, r), b)
+      assert(recallAtTau >= target,
+        s"tau=$tau target=$target shape=($r,$b) recall-at-threshold=$recallAtTau")
+    }
+  }
+
+  test("auto LSH pairs: derived operating point still surfaces planted near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    // a degenerate cohort (identical boilerplate) plus unique docs: the
+    // gap rule must keep the small true-dup bucket
+    val docs = (Seq((1L, base), (2L, nearDup)) ++
+      (3L to 40L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairsAuto(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.length < 10)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val docs = Seq(
