@@ -67,15 +67,24 @@ object LinkRank {
     */
   def pageRank(spark: SparkSession, edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000000L, stopL1: Long = -1L): DataFrame =
+      scale: Long = 1000000000000L, stopL1: Long = -1L,
+      prePartitioned: Boolean = false): DataFrame =
     pageRankCounted(spark, edges, srcCol, dstCol, iterations, dampingPct,
-      scale, stopL1)._1
+      scale, stopL1, prePartitioned)._1
 
   /** [[pageRank]] plus the number of supersteps actually run — the
-    * observable LinkRankSpec needs to prove the convergence stop fires. */
+    * observable LinkRankSpec needs to prove the convergence stop fires.
+    *
+    * `prePartitioned=true` skips the session repartition on `src`: the
+    * caller guarantees the edge input is ALREADY hash-clustered on the
+    * source column (a `bucketBy(src)` warehouse table — the
+    * train-once/serve-many edge store), so the up-front |edges| shuffle
+    * would be pure waste; the persist still pins the scan for the loop.
+    */
   private[graft] def pageRankCounted(spark: SparkSession, edges: DataFrame,
       srcCol: String, dstCol: String, iterations: Int, dampingPct: Int = 85,
-      scale: Long = 1000000000000L, stopL1: Long = -1L): (DataFrame, Int) = {
+      scale: Long = 1000000000000L, stopL1: Long = -1L,
+      prePartitioned: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val shufN = spark.sessionState.conf.numShufflePartitions
     // Pin the edge list hash-partitioned on `src` (the join key of
@@ -86,9 +95,10 @@ object LinkRank {
     // list (scan partitioning satisfies nothing). One |edges| shuffle
     // up front buys an exchange-free edge side for the whole loop —
     // the bucketed-edge-store pattern, in-session.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .repartition(shufN, col("src")).persist()
+    val e = (if (prePartitioned) e0 else e0.repartition(shufN, col("src")))
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node"))

@@ -648,6 +648,39 @@ object MoreQueries {
         .orderBy(col("node"))
     }),
 
+    "a18_rank_served" -> ((s, d) => {
+      // Train-once/serve-many for link analysis — the v_ivf_persisted
+      // discipline applied to the a18 edge build (which dominates a18's
+      // sf10 decade: the orders⋈lineitem distinct is ~5× the rank loop).
+      // BOOTSTRAP: distinct-join the relation once and persist the
+      // directed edge list BUCKETED on src — the join key of every
+      // superstep — through the warehouse. SERVE: rank straight off the
+      // bucketed scan; prePartitioned=true skips the session repartition
+      // because the bucket layout already hash-clusters on src, so the
+      // serve plan has NO edge shuffle and no upstream rebuild
+      // (LinkRankSpec audits the executed plan tree). Identical ranks to
+      // a18_link_rank by construction — same oracle.
+      s.sql("DROP TABLE IF EXISTS graft_edges_bkt")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      whFs.delete(new org.apache.hadoop.fs.Path(wh, "graft_edges_bkt"), true)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 2000000L).as("supp")).distinct()
+      rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(rel.select(col("supp").as("src"), col("cust").as("dst")))
+        .write.mode("overwrite").bucketBy(32, "src")
+        .saveAsTable("graft_edges_bkt")
+      graft.core.Scratch.materialize(
+          graft.operators.LinkRank.pageRank(s, s.table("graft_edges_bkt"),
+            "src", "dst", iterations = 3, prePartitioned = true),
+          "linkrank_served", d)
+        .orderBy(col("node"))
+    }),
+
     "a17_basket_pairs" -> ((s, d) => {
       def items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
@@ -891,6 +924,39 @@ object MoreQueries {
         count(lit(1)).as("n_total"))
     }))
 
+  /** Integer PageRank replay shared by a18_link_rank and
+    * a18_rank_served (same edge relation, same 3 unrolled supersteps of
+    * BIGINT floor arithmetic — value-level equality, no fp tolerance).
+    */
+  private val a18Oracle: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT b.node, b.outdeg, CAST(
+         |    (SELECT (1000000000000 * 15 // 100) // n FROM params)
+         |    + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS rank
+         |  FROM b LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN $prev r ON r.node = e.src WHERE r.outdeg > 0
+         |    GROUP BY 1) s ON s.node = b.node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT o_custkey AS cust, 2000000 + l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT cust AS src, supp AS dst FROM rel
+       |  UNION ALL SELECT supp, cust FROM rel),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |b AS (SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+       |  FROM nodes n LEFT JOIN od ON od.node = n.node),
+       |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, outdeg,
+       |  CAST((SELECT 1000000000000 // n FROM params) AS BIGINT) AS rank FROM b),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // The streaming register-max merge must land exactly the registers
     // a whole-corpus batch build produces (HLL max-merge is
@@ -1045,34 +1111,10 @@ object MoreQueries {
     // (contribution = rank // outdeg, mix = teleport + 85% of summed
     // contributions) — integer sums are associative, so value equality
     // is exact by construction.
-    "a18_link_rank" -> {
-      def iter(prev: String, out: String): String =
-        s"""$out AS (
-           |  SELECT b.node, b.outdeg, CAST(
-           |    (SELECT (1000000000000 * 15 // 100) // n FROM params)
-           |    + (coalesce(s.s, 0) * 85) // 100 AS BIGINT) AS rank
-           |  FROM b LEFT JOIN (
-           |    SELECT e.dst AS node, CAST(sum(r.rank // r.outdeg) AS BIGINT) AS s
-           |    FROM e JOIN $prev r ON r.node = e.src WHERE r.outdeg > 0
-           |    GROUP BY 1) s ON s.node = b.node)""".stripMargin
-      s"""WITH rel AS (
-         |  SELECT DISTINCT o_custkey AS cust, 2000000 + l_suppkey AS supp
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |e AS (SELECT cust AS src, supp AS dst FROM rel
-         |  UNION ALL SELECT supp, cust FROM rel),
-         |nodes AS (SELECT DISTINCT node FROM
-         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-         |b AS (SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
-         |  FROM nodes n LEFT JOIN od ON od.node = n.node),
-         |params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         |r0 AS (SELECT node, outdeg,
-         |  CAST((SELECT 1000000000000 // n FROM params) AS BIGINT) AS rank FROM b),
-         |${iter("r0", "r1")},
-         |${iter("r1", "r2")},
-         |${iter("r2", "r3")}
-         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
-    },
+    "a18_link_rank" -> a18Oracle,
+    // identical ranks by construction: the served query ranks the SAME
+    // distinct edge relation, just read back from the bucketed store
+    "a18_rank_served" -> a18Oracle,
 
     "a17_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),

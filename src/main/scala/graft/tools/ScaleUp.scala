@@ -14,13 +14,48 @@ import org.apache.spark.sql.functions._
   * means near-dup pair queries see 10 near-identical copies per doc,
   * so their OUTPUT grows quadratically in the copy count by design.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir dstDir copies]
+  * `mutated` mode (4th arg) perturbs the replicated DOCUMENT TEXT so the
+  * true near-dup pair set grows realistically (≈ linearly in copies)
+  * instead of quadratically: copy 0 stays verbatim; ~20% of the other
+  * copies are LIGHT variants (2% of tokens replaced — a re-crawl with a
+  * tweaked footer, still a true near-dup at τ=0.4) and the remaining
+  * ~80% are HEAVY rewrites (40% of tokens replaced — shingle overlap
+  * collapses well below any dedup threshold, i.e. a genuinely new
+  * document that happens to share phrasing). All replacement is a pure
+  * deterministic function of (doc_id, copy, position): no RNG state, so
+  * two builds of the same corpus are byte-identical. Bench-only — the
+  * correctness oracles always run on driver testdata.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir dstDir copies [mutated]]
   */
 object ScaleUp {
+
+  /** splitmix64 — deterministic position hash for mutation decisions. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private[tools] def mutateText(text: String, docId: Long, copy: Int): String = {
+    if (copy == 0 || text == null) text
+    else {
+      val light = java.lang.Math.floorMod(mix(docId * 31L + copy), 5L) == 0L
+      val rate = if (light) 2L else 40L
+      text.split(" ", -1).zipWithIndex.map { case (t, p) =>
+        if (java.lang.Math.floorMod(
+            mix((docId << 20) ^ (copy.toLong << 40) ^ p.toLong), 100L) < rate)
+          s"m${copy}q$p" else t
+      }.mkString(" ")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val mutated = args.lift(3).contains("mutated")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.registerFunctions(
       graft.core.GraftSession.configure(
@@ -44,15 +79,20 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t copied as-is")
     }
+    val mutateUdf = udf(mutateText _)
     for ((t, shift) <- shifts) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val scaled = (0 until copies).map { i =>
-        base.select(base.schema.fields.map { f =>
+        val shifted = base.select(base.schema.fields.map { f =>
           shift.get(f.name) match {
             case Some(s) => (col(f.name) + lit(s * i)).cast(f.dataType).as(f.name)
             case None => col(f.name)
           }
         }: _*)
+        if (mutated && t == "documents")
+          shifted.withColumn("text",
+            mutateUdf(col("text"), col("doc_id") - lit(1000000L * i), lit(i)))
+        else shifted
       }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t x$copies -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")

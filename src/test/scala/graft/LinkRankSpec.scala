@@ -116,4 +116,56 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
     assert(shuffles.isEmpty,
       s"edge side re-shuffles inside the loop (${shuffles.map(_.nodeName)}):\n$root")
   }
+
+  test("prePartitioned serve from a bucketed edge store: same ranks, zero edge shuffle") {
+    import spark.implicits._
+    // the a18_rank_served shape: bucketBy(src) warehouse table, then
+    // prePartitioned=true ranks straight off the bucketed scan
+    spark.sql("DROP TABLE IF EXISTS graft_edges_bkt_spec")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    whFs.delete(new org.apache.hadoop.fs.Path(wh, "graft_edges_bkt_spec"), true)
+    val edges = (1 to 50000).map(i => (i.toLong % 4096, (i * 7L) % 4099))
+      .toDF("src", "dst")
+    edges.write.mode("overwrite").bucketBy(8, "src")
+      .saveAsTable("graft_edges_bkt_spec")
+    val direct = LinkRank.pageRank(spark, edges, "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = LinkRank.pageRank(spark, spark.table("graft_edges_bkt_spec"),
+        "src", "dst", 2, prePartitioned = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === direct, "served ranks diverge from the direct build")
+    // the serve plan must contain NO shuffle anywhere at or below the
+    // edge-store scan path: the bucket layout replaces the session
+    // repartition entirely
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    def pathToEdgeScan(p: SparkPlan): Option[List[SparkPlan]] = p match {
+      case s: InMemoryTableScanExec
+          if Seq("src", "dst").forall(n => s.output.exists(_.name == n)) &&
+             s.output.length == 2 =>
+        Some(List(p))
+      case _ =>
+        kids(p).view.flatMap(pathToEdgeScan).headOption.map(p :: _)
+    }
+    val root = LinkRank.lastSuperstepExec
+    val path = pathToEdgeScan(root)
+      .getOrElse(fail(s"edge-store scan not found:\n$root"))
+    val joinIdx = path.lastIndexWhere(_.isInstanceOf[BaseJoinExec])
+    assert(joinIdx >= 0)
+    val between = path.drop(joinIdx + 1)
+    assert(!between.exists(n => n.isInstanceOf[ShuffleExchangeLike] ||
+      n.isInstanceOf[AQEShuffleReadExec]),
+      s"bucketed edge side still shuffles:\n$root")
+  }
 }
