@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.analytics.{ContinuousFutures, FinanceReports}
-import graft.core.{TableSpec, TableStore, Tables}
+import graft.core.{IncrementalPlanner, TableSpec, TableStore, Tables}
 import graft.streaming.TickBarStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -417,6 +417,77 @@ object DomainQueries {
         .withColumn("adj_factor_main", round6(col("adj_factor_main")))
         .withColumn("close_adj", round6(col("close_adj")))
         .orderBy(col("instrument_type"), col("trade_date"))
+    }),
+
+    "e2e_vendor_ingest" -> ((s, d) => {
+      // The reference's OTHER flagship DAG end-to-end (entry point A —
+      // vendor ingest): J3 fetch-range planning from the SINK's own
+      // per-key watermark → chunked vendor pull → K1 PK upsert, across
+      // two incremental runs, with a crash injected mid-run-2 (after a
+      // chunk's store commit, before the pipeline records progress) and
+      // recovery that REPLANS from the sink. This is the reference's
+      // restartability contract (/root/reference/tasks/tushare/
+      // tushare_stock_daily/stock.py:124-234): fetch windows derive
+      // from max(trade_date) per code, so a crashed run resumes where
+      // the DATA stopped — no driver-side cursor to lose — and the PK
+      // replace makes any overlap chunk idempotent. Oracle: the final
+      // store must equal the from-scratch build, i.e. the vendor table
+      // itself over the full window.
+      val dir = graft.core.Scratch.queryDir("e2e_ingest")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = new TableStore(s, dir)
+      val spec = TableSpec("orders_daily", Seq("o_orderkey"))
+      val keys = Tables.customer(s, d).select(col("c_custkey"))
+      // the "vendor API": one pull per planned (key, date window) set
+      def vendorPull(ranges: DataFrame): DataFrame =
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+          .join(broadcast(ranges.select(col("c_custkey").as("o_custkey"),
+            col("date_from"), col("date_to"))), Seq("o_custkey"))
+          .filter(col("od") >= col("date_from") && col("od") <= col("date_to"))
+          .select("o_orderkey", "o_custkey", "od", "o_totalprice")
+      // one ingest run: plan ranges from the sink watermark, pull, and
+      // upsert in per-year chunks (the reference's bunch_insert batching)
+      def runIngest(dateTo: java.sql.Date, crashAfterChunk: Int): Long = {
+        val existing =
+          if (store.exists(spec))
+            store.read(spec).select(col("o_custkey").as("c_custkey"), col("od"))
+          else keys.select(col("c_custkey"), lit(null).cast("date").as("od"))
+            .filter(lit(false))
+        val ranges = IncrementalPlanner.fetchRanges(keys, existing,
+          Seq("c_custkey"), "od",
+          defaultStart = lit("1992-01-01").cast("date"), dateTo = lit(dateTo))
+        val pull = vendorPull(ranges).persist()
+        val n = pull.count()
+        // bounded driver collect: ≤ #years chunks
+        val yrs = pull.select(year(col("od")).as("y")).distinct()
+          .orderBy(col("y")).collect().map(_.getInt(0))
+        yrs.zipWithIndex.foreach { case (y, i) =>
+          store.upsert(spec, pull.filter(year(col("od")) === y))
+          if (i == crashAfterChunk)
+            throw new RuntimeException("injected crash: chunk committed, run not finished")
+        }
+        pull.unpersist()
+        n
+      }
+      runIngest(java.sql.Date.valueOf("1996-12-31"), -1) // run 1: initial window
+      val crashed =
+        try { runIngest(java.sql.Date.valueOf("2002-12-31"), 0); false }
+        catch { case _: RuntimeException => true }
+      require(crashed, "e2e ingest: crash injection never fired")
+      // recovery: REPLAN from the sink — the committed crash chunk has
+      // moved the affected keys' watermarks, so the replay pulls
+      // strictly less than a blind re-run of the whole delta
+      val replayed = runIngest(java.sql.Date.valueOf("2002-12-31"), -1)
+      val fullDelta = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) > lit("1996-12-31").cast("date")).count()
+      require(replayed < fullDelta,
+        s"recovery re-pulled the whole delta ($replayed vs $fullDelta) — watermark replanning is not engaged")
+      store.read(spec)
+        .select(col("o_orderkey"), col("o_custkey"), col("od"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // ── Streaming: watermarked tick→bar replay (parity with a3) ──────
@@ -947,6 +1018,13 @@ object DomainQueries {
         |LEFT JOIN fiv f ON f.itype = v.itype AND v.d <= f.fd
         |  AND (f.pfd IS NULL OR v.d > f.pfd)
         |ORDER BY instrument_type, trade_date""".stripMargin,
+
+    // The crash-recovered two-run ingest must equal the from-scratch
+    // build: exactly the vendor table over the full window.
+    "e2e_vendor_ingest" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |  o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // The incremental two-run pipeline must equal the from-scratch
     // rebuild — i.e., exactly the d3 replay over the full bar table.
