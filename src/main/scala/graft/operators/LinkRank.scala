@@ -107,6 +107,52 @@ object LinkRank {
     val base = nodes.join(outdeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist()
+    rankLoop(spark, e, base, iterations, dampingPct, scale, stopL1)
+  }
+
+  /** The (node, outdeg) half of the PageRank index — what a bootstrap
+    * job persists NEXT TO the bucketed edge store, so serve runs skip
+    * the two full-edge-list shuffles (nodes distinct + degree groupBy)
+    * that otherwise dominate steady-state cost. */
+  def degreeTable(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+  }
+
+  /** Serve-path PageRank from a persisted index (bucketed edge store +
+    * stored [[degreeTable]]): zero full-edge shuffles per serve. */
+  def pageRankServed(spark: SparkSession, edges: DataFrame,
+      degrees: DataFrame, srcCol: String, dstCol: String, iterations: Int,
+      dampingPct: Int = 85, scale: Long = 1000000000000L,
+      stopL1: Long = -1L, prePartitioned: Boolean = true): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (prePartitioned) e0 else e0.repartition(shufN, col("src")))
+      .persist()
+    val base = degrees.select(col("node").cast("long").as("node"),
+      col("outdeg").cast("long").as("outdeg")).persist()
+    rankLoop(spark, e, base, iterations, dampingPct, scale, stopL1)._1
+  }
+
+  /** The superstep loop over an already-built pinned edge frame and
+    * (node, outdeg) base table. [[degreeTable]]'s output qualifies as
+    * `base` — the train-once/serve-many path stores BOTH tables
+    * (the degree table is part of the trained index, exactly like IVF
+    * centroids), so a serve run pays zero full-edge-list shuffles:
+    * no distinct, no groupBy, and with a `bucketBy(src)` edge store no
+    * repartition either. Unpersists `e` and `base` before returning.
+    */
+  private[graft] def rankLoop(spark: SparkSession,
+      e: DataFrame, base: DataFrame, iterations: Int, dampingPct: Int,
+      scale: Long, stopL1: Long): (DataFrame, Int) = {
     val n = base.count() // materializes the persist; N for the teleport term
     if (n == 0) { // empty graph: no nodes, no ranks (and no divide-by-zero)
       base.unpersist(); e.unpersist()

@@ -660,23 +660,33 @@ object MoreQueries {
       // serve plan has NO edge shuffle and no upstream rebuild
       // (LinkRankSpec audits the executed plan tree). Identical ranks to
       // a18_link_rank by construction — same oracle.
-      s.sql("DROP TABLE IF EXISTS graft_edges_bkt")
+      Seq("graft_edges_bkt", "graft_degrees").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      whFs.delete(new org.apache.hadoop.fs.Path(wh, "graft_edges_bkt"), true)
+      Seq("graft_edges_bkt", "graft_degrees").foreach(t =>
+        whFs.delete(new org.apache.hadoop.fs.Path(wh, t), true))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val rel = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 2000000L).as("supp")).distinct()
-      rel.select(col("cust").as("src"), col("supp").as("dst"))
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(rel.select(col("supp").as("src"), col("cust").as("dst")))
-        .write.mode("overwrite").bucketBy(32, "src")
+        .persist()
+      edges.write.mode("overwrite").bucketBy(32, "src")
         .saveAsTable("graft_edges_bkt")
+      // the degree table is the other half of the trained index (like
+      // IVF centroids): storing it buys serve runs that never shuffle
+      // the full edge list (no nodes-distinct, no degree groupBy)
+      graft.operators.LinkRank.degreeTable(edges, "src", "dst")
+        .write.mode("overwrite").saveAsTable("graft_degrees")
+      edges.unpersist()
       graft.core.Scratch.materialize(
-          graft.operators.LinkRank.pageRank(s, s.table("graft_edges_bkt"),
-            "src", "dst", iterations = 3, prePartitioned = true),
+          graft.operators.LinkRank.pageRankServed(s,
+            s.table("graft_edges_bkt"), s.table("graft_degrees"),
+            "src", "dst", iterations = 3),
           "linkrank_served", d)
         .orderBy(col("node"))
     }),

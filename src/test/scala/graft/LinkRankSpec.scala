@@ -132,8 +132,10 @@ class LinkRankSpec extends AnyFunSuite with SharedSpark {
       .saveAsTable("graft_edges_bkt_spec")
     val direct = LinkRank.pageRank(spark, edges, "src", "dst", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val served = LinkRank.pageRank(spark, spark.table("graft_edges_bkt_spec"),
-        "src", "dst", 2, prePartitioned = true)
+    // the full index: bucketed edges + stored degree table
+    val degrees = LinkRank.degreeTable(edges, "src", "dst")
+    val served = LinkRank.pageRankServed(spark,
+        spark.table("graft_edges_bkt_spec"), degrees, "src", "dst", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served === direct, "served ranks diverge from the direct build")
     // the serve plan must contain NO shuffle anywhere at or below the
