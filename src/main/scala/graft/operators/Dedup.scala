@@ -306,21 +306,61 @@ object Dedup {
     } else best(0).getLong(0).toInt
   }
 
+  /** Normalized text — the collapse identity. Must equal the
+    * normalization inside [[sigAndHashedShingles]] (lowercase,
+    * whitespace-split, single-space join) so identical-signature texts
+    * collapse onto identical keys. */
+  private val normalizeText =
+    udf { t: String =>
+      if (t == null) null
+      else t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ") }
+
   private def minHashPairsCore(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int, bands: Int,
       jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes — a remainder would " +
       "silently drop trailing signature components and lower recall")
+    require(jaccardThreshold > 0,
+      "threshold must be positive — the identity collapse emits " +
+      "same-text pairs at jaccard 1.0 and null-text docs never pair, " +
+      "which matches the uncollapsed semantics only for τ > 0")
     val rowsPerBand = numHashes / bands
-    // Scatter first: the corpus may arrive as a handful of input splits
-    // (small compressed parquet) while the hash kernel is the dominant
-    // CPU cost of the whole job. Persisted (MEMORY_AND_DISK) because the
-    // banding, estimate, and verify branches all reuse it — without the
-    // cache the fused UDF would re-run once per DAG branch.
-    val perDoc = graft.core.Tables.scatter(docs)
-      .select(col(idCol).as("__id"),
-        sigAndHashedShingles(shingleLen, numHashes)(col(textCol)).as("__c"))
+    // Identity collapse (r13): one REPRESENTATIVE per distinct
+    // normalized text — signatures, banding, the cap histogram, and
+    // verification all run in representative space; member pairs fan
+    // out only at EMISSION (same-text members are jaccard-1.0 duplicates
+    // by definition, cross-rep member pairs inherit their reps' exact
+    // jaccard). Two wins that matter at 100 TB: (a) a duplicate-heavy
+    // corpus (the ScaleUp verbatim corpus: 100 identical copies per doc
+    // — found by the sf10 board, where the uncollapsed candidate join
+    // filled the disk) costs what its DISTINCT texts cost, because
+    // copies never enter the bucket join; (b) identical-text pairs can
+    // no longer be silently LOST to the mega-bucket cap — pre-collapse,
+    // a big-enough cohort of byte-identical documents blew past the cap
+    // and its (true, jaccard-1.0) pairs vanished from the output. The
+    // cap now counts DISTINCT TEXTS per bucket, which is the
+    // mega-bucket definition that was always intended (template
+    // cohorts, not replication). Grouping key is the md5 of the
+    // normalized text, so the collapse shuffle moves 16-byte keys, not
+    // the corpus: the text itself is shuffled exactly once (the groupBy
+    // that elects representatives).
+    val withNorm = graft.core.Tables.scatter(docs)
+      .select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__norm"))
+      .filter(col("__norm").isNotNull)
+      .withColumn("__k", md5(col("__norm").cast("binary")))
+    val reps = withNorm.groupBy(col("__k"), col("__norm"))
+      .agg(min(col("__id")).as("__rid"))
+    val members = withNorm.select(col("__k"), col("__id"))
+      .join(reps.select(col("__k"), col("__rid")), Seq("__k"))
+      .select(col("__rid"), col("__id"))
+      .persist()
+    // Persisted (MEMORY_AND_DISK) because the banding, estimate, and
+    // verify branches all reuse it — without the cache the fused UDF
+    // would re-run once per DAG branch.
+    val perDoc = reps
+      .select(col("__rid").as("__id"),
+        sigAndHashedShingles(shingleLen, numHashes)(col("__norm")).as("__c"))
       .select(col("__id"), col("__c._1").as("minhash_sig"), col("__c._2").as("__sh"))
       .persist()
     val sigs = perDoc.select(col("__id"), col("minhash_sig"))
@@ -362,18 +402,34 @@ object Dedup {
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
     val shingles = perDoc.select(col("__id"), col("__sh"))
-    val pairs = withSigs
+    val repPairs = withSigs
       .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+    // Emission fan-out of the identity collapse: cross-rep member pairs
+    // inherit their representatives' exact jaccard (identical texts are
+    // interchangeable), same-rep member pairs are jaccard-1.0 by
+    // definition. Each (a, b) arises from exactly one rep pair (a doc
+    // belongs to one rep), so no dedup is needed; the fan-out is
+    // O(emitted rows) — the mandated output, not intermediate state.
+    val crossPairs = repPairs
+      .join(members.select(col("__rid").as("id_a"), col("__id").as("__ma")), Seq("id_a"))
+      .join(members.select(col("__rid").as("id_b"), col("__id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val samePairs = members.select(col("__rid"), col("__id").as("id_a"))
+      .join(members.select(col("__rid"), col("__id").as("id_b")), Seq("__rid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     // The verified pair set is tiny next to the per-doc cache; pin it,
-    // then release the corpus-sized intermediate — otherwise every
+    // then release the corpus-sized intermediates — otherwise every
     // invocation leaks a signature+shingle table for the session's life.
-    val out = pairs.persist()
+    val out = crossPairs.unionByName(samePairs).persist()
     out.count()
     perDoc.unpersist()
+    members.unpersist()
     out
   }
 

@@ -796,7 +796,13 @@ object DomainQueries {
             s.read.parquet(s"$d/events.parquet").schema).parquet(streamDir.toString)
           val bars = TickBarStream.bars(Tables.normalizeEventTime(raw, "ts"),
             Seq("user_id"), "ts", "event_id", "value", "1 hour", "10 minutes")
-          val q = bars.writeStream.outputMode("complete").format("memory")
+          // noop sink: the monitored QUERY's results are not this
+          // query's output — only the listener's fold is. A complete-
+          // mode MEMORY sink would serialize the whole bar aggregate to
+          // the driver every micro-batch, which blows
+          // spark.driver.maxResultSize at sf10 (found by the r13 full
+          // sf10 board); the listener sees identical progress either way.
+          val q = bars.writeStream.outputMode("complete").format("noop")
             .queryName("graft_hb_bars").start()
           try q.processAllAvailable() finally q.stop()
         }

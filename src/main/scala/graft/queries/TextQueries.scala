@@ -791,11 +791,21 @@ object TextQueries {
     * many Kirsch–Mitzenmacher combinations they take and how they band.
     */
   private def minhashBaseCtes =
+    // Identity collapse replay (r13, Dedup.minHashPairsCore): one
+    // representative (min doc_id) per distinct normalized text; the
+    // whole pipeline runs in rep space (`sh`/`hs` are per-REP), member
+    // pairs fan out at emission — `spr` carries the same-text
+    // jaccard-1.0 pairs every setting unions in.
     s"""t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
-       |sh AS (SELECT doc_id,
+       |grp AS (SELECT norm, min(doc_id) AS rid FROM t
+       |  WHERE norm IS NOT NULL GROUP BY norm),
+       |mem AS (SELECT g.rid, t.doc_id AS id FROM t JOIN grp g ON g.norm = t.norm),
+       |spr AS (SELECT a.id AS id_a, b.id AS id_b, 1.0 AS jac
+       |  FROM mem a JOIN mem b ON b.rid = a.rid AND b.id > a.id),
+       |sh AS (SELECT rid AS doc_id,
        |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
        |      i -> substr(norm, i + 1, 5))) AS shingles
-       |  FROM t),
+       |  FROM grp),
        |hs AS (SELECT doc_id, shingles,
        |    list_transform(shingles, s ->
        |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
@@ -803,12 +813,15 @@ object TextQueries {
        |  FROM sh)""".stripMargin
 
   /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]],
-    * ending in `prs$p(id_a, id_b, jac)`: signatures (`numHashes`
-    * Kirsch–Mitzenmacher combinations), banding (`bands` bands of
-    * numHashes/bands rows — bucket KEYS differ from the engine's
-    * xxhash64 but bucket MEMBERSHIP is identical), the ≤100 mega-bucket
-    * cap, the est ≥ 0.15 signature prefilter, and the exact
-    * hashed-shingle Jaccard ≥ τ verify — the exact replay of
+    * ending in `prs$p(id_a, id_b, jac)`: rep-space signatures
+    * (`numHashes` Kirsch–Mitzenmacher combinations), banding (`bands`
+    * bands of numHashes/bands rows — bucket KEYS differ from the
+    * engine's xxhash64 but bucket MEMBERSHIP is identical), the
+    * mega-bucket cap (literal, or the measured gap-rule selection when
+    * `autoCap`), the est ≥ 0.15 signature prefilter, the exact
+    * hashed-shingle Jaccard ≥ τ verify, and the member fan-out of the
+    * identity collapse (cross-rep pairs + the shared `spr` same-text
+    * pairs) — the exact replay of
     * [[graft.operators.Dedup.minHashDupPairs]]. MATERIALIZED so a
     * recursive consumer evaluates the pipeline once.
     */
@@ -849,7 +862,7 @@ object TextQueries {
        |  JOIN sigs$p sb ON sb.doc_id = cand$p.id_b
        |  WHERE CAST(len(list_filter(range(1, ${numHashes + 1}),
        |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes >= 0.15),
-       |prs$p AS MATERIALIZED (
+       |rp$p AS (
        |  SELECT id_a, id_b, jac FROM (
        |    SELECT id_a, id_b,
        |      CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
@@ -858,7 +871,12 @@ object TextQueries {
        |    FROM est$p
        |    JOIN sigs$p sa ON sa.doc_id = est$p.id_a
        |    JOIN sigs$p sb ON sb.doc_id = est$p.id_b) x
-       |  WHERE jac >= 0.4)""".stripMargin
+       |  WHERE jac >= 0.4),
+       |prs$p AS MATERIALIZED (
+       |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, jac
+       |  FROM rp$p JOIN mem ma ON ma.rid = rp$p.id_a
+       |  JOIN mem mb ON mb.rid = rp$p.id_b
+       |  UNION ALL SELECT id_a, id_b, jac FROM spr)""".stripMargin
   }
 
   /** The default (base) pipeline with unprefixed CTE names, ending in

@@ -126,6 +126,37 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.length < 10) // and not everything pairs with everything
   }
 
+  test("minhash identity collapse: copy cohorts emit all pairs and never blow the cap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    // 30 byte-identical copies of `base` (a verbatim-replication cohort:
+    // pre-collapse their buckets of size ≥30 were DROPPED by a cap of 5
+    // and every true jaccard-1.0 pair silently vanished), 2 copies of a
+    // near-dup, and unique noise docs
+    val docs = ((1L to 30L).map(i => (i, base)) ++
+      Seq((41L, nearDup), (42L, nearDup)) ++
+      (50L to 70L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleLen = 4, numHashes = 16, bands = 8, jaccardThreshold = 0.5,
+        maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val within = pairs.filter { case (a, b, _) => a <= 30 && b <= 30 }
+    assert(within.length == 30 * 29 / 2,
+      s"expected all same-text pairs, got ${within.length}")
+    assert(within.forall(_._3 == 1.0))
+    assert(pairs.contains((41L, 42L, 1.0)))
+    // cross-cohort near-dup pairs: every (copy of base, copy of nearDup)
+    // inherits the reps' verified jaccard — 30×2 pairs, one jaccard value
+    val cross = pairs.filter { case (a, b, _) => a <= 30 && (b == 41L || b == 42L) }
+    assert(cross.length == 60, s"expected 60 cross-cohort pairs, got ${cross.length}")
+    assert(cross.map(_._3).distinct.length == 1 && cross.head._3 >= 0.5)
+    // noise docs stay unpaired
+    assert(!pairs.exists { case (a, b, _) => a >= 50 || b >= 50 })
+  }
+
   test("auto LSH shape: analytic bands reach the recall target at the threshold") {
     // b(r) = ceil(ln(1-R)/ln(1-τ^r)); the largest r fitting maxBands wins
     assert(Dedup.lshAutoShape(0.4, 0.99, 64) == (2, 27))
