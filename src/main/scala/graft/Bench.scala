@@ -44,6 +44,10 @@ object Bench {
       if (repeat > 1)
         System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
       val elapsed = times.min
+      // Stream every per-query time as it lands: a long board killed
+      // mid-run (wall-clock budget, wedged query) used to lose EVERY
+      // completed measurement because the JSON only prints at the end.
+      System.err.println(f"[bench] $name%s done: $elapsed%.3f s")
       // Hermetic per-query timing: release anything the query left behind
       // (cached plans, streaming memory-sink views) and let the JVM
       // settle, so query N+1 measures its own plan, not query N's

@@ -773,8 +773,17 @@ object Similarity {
       sId: String, sVec: String, tId: String, tVec: String,
       k: Int, minMargin: Double,
       broadcastRowLimit: Long = 2000000L,
-      nCells: Int = 1024, nprobe: Int = 128, kmeansIters: Int = 2): DataFrame = {
-    if (src.count() <= broadcastRowLimit && tgt.count() <= broadcastRowLimit)
+      nCells: Int = 1024, nprobe: Int = 128, kmeansIters: Int = 2,
+      maxExactProduct: Long = 2000000000L): DataFrame = {
+    val (nS, nT) = (src.count(), tgt.count())
+    // Two bounds, two different failure modes: broadcastRowLimit keeps
+    // each side under the broadcast-table cap (feasibility), while
+    // maxExactProduct bounds the exact kernel's |src|·|tgt| cosine
+    // COMPUTE — found at sf10, where both sides "fit broadcast" at
+    // ~10⁵ rows yet the 10¹⁰-pair exact mine ran for 40+ minutes. A
+    // row-count threshold alone is a poor proxy for quadratic cost.
+    if (nS <= broadcastRowLimit && nT <= broadcastRowLimit &&
+        nS * nT <= maxExactProduct)
       marginBitextMine(src, tgt, sId, sVec, tId, tVec, k, minMargin)
     else {
       val srcCent = kmeansTrain(src, sId, sVec, nCells, kmeansIters)

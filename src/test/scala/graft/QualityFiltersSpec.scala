@@ -293,6 +293,14 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
       "doc_id", "v", "doc_id", "v", k = 3, minMargin = 1.0,
       srcCent, tgtCent, "cent_id", "centroid", nprobe = 2))
     assert(autoIvf == directIvf, "IVF branch diverged from the direct kernel")
+    // the quadratic-cost bound also forces IVF even when both sides fit
+    // the broadcast budget (4×5 = 20 pairs > maxExactProduct = 10)
+    val autoIvfByProduct = rows(Similarity.marginBitextMineAuto(src, tgt,
+      "doc_id", "v", "doc_id", "v", k = 3, minMargin = 1.0,
+      broadcastRowLimit = 100L, nCells = 2, nprobe = 2, kmeansIters = 2,
+      maxExactProduct = 10L))
+    assert(autoIvfByProduct == directIvf,
+      "product-bound dispatch diverged from the direct IVF kernel")
     // with nprobe = nCells the IVF kNN is exhaustive, so the dispatch
     // difference cannot hide behind recall loss: both branches mine the
     // same pairs on this fixture
