@@ -98,15 +98,15 @@ object Scratch {
     * staleness for rewrites performed OUTSIDE the engine's write paths.
     */
   def invalidatePath(written: String): Unit = {
-    // memo keys are hadoop Path.toString (may carry a scheme like
-    // file:/...); strip the scheme so a plain local path matches them
+    // memo keys are hadoop Path.toString (may carry a scheme AND an
+    // authority like hdfs://host:9000/...); normalize both sides to the
+    // bare URI path — hand-parsing ":/": kept the authority, so a bare
+    // write path never matched a fully-qualified memo key and the
+    // invalidation silently missed
     def norm(s: String): String = {
-      val noScheme = s.indexOf(":/") match {
-        case i if i > 0 && s.take(i).forall(c => c.isLetterOrDigit || c == '+' || c == '.') =>
-          s.drop(i + 1).dropWhile(_ == '/') match { case r => "/" + r }
-        case _ => s
-      }
-      if (noScheme.length > 1) noScheme.stripSuffix("/") else noScheme
+      val p = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val base = if (p == null || p.isEmpty) s else p
+      if (base.length > 1) base.stripSuffix("/") else base
     }
     val w = norm(written)
     val keys = pathVersionMemo.keys()

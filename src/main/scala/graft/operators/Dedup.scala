@@ -315,17 +315,55 @@ object Dedup {
       if (t == null) null
       else t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ") }
 
+  /** Shared rep-space state of the identity collapse: the rep→member
+    * map and the fused per-representative (signature, shingles) cache,
+    * both persisted. `release()` after the consuming pair frames are
+    * materialized.
+    */
+  private case class RepSpace(members: DataFrame, perDoc: DataFrame) {
+    def release(): Unit = { perDoc.unpersist(); members.unpersist() }
+  }
+
   private def minHashPairsCore(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int, bands: Int,
       jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
-    require(numHashes % bands == 0,
-      s"bands=$bands must divide numHashes=$numHashes — a remainder would " +
-      "silently drop trailing signature components and lower recall")
-    require(jaccardThreshold > 0,
-      "threshold must be positive — the identity collapse emits " +
-      "same-text pairs at jaccard 1.0 and null-text docs never pair, " +
-      "which matches the uncollapsed semantics only for τ > 0")
-    val rowsPerBand = numHashes / bands
+    val rs = collapseToReps(docs, idCol, textCol, shingleLen, numHashes)
+    val out = pairsFromRepSpace(rs, numHashes, bands, jaccardThreshold, capSpec)
+    rs.release()
+    out
+  }
+
+  /** Several LSH operating points over ONE shared identity collapse and
+    * ONE fused signature pass: the Kirsch–Mitzenmacher combination
+    * `h1 + k·h2` makes every shorter signature a PREFIX of the widest
+    * one, so the corpus is normalized, collapsed, shingled and hashed
+    * exactly once at `max(numHashes)` and each setting merely slices
+    * its prefix before banding. This is what makes a multi-setting
+    * audit (dd_lsh_recall_report) cost one corpus pass plus per-setting
+    * banding joins instead of one full pipeline per setting. Returned
+    * pair frames are persisted and materialized (same contract as
+    * [[minHashDupPairs]]).
+    *
+    * @param settings (label, numHashes, bands, capSpec) per operating
+    *                 point; capSpec as in [[minHashPairsCore]].
+    */
+  def minHashDupPairsMulti(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, jaccardThreshold: Double,
+      settings: Seq[(String, Int, Int, Either[Int, (Int, Double)])])
+      : Map[String, DataFrame] = {
+    require(settings.nonEmpty, "at least one LSH setting")
+    val maxHashes = settings.map(_._2).max
+    val rs = collapseToReps(docs, idCol, textCol, shingleLen, maxHashes)
+    val out = settings.map { case (label, nh, b, cap) =>
+      label -> pairsFromRepSpace(rs, nh, b, jaccardThreshold, cap)
+    }.toMap
+    rs.release()
+    out
+  }
+
+  private def collapseToReps(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int): RepSpace = {
+    require(numHashes > 0, "numHashes must be positive")
     // Identity collapse (r13): one REPRESENTATIVE per distinct
     // normalized text — signatures, banding, the cap histogram, and
     // verification all run in representative space; member pairs fan
@@ -341,16 +379,25 @@ object Dedup {
     // and its (true, jaccard-1.0) pairs vanished from the output. The
     // cap now counts DISTINCT TEXTS per bucket, which is the
     // mega-bucket definition that was always intended (template
-    // cohorts, not replication). Grouping key is the md5 of the
-    // normalized text, so the collapse shuffle moves 16-byte keys, not
-    // the corpus: the text itself is shuffled exactly once (the groupBy
-    // that elects representatives).
+    // cohorts, not replication). Grouping key is the sha2-256 of the
+    // normalized text (collision-construction-proof — dedup runs over
+    // untrusted corpora, and the member fan-out joins on the key ALONE,
+    // so the key must be safe to treat as the identity; md5 was not),
+    // and the collapse shuffle moves 32-byte keys, not the corpus: the
+    // text itself is shuffled exactly once (the groupBy that elects
+    // representatives).
     val withNorm = graft.core.Tables.scatter(docs)
       .select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__norm"))
       .filter(col("__norm").isNotNull)
-      .withColumn("__k", md5(col("__norm").cast("binary")))
-    val reps = withNorm.groupBy(col("__k"), col("__norm"))
-      .agg(min(col("__id")).as("__rid"))
+      .withColumn("__k", sha2(col("__norm").cast("binary"), 256))
+    // Persisted: both `members` (the fan-out map) and `perDoc` (the
+    // signature pass) consume reps — uncached, the representative
+    // election (the one full-corpus text shuffle) would execute twice.
+    // min(__norm) carries the text: all members of a __k group share
+    // one normalized text by construction.
+    val reps = withNorm.groupBy(col("__k"))
+      .agg(min(col("__id")).as("__rid"), min(col("__norm")).as("__norm"))
+      .persist()
     val members = withNorm.select(col("__k"), col("__id"))
       .join(reps.select(col("__k"), col("__rid")), Seq("__k"))
       .select(col("__rid"), col("__id"))
@@ -363,7 +410,38 @@ object Dedup {
         sigAndHashedShingles(shingleLen, numHashes)(col("__norm")).as("__c"))
       .select(col("__id"), col("__c._1").as("minhash_sig"), col("__c._2").as("__sh"))
       .persist()
-    val sigs = perDoc.select(col("__id"), col("minhash_sig"))
+    // Materialize members (and transitively reps) now, then drop reps:
+    // everything downstream reads members/perDoc only.
+    members.count()
+    perDoc.count()
+    reps.unpersist()
+    RepSpace(members, perDoc)
+  }
+
+  /** One LSH operating point over an already-collapsed [[RepSpace]]:
+    * band the signature PREFIX of width `numHashes`, cap mega-buckets,
+    * estimate-prefilter, verify with exact hashed-shingle Jaccard, and
+    * fan the verified rep pairs back out to member pairs. Returns a
+    * persisted, materialized pair frame; does NOT release the shared
+    * rep-space caches (the caller owns them — see
+    * [[minHashDupPairsMulti]]).
+    */
+  private def pairsFromRepSpace(rs: RepSpace, numHashes: Int, bands: Int,
+      jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes — a remainder would " +
+      "silently drop trailing signature components and lower recall")
+    require(jaccardThreshold > 0,
+      "threshold must be positive — the identity collapse emits " +
+      "same-text pairs at jaccard 1.0 and null-text docs never pair, " +
+      "which matches the uncollapsed semantics only for τ > 0")
+    val rowsPerBand = numHashes / bands
+    val members = rs.members
+    // Prefix slice: component k of the Kirsch–Mitzenmacher signature is
+    // min(h1 + k·h2) regardless of the total width, so a narrower
+    // setting's signature is exactly the wider cache's prefix.
+    val sigs = rs.perDoc.select(col("__id"),
+      slice(col("minhash_sig"), 1, numHashes).as("minhash_sig"))
     val banded0 = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
@@ -401,7 +479,7 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
-    val shingles = perDoc.select(col("__id"), col("__sh"))
+    val shingles = rs.perDoc.select(col("__id"), col("__sh"))
     val repPairs = withSigs
       .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -423,13 +501,11 @@ object Dedup {
       .join(members.select(col("__rid"), col("__id").as("id_b")), Seq("__rid"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    // The verified pair set is tiny next to the per-doc cache; pin it,
-    // then release the corpus-sized intermediates — otherwise every
-    // invocation leaks a signature+shingle table for the session's life.
+    // The verified pair set is tiny next to the per-doc cache; pin and
+    // materialize it before the caller releases the rep-space caches —
+    // otherwise the lazy pair DAG would recompute the whole collapse.
     val out = crossPairs.unionByName(samePairs).persist()
     out.count()
-    perDoc.unpersist()
-    members.unpersist()
     out
   }
 
@@ -452,7 +528,32 @@ object Dedup {
   def minHashDupAgainstIndex(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame = {
+      jaccardThreshold: Double = 0.6, maxBucketSize: Int = 100): DataFrame =
+    minHashAgainstIndexCore(index, batch, idCol, textCol, shingleLen,
+      numHashes, bands, jaccardThreshold, Left(maxBucketSize))
+
+  /** [[minHashDupAgainstIndex]] at the DERIVED operating point — the
+    * same discipline as [[minHashDupPairsAuto]]: (rowsPerBand, bands)
+    * analytically from (τ, targetRecall), the index-side mega-bucket
+    * cap from the measured bucket-size histogram's largest relative
+    * gap. The steady-state ingest operator thereby inherits the
+    * bootstrap operator's recall guarantee instead of a hand-set knob
+    * calibrated for a different band shape.
+    */
+  def minHashDupAgainstIndexAuto(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 5, jaccardThreshold: Double = 0.6,
+      targetRecall: Double = 0.99, maxBands: Int = 64,
+      minOutlierBucket: Int = 16, outlierGapRatio: Double = 1.5): DataFrame = {
+    val (r, b) = lshAutoShape(jaccardThreshold, targetRecall, maxBands)
+    minHashAgainstIndexCore(index, batch, idCol, textCol, shingleLen,
+      r * b, b, jaccardThreshold, Right((minOutlierBucket, outlierGapRatio)))
+  }
+
+  private def minHashAgainstIndexCore(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int, bands: Int,
+      jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
@@ -468,6 +569,11 @@ object Dedup {
     val idxDoc = perDocOf(index).persist()
     val newDoc = perDocOf(batch).persist()
     val idxBand0 = bandedOf(idxDoc.select(col("__id"), col("sig")))
+    val maxBucketSize = capSpec match {
+      case Left(fixed) => fixed
+      case Right((minOutlier, gapRatio)) =>
+        autoBucketCap(idxBand0, minOutlier, gapRatio)
+    }
     val okBuckets = idxBand0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)

@@ -760,6 +760,117 @@ object Similarity {
     marginFromKnn(fwd, bwd, k, minMargin)
   }
 
+  /** Measured probe-width calibration for [[ivfSearch]] — the IVF twin
+    * of the LSH discipline in [[Dedup.minHashDupPairsAuto]] (analytic
+    * shape, MEASURED knob): instead of hand-setting `nprobe`, measure
+    * on a deterministic sample exactly the quantity recall depends on —
+    * the rank, in the query's centroid-distance order, of the cell each
+    * TRUE neighbor lives in — and return the smallest probe width
+    * covering `targetRecallPct` percent of those hits.
+    *
+    * Protocol: the `sampleSize` lowest-id queries (no RNG state) get an
+    * exact top-k against the full corpus (same round-6/id-tie-break
+    * rank semantics as the serving path, so the ground truth is the
+    * serving truth); each (query, true neighbor) hit contributes the
+    * neighbor's cell's rank; the histogram of those ranks is
+    * model-sized (≤ nCells rows — collected like the LSH cap
+    * histogram) and the choice is pure integer arithmetic
+    * (`cum·100 ≥ tot·pct`), so a SQL oracle replays the selection
+    * bit-identically. Calibration compute is `sampleSize/|queries|` of
+    * one exact pass — the sample broadcasts, the corpus is scanned
+    * once, nothing quadratic.
+    *
+    * A bad quantizer honestly surfaces here as a LARGE derived nprobe
+    * (the measurement says its cells don't localize neighbors) — the
+    * operating point degrades toward exhaustive search instead of
+    * silently losing recall, which is the correct failure direction
+    * for a recall-gated pipeline.
+    */
+  def ivfCalibrateNprobe(queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      centroids: DataFrame, centId: String, centVec: String,
+      k: Int, targetRecallPct: Int = 95, sampleSize: Int = 64): Int = {
+    require(targetRecallPct > 0 && targetRecallPct <= 100,
+      "targetRecallPct in (0, 100]")
+    val sample = broadcast(queries.orderBy(col(qId)).limit(sampleSize)
+      .select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    // exact top-k for the sample — bruteForceTopK semantics with the
+    // build side flipped: the SAMPLE broadcasts, the corpus streams
+    // (the corpus exceeds broadcast whenever the IVF path is in play)
+    val scored = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .join(sample, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 6))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val exact = scored.withColumn("rank", row_number().over(kw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = ivfAssign(corpus, cId, cVec, centroids, centId, centVec)
+      .select(col(cId).as("neighbor_id"), col("cell"))
+    // every centroid's rank per sampled query, same ordering as the
+    // probe list in ivfSearch (L2 asc, centroid-id tie-break)
+    val cent = broadcast(centroids.select(col(centId).as("__pid"), col(centVec).as("__pv")))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__pid").asc)
+    val cellRank = sample.join(cent)
+      .withColumn("__d", VectorFunctions.l2Distance(col("__qv"), col("__pv")))
+      .withColumn("__rn", row_number().over(pw))
+      .select(col("query_id"), col("__pid").as("cell"), col("__rn"))
+    val hist = exact.join(cells, Seq("neighbor_id"))
+      .join(cellRank, Seq("query_id", "cell"))
+      .groupBy(col("__rn")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__rn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val tot = hist.map(_._2).sum
+    if (tot == 0L) 1
+    else {
+      var cum = 0L
+      hist.collectFirst {
+        case (rn, c) if { cum += c; cum * 100L >= tot * targetRecallPct } => rn
+      }.getOrElse(hist.last._1)
+    }
+  }
+
+  /** [[marginBitextMineIvf]] at the DERIVED operating point: cell count
+    * analytic from the corpus size (`⌈√N⌉` per side — the standard IVF
+    * shape balancing probe cost `nprobe·N/nCells` against bucket
+    * metadata `nCells`), centroids seeded from the lowest-id vectors
+    * (deterministic, engine-replayable — quantizer TRAINING is
+    * orthogonal: hand a [[kmeansTrain]] quantizer to
+    * [[marginBitextMineIvf]] directly if trained cells are wanted), and
+    * each direction's `nprobe` MEASURED by [[ivfCalibrateNprobe]]
+    * against that direction's own cells. v_bitext_recall's auto row
+    * value-oracles this whole derivation next to the fixed hand-set
+    * point it replaced (0.89/0.88 recall at sf0.01/0.1).
+    */
+  def marginBitextMineIvfAuto(src: DataFrame, tgt: DataFrame,
+      sId: String, sVec: String, tId: String, tVec: String,
+      k: Int, minMargin: Double,
+      targetRecallPct: Int = 95, sampleSize: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = src.sparkSession
+    import spark.implicits._
+    def seeds(side: DataFrame, id: String, vec: String): DataFrame = {
+      val n = side.count()
+      val nCells = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      // collected once (≤ √N rows — the model), like kmeansTrain seeds
+      side.orderBy(col(id)).limit(nCells)
+        .select(col(id).cast("long"), col(vec).cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.toDF("cent_id", "centroid")
+    }
+    val srcCent = seeds(src, sId, sVec)
+    val tgtCent = seeds(tgt, tId, tVec)
+    val npF = ivfCalibrateNprobe(src, tgt, sId, sVec, tId, tVec,
+      tgtCent, "cent_id", "centroid", k, targetRecallPct, sampleSize)
+    val npB = ivfCalibrateNprobe(tgt, src, tId, tVec, sId, sVec,
+      srcCent, "cent_id", "centroid", k, targetRecallPct, sampleSize)
+    val fwd = ivfSearch(src, tgt, sId, sVec, tId, tVec,
+      tgtCent, "cent_id", "centroid", npF, k, rankRound = Some(6))
+    val bwd = ivfSearch(tgt, src, tId, tVec, sId, sVec,
+      srcCent, "cent_id", "centroid", npB, k, rankRound = Some(6))
+    marginFromKnn(fwd, bwd, k, minMargin)
+  }
+
   /** Dispatching miner: exact broadcast kNN while BOTH sides fit the
     * broadcast budget, IVF kNN (self-trained [[kmeansTrain]] coarse
     * quantizers, one per side) beyond it. The size probe is two count
@@ -782,8 +893,11 @@ object Similarity {
     // COMPUTE — found at sf10, where both sides "fit broadcast" at
     // ~10⁵ rows yet the 10¹⁰-pair exact mine ran for 40+ minutes. A
     // row-count threshold alone is a poor proxy for quadratic cost.
+    // product compare by division: nS * nT overflows Long once a caller
+    // raises broadcastRowLimit past ~3e9 rows, and the wrapped negative
+    // product would pass the bound and dispatch the quadratic kernel
     if (nS <= broadcastRowLimit && nT <= broadcastRowLimit &&
-        nS * nT <= maxExactProduct)
+        (nT == 0L || nS <= maxExactProduct / nT))
       marginBitextMine(src, tgt, sId, sVec, tId, tVec, k, minMargin)
     else {
       val srcCent = kmeansTrain(src, sId, sVec, nCells, kmeansIters)

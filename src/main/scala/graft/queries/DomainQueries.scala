@@ -464,12 +464,14 @@ object DomainQueries {
         // bounded driver collect: ≤ #years chunks
         val yrs = pull.select(year(col("od")).as("y")).distinct()
           .orderBy(col("y")).collect().map(_.getInt(0))
-        yrs.zipWithIndex.foreach { case (y, i) =>
+        // finally: the injected crash must not skip the unpersist — the
+        // pinned delta would otherwise survive in executor memory for
+        // the rest of the session (the recovery run persists its own)
+        try yrs.zipWithIndex.foreach { case (y, i) =>
           store.upsert(spec, pull.filter(year(col("od")) === y))
           if (i == crashAfterChunk)
             throw new RuntimeException("injected crash: chunk committed, run not finished")
-        }
-        pull.unpersist()
+        } finally pull.unpersist()
         n
       }
       runIngest(java.sql.Date.valueOf("1996-12-31"), -1) // run 1: initial window

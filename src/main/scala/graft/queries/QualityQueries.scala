@@ -152,16 +152,29 @@ object QualityQueries {
           "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0,
           srcCent, tgtCent, "cent_id", "cv", nprobe = 6)
         .select(col("src_id"), col("tgt_id"))
-      val hit = exact.join(ann, Seq("src_id", "tgt_id"), "left_semi")
+      // auto = the DERIVED point (r14): ⌈√N⌉ cells per side, nprobe
+      // MEASURED per direction by ivfCalibrateNprobe's cell-rank
+      // histogram at a 95% target — the LSH auto discipline applied to
+      // IVF. Rides next to the fixed hand-set point it replaced
+      // (ivf_c8_p6, recall 0.89/0.88 at sf0.01/0.1).
+      val annAuto = Similarity.marginBitextMineIvfAuto(src, tgt,
+          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"))
       def r6(x: org.apache.spark.sql.Column) =
         floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(lit("ivf_c8_p6").as("setting"),
-          col("n_exact"), col("n_ann"), col("n_hit"),
-          when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
-            col("n_exact").cast("double"))).as("recall"))
+      def settingRow(setting: String, mined: DataFrame): DataFrame = {
+        val hit = exact.join(mined, Seq("src_id", "tgt_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(mined.agg(count(lit(1)).as("n_ann")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(setting).as("setting"),
+            col("n_exact"), col("n_ann"), col("n_hit"),
+            when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
+              col("n_exact").cast("double"))).as("recall"))
+      }
+      settingRow("auto", annAuto)
+        .unionByName(settingRow("ivf_c8_p6", ann))
+        .orderBy(col("setting"))
     }),
 
     // Contrastive-training negative sampling: k deterministic
@@ -378,17 +391,35 @@ object QualityQueries {
              """bprobe p JOIN tgtv q ON q.doc_id = p.qid
                |    JOIN scell sc ON sc.cell = p.cell
                |    JOIN srcv c ON c.doc_id = sc.doc_id""".stripMargin)},
-         |${bitextMinedCtes("_iv")}
-         |SELECT 'ivf_c8_p6' AS setting, n_exact, n_ann, n_hit,
+         |${bitextMinedCtes("_iv")},
+         |$bitextIvfAutoCtes,
+         |${bitextKnnCtes("_av",
+             """fprobea p JOIN srcv q ON q.doc_id = p.qid
+               |    JOIN tcella tc ON tc.cell = p.cell
+               |    JOIN tgtv c ON c.doc_id = tc.doc_id""".stripMargin,
+             """bprobea p JOIN tgtv q ON q.doc_id = p.qid
+               |    JOIN scella sc ON sc.cell = p.cell
+               |    JOIN srcv c ON c.doc_id = sc.doc_id""".stripMargin)},
+         |${bitextMinedCtes("_av")}
+         |SELECT setting, n_exact, n_ann, n_hit,
          |  CASE WHEN n_exact > 0 THEN
          |    floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
          |  END AS recall
-         |FROM (SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM mined) AS n_exact,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM mined_iv) AS n_ann,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM
-         |    (SELECT src_id, tgt_id FROM mined INTERSECT
-         |     SELECT src_id, tgt_id FROM mined_iv) h) AS n_hit) x""".stripMargin,
+         |FROM (
+         |  SELECT 'auto' AS setting,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mined) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mined_av) AS n_ann,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM
+         |      (SELECT src_id, tgt_id FROM mined INTERSECT
+         |       SELECT src_id, tgt_id FROM mined_av) h) AS n_hit
+         |  UNION ALL
+         |  SELECT 'ivf_c8_p6' AS setting,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mined) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mined_iv) AS n_ann,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM
+         |      (SELECT src_id, tgt_id FROM mined INTERSECT
+         |       SELECT src_id, tgt_id FROM mined_iv) h) AS n_hit) x
+         |ORDER BY setting""".stripMargin,
 
     "v_doc_knn_hashed" ->
       s"""$hashedVecCtes
@@ -531,8 +562,8 @@ object QualityQueries {
     s"""e AS (SELECT v.doc_id, d.lang,
        |    list_transform(v.vec, x -> CAST(x AS DOUBLE)) AS vv
        |  FROM vecs v JOIN documents d USING (doc_id)),
-       |srcv AS (SELECT doc_id, vv FROM e WHERE lang = 'zh'),
-       |tgtv AS (SELECT doc_id, vv FROM e WHERE lang = 'de')""".stripMargin
+       |srcv AS MATERIALIZED (SELECT doc_id, vv FROM e WHERE lang = 'zh'),
+       |tgtv AS MATERIALIZED (SELECT doc_id, vv FROM e WHERE lang = 'de')""".stripMargin
 
   /** Directed-kNN CTEs `fwd$p(src_id, tgt_id, cosine, m, rk)` /
     * `bwd$p(tgt_id, src_id, m, rk)` over caller-supplied candidate-pair
@@ -544,7 +575,7 @@ object QualityQueries {
     s"""fraw$p AS (SELECT q.doc_id AS src_id, c.doc_id AS tgt_id,
        |    ${bitextCos("q.vv", "c.vv")} AS cr
        |  FROM $fwdFrom),
-       |fwd$p AS (SELECT src_id, tgt_id, round(cr, 6) AS cosine,
+       |fwd$p AS MATERIALIZED (SELECT src_id, tgt_id, round(cr, 6) AS cosine,
        |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
        |    row_number() OVER (PARTITION BY src_id
        |      ORDER BY round(cr, 6) DESC, tgt_id) AS rk
@@ -552,7 +583,7 @@ object QualityQueries {
        |braw$p AS (SELECT q.doc_id AS tgt_id, c.doc_id AS src_id,
        |    ${bitextCos("q.vv", "c.vv")} AS cr
        |  FROM $bwdFrom),
-       |bwd$p AS (SELECT tgt_id, src_id,
+       |bwd$p AS MATERIALIZED (SELECT tgt_id, src_id,
        |    CAST(floor(round(cr, 6) * 1e6 + 0.5) AS BIGINT) AS m,
        |    row_number() OVER (PARTITION BY tgt_id
        |      ORDER BY round(cr, 6) DESC, src_id) AS rk
@@ -601,6 +632,61 @@ object QualityQueries {
        |    SELECT q.doc_id AS qid, c.cid, row_number() OVER (PARTITION BY q.doc_id
        |      ORDER BY ${l2("q.vv", "c.cv")} ASC, c.cid ASC) AS rn
        |    FROM tgtv q CROSS JOIN srcc c) x WHERE rn <= 6)""".stripMargin
+  }
+
+  /** Replay of the DERIVED bitext IVF operating point
+    * ([[graft.operators.Similarity.marginBitextMineIvfAuto]]): ⌈√N⌉
+    * lowest-id centroids per side, full per-query centroid-rank lists,
+    * and the nprobe CALIBRATION — the sampled queries' exact top-4
+    * (reused from the exact kNN CTEs `fwd`/`bwd`), each true
+    * neighbor's cell rank, and the integer `cum·100 ≥ tot·95` cut —
+    * ending in probe lists `fprobea`/`bprobea(qid, cell)` and cell
+    * assignments `scella`/`tcella`.
+    */
+  private def bitextIvfAutoCtes: String = {
+    def l2(a: String, b: String): String =
+      s"sqrt(list_sum(list_transform(range(1, 33), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))))"
+    def centT(name: String, side: String, ncs: String): String =
+      s"""$name AS (SELECT doc_id AS cid, vv AS cv FROM (
+         |    SELECT doc_id, vv, row_number() OVER (ORDER BY doc_id) AS rn
+         |    FROM $side) x WHERE rn <= (SELECT nc FROM $ncs))""".stripMargin
+    def cellT(name: String, side: String, cents: String): String =
+      s"""$name AS (SELECT doc_id, cid AS cell FROM (
+         |    SELECT t.doc_id, c.cid, row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY ${l2("t.vv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM $side t CROSS JOIN $cents c) x WHERE rn = 1)""".stripMargin
+    def rankT(name: String, qside: String, cents: String): String =
+      s"""$name AS (SELECT q.doc_id AS qid, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.doc_id
+         |      ORDER BY ${l2("q.vv", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM $qside q CROSS JOIN $cents c)""".stripMargin
+    def calT(p: String, smp: String, qside: String, knn: String,
+        qIdCol: String, nIdCol: String, cellT: String, rankT: String): String =
+      s"""$smp AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+         |    FROM $qside) x WHERE rn <= 64),
+         |${p}hit AS (SELECT $qIdCol AS qid, $nIdCol AS nid FROM $knn
+         |  WHERE rk <= 4 AND $qIdCol IN (SELECT doc_id FROM $smp)),
+         |${p}hr AS (SELECT r.rn FROM ${p}hit h
+         |  JOIN $cellT tc ON tc.doc_id = h.nid
+         |  JOIN $rankT r ON r.qid = h.qid AND r.cell = tc.cell),
+         |${p}cov AS (SELECT rn, CAST(count(*) AS BIGINT) AS c FROM ${p}hr GROUP BY rn),
+         |${p}cum AS (SELECT rn, sum(c) OVER (ORDER BY rn) AS cum,
+         |    sum(c) OVER () AS tot FROM ${p}cov),
+         |np$p AS (SELECT COALESCE(
+         |    (SELECT min(rn) FROM ${p}cum WHERE cum * 100 >= tot * 95), 1) AS np)""".stripMargin
+    s"""ncs AS (SELECT CAST(ceil(sqrt(CAST((SELECT count(*) FROM srcv) AS DOUBLE))) AS BIGINT) AS nc),
+       |nct AS (SELECT CAST(ceil(sqrt(CAST((SELECT count(*) FROM tgtv) AS DOUBLE))) AS BIGINT) AS nc),
+       |${centT("srcca", "srcv", "ncs")},
+       |${centT("tgtca", "tgtv", "nct")},
+       |${cellT("scella", "srcv", "srcca")},
+       |${cellT("tcella", "tgtv", "tgtca")},
+       |${rankT("fprank", "srcv", "tgtca")},
+       |${rankT("bprank", "tgtv", "srcca")},
+       |${calT("f", "ssmp", "srcv", "fwd", "src_id", "tgt_id", "tcella", "fprank")},
+       |${calT("b", "tsmp", "tgtv", "bwd", "tgt_id", "src_id", "scella", "bprank")},
+       |fprobea AS (SELECT qid, cell FROM fprank WHERE rn <= (SELECT np FROM npf)),
+       |bprobea AS (SELECT qid, cell FROM bprank WHERE rn <= (SELECT np FROM npb))""".stripMargin
   }
 
   private def hashedVecCtes: String =

@@ -28,10 +28,17 @@ object TextQueries {
     new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     pairsCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    // r14: the shared pair set runs at the DERIVED operating point
+    // (minHashDupPairsAuto — bands analytic from τ, cap from the
+    // measured bucket histogram) instead of the legacy hand-set 16×4 /
+    // cap-100 point: same machinery cost (~7.3 s vs ~5 s at sf0.1),
+    // recall 0.9805 vs 0.6055 — every downstream consumer
+    // (dd_minhash_pairs, dd_dup_clusters, dd_keep_best) inherits the
+    // derived recall by default.
     pairsCache.getOrElseUpdate((s, d),
       graft.core.Scratch.materialize(
-        Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleLen = 5, numHashes = 16, bands = 4, jaccardThreshold = 0.4),
+        Dedup.minHashDupPairsAuto(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4),
         "mh_pairs", d))
   }
 
@@ -381,9 +388,11 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // Measured LSH dedup quality — the dedup twin of v_recall_report,
-    // at TWO operating points against the PPJoin EXACT threshold join
-    // run at the SAME (shingleLen=5, τ=0.4):
-    //   base  = 16 hashes × 4 bands (4 rows/band): the cheap default.
+    // at THREE operating points against the PPJoin EXACT threshold join
+    // run at the SAME (shingleLen=5, τ=0.4): auto (the derived default
+    // every dd_* consumer now runs), plus two hand-set comparison
+    // points sharing one signature pass:
+    //   legacy_16x4 = 16 hashes × 4 bands (4 rows/band): the pre-r14 default.
     //     Band-match probability at similarity s is 1-(1-s⁴)⁴ — steep,
     //     so borderline true pairs are mostly lost (measured 0.594
     //     recall at sf0.1 duplicate density in round 11).
@@ -416,6 +425,7 @@ object TextQueries {
       def r6(x: org.apache.spark.sql.Column) =
         floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
       def settingRow(setting: String, pairs: DataFrame): DataFrame = {
+        // counts only — safe to consume a lazily re-read scratch frame
         val lsh = pairs.select(col("id_a"), col("id_b"))
         val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
@@ -428,22 +438,27 @@ object TextQueries {
             when(col("n_lsh") > 0, r6(col("n_hit").cast("double") /
               col("n_lsh").cast("double"))).as("lsh_precision"))
       }
+      // r14 decomposition: the auto row IS the shared default pipeline
+      // (scratch-materialized once per session — zero marginal pipeline
+      // cost on a board run), and the two hand-set comparison points
+      // ride ONE shared identity-collapse + signature pass
+      // (minHashDupPairsMulti slices the 64-wide signature's prefixes)
+      // instead of replaying the corpus per setting. "base" is
+      // relabeled legacy_16x4: it is no longer any consumer's operating
+      // point, it documents what the derived point replaced (recall
+      // 0.6055 vs auto 0.9805 at sf0.1, precision 1.0 both).
+      val cmp = Dedup.minHashDupPairsMulti(
+        Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 5, jaccardThreshold = 0.4,
+        Seq(("legacy_16x4", 16, 4, Left(100)),
+          ("tuned", 64, 32, Left(1000))))
+      val legacyPairs = graft.core.Scratch.materialize(
+        cmp("legacy_16x4"), "mh_pairs_legacy", d)
       val tunedPairs = graft.core.Scratch.materialize(
-        Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleLen = 5, numHashes = 64, bands = 32, jaccardThreshold = 0.4,
-          maxBucketSize = 1000),
-        "mh_pairs_tuned", d)
-      // auto = both knobs DERIVED (r13): (rows, bands) analytically from
-      // τ and the recall target, the mega-bucket cap from the measured
-      // bucket-size histogram's largest relative gap — no hand-set cap.
-      // Measured recall 1.0 / 1.0 / 0.9805 at sf0.001/0.01/0.1 (tuned
-      // reads 0.969 at sf0.1), precision 1.0 everywhere.
-      val autoPairs = graft.core.Scratch.materialize(
-        Dedup.minHashDupPairsAuto(Tables.documents(s, d), "doc_id", "text",
-          shingleLen = 5, jaccardThreshold = 0.4),
-        "mh_pairs_auto", d)
-      settingRow("auto", autoPairs)
-        .unionByName(settingRow("base", minhashPairsShared(s, d)))
+        cmp("tuned"), "mh_pairs_tuned", d)
+      cmp.values.foreach(_.unpersist())
+      settingRow("auto", minhashPairsShared(s, d))
+        .unionByName(settingRow("legacy_16x4", legacyPairs))
         .unionByName(settingRow("tuned", tunedPairs))
         .orderBy(col("setting"))
     }),
@@ -541,16 +556,169 @@ object TextQueries {
     // re-keyed) checked against the EXISTING corpus as a banded index —
     // no within-batch or within-index pairs. Every batch doc has its
     // verbatim source in the index (jaccard 1), so the match set is
-    // non-vacuous at every SF.
+    // non-vacuous at every SF. r14: runs at the DERIVED operating point
+    // (band shape analytic from τ, index-side cap from the measured
+    // bucket histogram) so steady-state ingest inherits the bootstrap
+    // pipeline's recall instead of the legacy 16×4/cap-100 knob.
     "dd_incremental_index" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val batch = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      Dedup.minHashDupAgainstIndex(base, batch, "doc_id", "text",
-          shingleLen = 5, numHashes = 16, bands = 4,
-          jaccardThreshold = 0.4, maxBucketSize = 100)
+      Dedup.minHashDupAgainstIndexAuto(base, batch, "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("new_id"), col("index_id"))
+    }),
+
+    // ── E2E: the LLM-curation flagship DAG — incremental, crash-recovered ──
+    // URL ledger → canonical dedup → quality gate → LSH near-dup →
+    // budget cut → token shards, composed as TWO incremental crawl
+    // drops over a keyed store with a crash injected INSIDE drop 2
+    // between a chunk's pair commit and its doc commit (the worst-torn
+    // state), then a recovery run that resumes from the sink instead of
+    // restarting (the e2e_vendor_ingest discipline applied to the §2.14
+    // family). Every stage is an already-oracled operator; what THIS
+    // query proves is the COMPOSITION: the two-run + crash + recovery
+    // final output must equal the from-scratch single-pass build the
+    // oracle expresses.
+    //
+    // Near-dup setting: the ANALYTIC auto band shape (lshAutoShape at
+    // τ=0.4 → 2 rows × 27 bands) with the mega-bucket cap DISABLED.
+    // Capless LSH is per-pair decomposable — pairs(A∪B) = pairs(A) ∪
+    // pairs(B) ∪ cross(A,B) EXACTLY, because band-bucket membership is
+    // a per-document property — which is what makes incremental ≡
+    // from-scratch provable instead of approximate. The measured cap
+    // (minHashDupPairsAuto) is corpus-dependent, so decompositions
+    // would diverge exactly at cap boundaries; a deployment re-enables
+    // it per batch and accepts that bounded divergence.
+    //
+    // Commit order inside a chunk is load-bearing: pairs BEFORE docs.
+    // A crash between them (exactly what run 2 injects) leaves pairs
+    // for docs the sink doesn't know — harmless, the recovery re-run
+    // recomputes and PK-upserts them idempotently. The opposite order
+    // would commit docs whose pairs are lost, and the recovery's
+    // anti-join would never revisit them: a silent dedup hole.
+    "e2e_corpus_curation" -> ((s, d) => {
+      import graft.core.{TableSpec, TableStore}
+      val dir = graft.core.Scratch.queryDir("e2e_curation")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val store = new TableStore(s, dir)
+      val docSpec = TableSpec("curated_docs", Seq("doc_id"))
+      val pairSpec = TableSpec("dup_pairs", Seq("id_a", "id_b"))
+      val (lr, lb) = Dedup.lshAutoShape(0.4, 0.99, 64)
+
+      // One crawl drop = the ledger slice whose PAGES belong to `pred`
+      // base docs (a cid's doc is cid % 1e6; every canonical group
+      // lives wholly inside one doc, so drops never split a group).
+      // Returns the number of docs actually fetched (post anti-join).
+      def runDrop(tag: String, pred: org.apache.spark.sql.Column,
+          crashBetweenChunk: Int): Long = {
+        val pages = urlLedger(s, d)
+          .filter(pred === pmod(pmod(col("cid"), lit(1000000L)), lit(2)))
+        // S-stage: canonical-URL dedup (first-fetch-wins), then the
+        // crawl frontier — one row per doc with its url mass
+        val perDoc = graft.operators.UrlOps
+          .dedupByCanonicalUrl(Tables.scatter(pages), "url", "cid")
+          .select(pmod(col("keep_id"), lit(1000000L)).as("doc_id"), col("n_urls"))
+          .groupBy("doc_id").agg(sum("n_urls").as("n_urls"))
+        // J4: docs already in the sink are not re-fetched — the
+        // idempotence the recovery run rides
+        val newDocs =
+          if (store.exists(docSpec))
+            perDoc.join(store.read(docSpec).select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+          else perDoc
+        val n = newDocs.count()
+        val batch0 = newDocs.join(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          Seq("doc_id"))
+        // quality gate (Gopher repetition rule) rides as a STORED flag:
+        // rejected docs are remembered, so recovery never re-fetches
+        // them; only kept docs enter the dedup index and the output
+        val gate = graft.operators.CorpusStats
+          .gopherQuality(batch0, "doc_id", "text")
+          .select(col("doc_id"), col("keep"))
+        val batch = graft.core.Scratch.materialize(
+          batch0.join(gate, Seq("doc_id"))
+            .withColumn("__toks", tokens(col("text")))
+            .withColumn("__ltoks", tokens(lower(col("text"))))
+            .select(col("doc_id"), col("source"), col("n_urls"),
+              qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"),
+              tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+              col("keep"), col("text")),
+          s"e2e_cur_batch_$tag", d)
+        // the reference's bunch-insert batching: commit in chunks so a
+        // crash preserves partial progress
+        (0 until 3).foreach { i =>
+          val chunk = batch.filter(pmod(col("doc_id"), lit(3)) === i)
+          val dedupIn = chunk.filter(col("keep"))
+          val index =
+            if (store.exists(docSpec))
+              store.read(docSpec).filter(col("keep"))
+                .select(col("doc_id"), col("text"))
+            else dedupIn.select(col("doc_id"), col("text")).filter(lit(false))
+          val within = Dedup.minHashDupPairs(dedupIn, "doc_id", "text",
+            shingleLen = 5, numHashes = lr * lb, bands = lb,
+            jaccardThreshold = 0.4, maxBucketSize = Int.MaxValue)
+          val cross = Dedup.minHashDupAgainstIndex(index, dedupIn, "doc_id", "text",
+            shingleLen = 5, numHashes = lr * lb, bands = lb,
+            jaccardThreshold = 0.4, maxBucketSize = Int.MaxValue)
+            .select(least(col("new_id"), col("index_id")).as("id_a"),
+              greatest(col("new_id"), col("index_id")).as("id_b"), col("jaccard"))
+          val pairs = within.unionByName(cross)
+          if (!pairs.isEmpty) store.upsert(pairSpec, pairs)
+          within.unpersist()
+          cross.unpersist()
+          if (i == crashBetweenChunk)
+            throw new RuntimeException(
+              "injected crash: pairs committed, docs not — the torn chunk")
+          if (!chunk.isEmpty) store.upsert(docSpec, chunk)
+        }
+        n
+      }
+
+      runDrop("run1", lit(0), -1) // drop 1: even docs, clean run
+      val crashed =
+        try { runDrop("crash", lit(1), 1); false }
+        catch { case _: RuntimeException => true }
+      require(crashed, "e2e curation: crash injection never fired")
+      // recovery: REPLAN from the sink — chunk 0's committed docs are
+      // skipped, the torn chunk 1 is recomputed (its orphan pairs
+      // PK-upsert idempotently), chunk 2 runs fresh
+      val replayed = runDrop("rec", lit(1), -1)
+      val fullDrop2 = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(2)) === 1).count()
+      require(replayed > 0 && replayed < fullDrop2,
+        s"recovery re-fetched the whole drop ($replayed of $fullDrop2) — " +
+          "sink replanning is not engaged")
+      // ── the serving read: suppress near-dups, cut to budget, shard ──
+      val curated = store.read(docSpec)
+      val kept = curated.filter(col("keep"))
+      val dupPairs =
+        if (store.exists(pairSpec)) store.read(pairSpec)
+        else kept.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+          .filter(lit(false))
+      // min-id-wins, pair-set-based (NOT transitive): a doc survives
+      // unless some smaller-id doc pairs with it — a pure function of
+      // the pair SET, so batch order cannot change the outcome
+      val alive = graft.core.Scratch.materialize(
+        kept.join(dupPairs.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("n_urls"),
+            col("quality"), col("n_tokens")),
+        "e2e_cur_alive", d)
+      val budget = alive.agg(sum("n_tokens")).first.getLong(0) * 3 / 5
+      val cut = graft.operators.BudgetCut.qualityBudgetCut(
+        alive, "doc_id", "quality", "n_tokens", budget, buckets = 1000)
+      graft.operators.CorpusStats
+        .tokenBalancedShards(cut.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", 16)
+        .join(alive.select(col("doc_id"), col("source"), col("n_urls"),
+          col("quality")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_urls"), col("quality"),
+          col("n_tokens"), col("ord"), col("shard"))
+        .orderBy(col("doc_id"))
     }),
 
     "dd_embed_cosine" -> ((s, d) => {
@@ -790,13 +958,18 @@ object TextQueries {
     * per-setting pipelines ([[minhashSettingCtes]]) differ only in how
     * many Kirsch–Mitzenmacher combinations they take and how they band.
     */
-  private def minhashBaseCtes =
+  private def minhashBaseCtes = minhashBaseCtesFrom("documents")
+
+  /** [[minhashBaseCtes]] over an arbitrary source CTE/table carrying
+    * (doc_id, text) — the e2e curation oracle runs the pipeline over
+    * its GATE-surviving subset instead of the whole corpus. */
+  private def minhashBaseCtesFrom(src: String) =
     // Identity collapse replay (r13, Dedup.minHashPairsCore): one
     // representative (min doc_id) per distinct normalized text; the
     // whole pipeline runs in rep space (`sh`/`hs` are per-REP), member
     // pairs fan out at emission — `spr` carries the same-text
     // jaccard-1.0 pairs every setting unions in.
-    s"""t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM documents),
+    s"""t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM $src),
        |grp AS (SELECT norm, min(doc_id) AS rid FROM t
        |  WHERE norm IS NOT NULL GROUP BY norm),
        |mem AS (SELECT g.rid, t.doc_id AS id FROM t JOIN grp g ON g.norm = t.norm),
@@ -826,14 +999,17 @@ object TextQueries {
     * recursive consumer evaluates the pipeline once.
     */
   private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
-      maxBucket: Int = 100, autoCap: Boolean = false): String = {
+      maxBucket: Int = 100, autoCap: Boolean = false,
+      noCap: Boolean = false): String = {
     val rows = numHashes / bands
     // Auto mode replays Dedup.autoBucketCap: cut at the largest relative
     // gap (argmax by (ratio, n) — ordering only, no float equality)
     // between consecutive distinct bucket sizes ≥ 16, falling back to
-    // max(n) when no gap reaches 1.5×.
+    // max(n) when no gap reaches 1.5×. noCap disables the mega-bucket
+    // guard entirely (the e2e curation DAG's decomposable setting).
     val capClause =
-      if (autoCap) s"(SELECT cap FROM cap$p)" else maxBucket.toString
+      if (noCap) Long.MaxValue.toString
+      else if (autoCap) s"(SELECT cap FROM cap$p)" else maxBucket.toString
     val autoCtes = if (!autoCap) "" else
       s"""|bsz$p AS (SELECT band, bh, count(*) AS n FROM banded$p GROUP BY 1, 2),
           |ds$p AS (SELECT DISTINCT n FROM bsz$p),
@@ -879,13 +1055,17 @@ object TextQueries {
        |  UNION ALL SELECT id_a, id_b, jac FROM spr)""".stripMargin
   }
 
-  /** The default (base) pipeline with unprefixed CTE names, ending in
-    * `prs` — used by the pair oracle and the connected-components
-    * oracles.
+  /** The DEFAULT pipeline with unprefixed CTE names, ending in `prs` —
+    * used by the pair oracle and the connected-components oracles.
+    * r14: the default is the DERIVED operating point (auto band shape
+    * from lshAutoShape, measured-histogram cap), exactly what
+    * `minhashPairsShared` runs.
     */
-  private def minhashPairCtes =
+  private def minhashPairCtes = {
+    val (r, b) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
     s"""$minhashBaseCtes,
-       |${minhashSettingCtes("", numHashes = 16, bands = 4)}""".stripMargin
+       |${minhashSettingCtes("", numHashes = r * b, bands = b, autoCap = true)}""".stripMargin
+  }
 
   /** One recall-report row CTE: setting label + counts + floor-micro
     * recall/precision of LSH pair table `prsName` vs the exact CTE
@@ -971,6 +1151,65 @@ object TextQueries {
        |      i -> (es.sv[i] - c.cv[i]) * (es.sv[i] - c.cv[i]))) AS dd
        |  FROM es JOIN pcb2 c ON c.sub = es.sub)""".stripMargin
 
+  /** Full URL-canonicalization CTE chain (every step of
+    * UrlOps.canonicalizeUrl over the synthesized ledger), ending in
+    * `c(cid, canonical_url)` — shared by t_url_dedup and the e2e
+    * curation oracle. */
+  private val urlCanonCtes: String =
+      """u AS (
+        |  SELECT doc_id AS cid, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id AS url FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?utm_source=feed&utm_campaign=x&fbclid=abc' FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 4000000, 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/doc-' || doc_id FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id + 5000000, 'https://www.' || source || '.example.com//' || lang || '//doc-' || doc_id || '/#frag' FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL SELECT doc_id + 6000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?b=2&a=1&utm_medium=m' FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL SELECT doc_id + 7000000, 'https://www.' || source || '.example.com/' || lang || '/./x/../%64oc-' || doc_id FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL SELECT doc_id + 8000000, 'https://www.' || source || '.example.com/../' || lang || '/doc-' || doc_id || '?q=%2fv' FROM documents WHERE doc_id % 41 = 0),
+        |s1 AS (SELECT cid, string_split(url, '#')[1] AS nofrag0 FROM u),
+        |s1b AS (SELECT cid, CASE WHEN strpos(nofrag0, '%') = 0 THEN nofrag0 ELSE
+        |  string_split(nofrag0, '%')[1] || array_to_string(list_transform(
+        |    list_transform(string_split(nofrag0, '%')[2:], p -> {'p': p,
+        |      'c': CAST(CASE WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$')
+        |           THEN (strpos('0123456789ABCDEF', upper(p[1:1])) - 1) * 16
+        |              + strpos('0123456789ABCDEF', upper(p[2:2])) - 1
+        |           ELSE -1 END AS INTEGER)}),
+        |    e -> CASE WHEN e.c = -1 THEN '%' || e.p
+        |              WHEN e.c IN (45, 46, 95, 126) OR e.c BETWEEN 48 AND 57
+        |                OR e.c BETWEEN 65 AND 90 OR e.c BETWEEN 97 AND 122
+        |              THEN chr(e.c) || e.p[3:]
+        |              ELSE '%' || upper(e.p[1:2]) || e.p[3:] END), '')
+        |  END AS nofrag FROM s1),
+        |s2 AS (SELECT cid,
+        |  lower(nofrag[1 : strpos(nofrag, '://') - 1]) AS scheme,
+        |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1b),
+        |s3 AS (SELECT *,
+        |  CASE WHEN strpos(rest, '/') > 0
+        |         AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?'))
+        |       THEN strpos(rest, '/') - 1
+        |       WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?') - 1
+        |       ELSE length(rest) END AS hostend FROM s2),
+        |s3b AS (SELECT *, rest[1 : hostend] AS hostport,
+        |  rest[hostend + 1 :] AS pathquery FROM s3),
+        |s4 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
+        |  strpos(hostport, ':') > 0 AS hasport,
+        |  string_split(hostport, ':')[-1] AS port,
+        |  strpos(pathquery, '?') AS qpos FROM s3b),
+        |s5 AS (SELECT *,
+        |  CASE WHEN hasport AND NOT ((scheme = 'http' AND port = '80')
+        |    OR (scheme = 'https' AND port = '443'))
+        |    THEN host || ':' || port ELSE host END AS hostc,
+        |  CASE WHEN qpos > 0 THEN pathquery[1 : qpos - 1] ELSE pathquery END AS path,
+        |  CASE WHEN qpos > 0 THEN pathquery[qpos + 1 :] ELSE '' END AS qry FROM s4),
+        |s6 AS (SELECT *,
+        |  list_reduce(list_prepend('', list_filter(string_split(path, '/'),
+        |      x -> x <> '' AND x <> '.')),
+        |    (acc, x) -> CASE WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+        |                     ELSE acc || '/' || x END) AS pathc,
+        |  array_to_string(list_sort(list_filter(string_split(qry, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
+        |  FROM s5),
+        |c AS (SELECT cid, scheme || '://' || hostc || pathc ||
+        |  CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url FROM s6)""".stripMargin
+
   private def baseOracles: Map[String, String] = Map(
     // Same md5-prefix position, and DuckDB's window ntile/row_number ARE
     // the semantics GlobalRank reproduces distributively — full value
@@ -1036,62 +1275,11 @@ object TextQueries {
     // string/list algebra over the SAME synthesized URL ledger, then
     // the same min-id/count group-by.
     "t_url_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id AS cid, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id AS url FROM documents
-        |  UNION ALL SELECT doc_id + 3000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?utm_source=feed&utm_campaign=x&fbclid=abc' FROM documents WHERE doc_id % 17 = 0
-        |  UNION ALL SELECT doc_id + 4000000, 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/doc-' || doc_id FROM documents WHERE doc_id % 23 = 0
-        |  UNION ALL SELECT doc_id + 5000000, 'https://www.' || source || '.example.com//' || lang || '//doc-' || doc_id || '/#frag' FROM documents WHERE doc_id % 29 = 0
-        |  UNION ALL SELECT doc_id + 6000000, 'https://www.' || source || '.example.com/' || lang || '/doc-' || doc_id || '?b=2&a=1&utm_medium=m' FROM documents WHERE doc_id % 31 = 0
-        |  UNION ALL SELECT doc_id + 7000000, 'https://www.' || source || '.example.com/' || lang || '/./x/../%64oc-' || doc_id FROM documents WHERE doc_id % 37 = 0
-        |  UNION ALL SELECT doc_id + 8000000, 'https://www.' || source || '.example.com/../' || lang || '/doc-' || doc_id || '?q=%2fv' FROM documents WHERE doc_id % 41 = 0),
-        |s1 AS (SELECT cid, string_split(url, '#')[1] AS nofrag0 FROM u),
-        |s1b AS (SELECT cid, CASE WHEN strpos(nofrag0, '%') = 0 THEN nofrag0 ELSE
-        |  string_split(nofrag0, '%')[1] || array_to_string(list_transform(
-        |    list_transform(string_split(nofrag0, '%')[2:], p -> {'p': p,
-        |      'c': CAST(CASE WHEN regexp_matches(p[1:2], '^[0-9A-Fa-f]{2}$')
-        |           THEN (strpos('0123456789ABCDEF', upper(p[1:1])) - 1) * 16
-        |              + strpos('0123456789ABCDEF', upper(p[2:2])) - 1
-        |           ELSE -1 END AS INTEGER)}),
-        |    e -> CASE WHEN e.c = -1 THEN '%' || e.p
-        |              WHEN e.c IN (45, 46, 95, 126) OR e.c BETWEEN 48 AND 57
-        |                OR e.c BETWEEN 65 AND 90 OR e.c BETWEEN 97 AND 122
-        |              THEN chr(e.c) || e.p[3:]
-        |              ELSE '%' || upper(e.p[1:2]) || e.p[3:] END), '')
-        |  END AS nofrag FROM s1),
-        |s2 AS (SELECT cid,
-        |  lower(nofrag[1 : strpos(nofrag, '://') - 1]) AS scheme,
-        |  nofrag[strpos(nofrag, '://') + 3 :] AS rest FROM s1b),
-        |s3 AS (SELECT *,
-        |  CASE WHEN strpos(rest, '/') > 0
-        |         AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?'))
-        |       THEN strpos(rest, '/') - 1
-        |       WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?') - 1
-        |       ELSE length(rest) END AS hostend FROM s2),
-        |s3b AS (SELECT *, rest[1 : hostend] AS hostport,
-        |  rest[hostend + 1 :] AS pathquery FROM s3),
-        |s4 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
-        |  strpos(hostport, ':') > 0 AS hasport,
-        |  string_split(hostport, ':')[-1] AS port,
-        |  strpos(pathquery, '?') AS qpos FROM s3b),
-        |s5 AS (SELECT *,
-        |  CASE WHEN hasport AND NOT ((scheme = 'http' AND port = '80')
-        |    OR (scheme = 'https' AND port = '443'))
-        |    THEN host || ':' || port ELSE host END AS hostc,
-        |  CASE WHEN qpos > 0 THEN pathquery[1 : qpos - 1] ELSE pathquery END AS path,
-        |  CASE WHEN qpos > 0 THEN pathquery[qpos + 1 :] ELSE '' END AS qry FROM s4),
-        |s6 AS (SELECT *,
-        |  list_reduce(list_prepend('', list_filter(string_split(path, '/'),
-        |      x -> x <> '' AND x <> '.')),
-        |    (acc, x) -> CASE WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
-        |                     ELSE acc || '/' || x END) AS pathc,
-        |  array_to_string(list_sort(list_filter(string_split(qry, '&'),
-        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qc
-        |  FROM s5),
-        |c AS (SELECT cid, scheme || '://' || hostc || pathc ||
-        |  CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url FROM s6)
+      s"""WITH $urlCanonCtes
         |SELECT canonical_url, CAST(min(cid) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_urls
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
 
     // Snake-shard replay: row_number over (tokens desc, id) is exactly
     // the total order GlobalRank distributes; the boustrophedon
@@ -1277,16 +1465,14 @@ object TextQueries {
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Recall-report replay: BOTH full LSH pipelines (base prs, tuned
-    // prs_tu) against a brute-force 5-gram τ=0.4 ground truth,
+    // Recall-report replay: all THREE LSH pipelines (auto = the
+    // unprefixed default prs, legacy_16x4 prs_ba, tuned prs_tu)
+    // against a brute-force 5-gram τ=0.4 ground truth,
     // membership-intersected per setting.
     "dd_lsh_recall_report" ->
       s"""WITH $minhashPairCtes,
+         |${minhashSettingCtes("_ba", numHashes = 16, bands = 4, maxBucket = 100)},
          |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 1000)},
-         |${
-           val (r, b) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
-           minhashSettingCtes("_au", numHashes = r * b, bands = b, autoCap = true)
-         },
          |ex0 AS (SELECT doc_id,
          |    list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),
@@ -1297,9 +1483,9 @@ object TextQueries {
          |  WHERE len(a.w5) > 0 AND len(b.w5) > 0
          |    AND CAST(len(list_intersect(a.w5, b.w5)) AS DOUBLE) /
          |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
-         |${lshReportCte("base", "prs", "c_base")},
+         |${lshReportCte("legacy_16x4", "prs_ba", "c_base")},
          |${lshReportCte("tuned", "prs_tu", "c_tuned")},
-         |${lshReportCte("auto", "prs_au", "c_auto")}
+         |${lshReportCte("auto", "prs", "c_auto")}
          |SELECT * FROM c_auto UNION ALL SELECT * FROM c_base
          |UNION ALL SELECT * FROM c_tuned
          |ORDER BY setting""".stripMargin,
@@ -1411,9 +1597,90 @@ object TextQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Asymmetric replay of the minhash pipeline over base ∪ re-keyed
-    // batch: bucket cap on index-side bands only, candidates cross the
-    // index/batch boundary only.
-    "dd_incremental_index" ->
+    // batch: derived band shape (lshAutoShape at τ=0.4), bucket cap
+    // replayed from the index-side bucket histogram's gap rule,
+    // candidates cross the index/batch boundary only.
+    // The crash-recovered two-run curation DAG must equal this
+    // from-scratch single pass: URL ledger → canonical dedup (n_urls
+    // per doc), Gopher gate, quality score + token count, capless
+    // (2-row × 27-band) minhash pairs over the gated set with the
+    // identity collapse, min-id-wins suppression, the 3/5-token budget
+    // cut (histogram semantics), and the snake token shards.
+    "e2e_corpus_curation" -> {
+      val (lr, lb) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+      s"""WITH $urlCanonCtes,
+         |ledg AS (SELECT canonical_url, CAST(min(cid) AS BIGINT) AS keep_id,
+         |    CAST(count(*) AS BIGINT) AS n_urls FROM c GROUP BY 1),
+         |pdoc AS (SELECT keep_id % 1000000 AS doc_id,
+         |    CAST(sum(n_urls) AS BIGINT) AS n_urls FROM ledg GROUP BY 1),
+         |gt AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |gtok AS (SELECT doc_id, unnest(lt) AS w FROM gt),
+         |gtc AS (SELECT doc_id, w, count(*) AS c FROM gtok GROUP BY 1, 2),
+         |guni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    max(c) AS top_c, count(*) AS n_uniq FROM gtc GROUP BY 1),
+         |gk AS (SELECT d.doc_id,
+         |    coalesce(CAST(guni.top_c AS DOUBLE) / guni.n_tokens <= 0.1
+         |      AND CAST(guni.n_uniq AS DOUBLE) / guni.n_tokens >= 0.4, false) AS keep
+         |  FROM documents d LEFT JOIN guni ON guni.doc_id = d.doc_id),
+         |qt AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents),
+         |parts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score,
+         |  1.0 - least((CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+         |  CASE WHEN (CASE WHEN len(toks) > 0 THEN
+         |        CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) ELSE 0.0 END)
+         |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+         |  least((CASE WHEN len(ltoks) > 0 THEN
+         |      CAST(len(list_filter(ltoks, x -> list_contains($enStops, x))) AS DOUBLE) / len(ltoks)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS sw_score
+         |FROM qt),
+         |q AS (SELECT doc_id, n_tokens,
+         |  round(length_score * 0.4 + punct_score * 0.2 + word_score * 0.2 + sw_score * 0.2, 6) AS quality
+         |FROM parts),
+         |kd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text, p.n_urls, q.quality, q.n_tokens
+         |  FROM documents d
+         |  JOIN pdoc p ON p.doc_id = d.doc_id
+         |  JOIN gk ON gk.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE gk.keep),
+         |${minhashBaseCtesFrom("kd")},
+         |${minhashSettingCtes("", numHashes = lr * lb, bands = lb, noCap = true)},
+         |drp AS (SELECT DISTINCT id_b AS doc_id FROM prs),
+         |alive AS MATERIALIZED (
+         |  SELECT kd.doc_id, kd.source, kd.n_urls, kd.quality, kd.n_tokens
+         |  FROM kd LEFT JOIN drp ON drp.doc_id = kd.doc_id
+         |  WHERE drp.doc_id IS NULL),
+         |ab AS (SELECT *, CAST(floor(least(greatest(quality, 0), 1) * 1000) AS INT) AS b FROM alive),
+         |bud AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 5 AS budget FROM alive),
+         |bhist AS (SELECT b, CAST(sum(n_tokens) AS BIGINT) AS bt FROM ab GROUP BY b),
+         |bcum AS (SELECT b, bt, CAST(coalesce(sum(bt) OVER (ORDER BY b DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM bhist),
+         |bsel AS (SELECT ab.doc_id, ab.quality, ab.n_tokens, ab.b, c.bt, c.cumb, bud.budget
+         |  FROM ab JOIN bcum c ON ab.b = c.b CROSS JOIN bud),
+         |bkeep AS (
+         |  SELECT doc_id, n_tokens FROM bsel WHERE cumb + bt <= budget
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT s.doc_id, s.n_tokens, s.cumb, s.budget,
+         |      CAST(sum(s.n_tokens) OVER (PARTITION BY s.b
+         |        ORDER BY s.quality DESC, s.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+         |    FROM bsel s WHERE s.cumb < s.budget AND s.cumb + s.bt > s.budget) x
+         |  WHERE run <= budget - cumb),
+         |o AS (SELECT doc_id, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS ord FROM bkeep)
+         |SELECT o.doc_id, a.source, a.n_urls, a.quality, o.n_tokens, o.ord,
+         |  CAST(CASE WHEN ((o.ord - 1) // 16) % 2 = 0 THEN (o.ord - 1) % 16
+         |            ELSE 15 - (o.ord - 1) % 16 END AS INT) AS shard
+         |FROM o JOIN alive a ON a.doc_id = o.doc_id
+         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    "dd_incremental_index" -> {
+      val (idxR, idxB) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+      val idxH = idxR * idxB
       s"""WITH inp AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -1430,14 +1697,23 @@ object TextQueries {
          |  FROM sh),
          |sigs AS (SELECT doc_id,
          |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
-         |    list_transform(range(0, 16),
+         |    list_transform(range(0, $idxH),
          |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
          |  FROM hs),
          |banded AS (SELECT doc_id, b.range AS band,
-         |    array_to_string(sig[b.range * 4 + 1 : b.range * 4 + 4], ',') AS bh
-         |  FROM sigs, range(0, 4) b),
+         |    array_to_string(sig[b.range * $idxR + 1 : b.range * $idxR + $idxR], ',') AS bh
+         |  FROM sigs, range(0, $idxB) b),
+         |bszi AS (SELECT band, bh, count(*) AS n FROM banded
+         |  WHERE doc_id < 1000000 GROUP BY 1, 2),
+         |dsi AS (SELECT DISTINCT n FROM bszi),
+         |gapi AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM dsi),
+         |capi AS (SELECT COALESCE(
+         |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gapi
+         |       WHERE n >= 16 AND nx IS NOT NULL AND CAST(nx AS DOUBLE) / n >= 1.5
+         |       ORDER BY r DESC, n DESC LIMIT 1) g),
+         |    (SELECT max(n) FROM dsi)) AS cap),
          |ok AS (SELECT band, bh FROM banded WHERE doc_id < 1000000
-         |  GROUP BY 1, 2 HAVING count(*) <= 100),
+         |  GROUP BY 1, 2 HAVING count(*) <= (SELECT cap FROM capi)),
          |cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
          |  FROM banded a JOIN ok ON ok.band = a.band AND ok.bh = a.bh
          |  JOIN banded b ON b.band = a.band AND b.bh = a.bh
@@ -1446,7 +1722,7 @@ object TextQueries {
          |  FROM cand
          |  JOIN sigs sn ON sn.doc_id = cand.new_id
          |  JOIN sigs si ON si.doc_id = cand.index_id
-         |  WHERE CAST(len(list_filter(range(1, 17), i -> sn.sig[i] = si.sig[i])) AS DOUBLE) / 16 >= 0.15),
+         |  WHERE CAST(len(list_filter(range(1, ${idxH + 1}), i -> sn.sig[i] = si.sig[i])) AS DOUBLE) / $idxH >= 0.15),
          |prs AS (SELECT new_id, index_id,
          |    CASE WHEN len(list_distinct(list_concat(sn.hl, si.hl))) > 0 THEN
          |      CAST(len(list_intersect(sn.hl, si.hl)) AS DOUBLE) /
@@ -1456,7 +1732,8 @@ object TextQueries {
          |  JOIN sigs si ON si.doc_id = est.index_id)
          |SELECT new_id, index_id, round(jac, 6) AS jaccard
          |FROM prs WHERE jac >= 0.4
-         |ORDER BY new_id, index_id""".stripMargin,
+         |ORDER BY new_id, index_id""".stripMargin
+    },
 
     "dd_embed_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -186,6 +186,51 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.length < 10)
   }
 
+  test("minHashDupPairsMulti: each setting equals its standalone pipeline") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    val docs = (Seq((1L, base), (2L, nearDup), (3L, base)) ++
+      (10L to 40L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).toSet
+    // one shared collapse + 64-wide signature pass, two prefix settings
+    val multi = Dedup.minHashDupPairsMulti(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5,
+      Seq(("a", 16, 8, Left(100)), ("b", 64, 32, Left(1000))))
+    // the Kirsch–Mitzenmacher prefix property makes each setting
+    // bit-identical to a standalone pipeline computed at its own width
+    val directA = Dedup.minHashDupPairs(docs, "doc_id", "text",
+      shingleLen = 4, numHashes = 16, bands = 8, jaccardThreshold = 0.5,
+      maxBucketSize = 100)
+    val directB = Dedup.minHashDupPairs(docs, "doc_id", "text",
+      shingleLen = 4, numHashes = 64, bands = 32, jaccardThreshold = 0.5,
+      maxBucketSize = 1000)
+    assert(rows(multi("a")) == rows(directA))
+    assert(rows(multi("b")) == rows(directB))
+    assert(rows(multi("b")).contains((1L, 2L, rows(directB).find(t => t._1 == 1L && t._2 == 2L).get._3)))
+  }
+
+  test("minHashDupAgainstIndexAuto: derived point finds the planted batch dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val index = (Seq((1L, base)) ++
+      (10L to 40L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, base.replace("tonight", "today")),
+      (101L, "totally fresh unseen content with none of the corpus phrasing"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashDupAgainstIndexAuto(index, batch, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 1L)))
+    assert(!got.exists(_._1 == 101L))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val docs = Seq(

@@ -307,4 +307,64 @@ class QualityFiltersSpec extends AnyFunSuite with SharedSpark {
     assert(autoIvf == exact,
       "exhaustive-probe IVF should equal the exact kernel here")
   }
+
+  test("ivfCalibrateNprobe: measured width reflects how well cells localize neighbors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def at(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    // a tight arc of true neighbors around the query at 5°, plus far
+    // noise at 90°; the query's top-4 by cosine are the 2°–8° points
+    val corpus = (Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0).zipWithIndex.map {
+        case (deg, i) => (i.toLong, at(deg)) } ++
+      (0 until 4).map(i => ((50 + i).toLong, at(90.0 + i))))
+      .toDF("vec_id", "v")
+    val queries = Seq((100L, at(5.0))).toDF("vec_id", "v")
+    // aligned quantizer: one cell owns the whole arc — one probe covers
+    // every true neighbor
+    val goodCents = Seq((0L, at(5.0)), (1L, at(90.0)))
+      .toDF("cent_id", "centroid")
+    val np = Similarity.ivfCalibrateNprobe(queries, corpus,
+      "vec_id", "v", "vec_id", "v", goodCents, "cent_id", "centroid",
+      k = 4, targetRecallPct = 100, sampleSize = 64)
+    assert(np == 1, s"aligned quantizer should need one probe, got $np")
+    // neighborhood-splitting quantizer: the arc is cut between a 0° and
+    // a 10° cell, so the query's true top-4 straddle two cells — the
+    // measured width must grow instead of silently losing recall
+    val splitCents = Seq((0L, at(0.0)), (1L, at(10.0)), (2L, at(90.0)))
+      .toDF("cent_id", "centroid")
+    val npSplit = Similarity.ivfCalibrateNprobe(queries, corpus,
+      "vec_id", "v", "vec_id", "v", splitCents, "cent_id", "centroid",
+      k = 4, targetRecallPct = 100, sampleSize = 64)
+    assert(npSplit == 2, s"split quantizer must demand two probes, got $npSplit")
+    // at a laxer target the same measurement admits the cheaper width
+    val npLax = Similarity.ivfCalibrateNprobe(queries, corpus,
+      "vec_id", "v", "vec_id", "v", splitCents, "cent_id", "centroid",
+      k = 4, targetRecallPct = 50, sampleSize = 64)
+    assert(npLax == 1, s"50% target should accept one probe, got $npLax")
+  }
+
+  test("marginBitextMineIvfAuto: full-sample pct-100 calibration equals the exact kernel") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // deterministic pseudo-random sides (hash-derived components);
+    // sampleSize covers every query and pct=100 covers every true
+    // neighbor's cell, so the probed candidate set contains the exact
+    // top-k for all queries and the whole mined set must coincide
+    def vecOf(seed: Long): Seq[Double] =
+      (0 until 6).map(j => ((seed * 31 + j * 17) % 19).toDouble - 9.0)
+    val src = (1L to 40L).map(i => (i, vecOf(i))).toDF("doc_id", "v")
+    val tgt = (101L to 140L).map(i => (i, vecOf(i * 7))).toDF("doc_id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val exact = rows(Similarity.marginBitextMine(src, tgt,
+      "doc_id", "v", "doc_id", "v", k = 4, minMargin = 0.9))
+    val auto = rows(Similarity.marginBitextMineIvfAuto(src, tgt,
+      "doc_id", "v", "doc_id", "v", k = 4, minMargin = 0.9,
+      targetRecallPct = 100, sampleSize = 64))
+    assert(auto == exact,
+      "pct-100 full-sample calibration must reproduce the exact mined set")
+  }
 }
