@@ -532,6 +532,122 @@ object Dedup {
     minHashAgainstIndexCore(index, batch, idCol, textCol, shingleLen,
       numHashes, bands, jaccardThreshold, Left(maxBucketSize))
 
+  /** One fused (signature, hashed-shingle-set) pass over a batch — the
+    * columns an incremental dedup index PERSISTS so steady-state ingest
+    * never re-hashes previously indexed text (the "at scale, a
+    * persisted table" shape [[minHashDupAgainstIndex]]'s scaladoc
+    * promises; e2e_corpus_curation stores these next to the curated
+    * rows and re-reads them as the index side of every later drop).
+    * Returns (idCol, minhash_sig, shingles).
+    */
+  def minHashSigTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int): DataFrame =
+    graft.core.Tables.scatter(docs)
+      .select(col(idCol),
+        sigAndHashedShingles(shingleLen, numHashes)(col(textCol)).as("__c"))
+      .select(col(idCol), col("__c._1").as("minhash_sig"), col("__c._2").as("shingles"))
+
+  /** Verified near-dup pairs WITHIN one precomputed signature table —
+    * banding, optional mega-bucket cap, signature-estimate prefilter,
+    * exact hashed-shingle verify; (id_a < id_b, jaccard). The sig/
+    * shingle columns are [[minHashSigTable]]'s. No identity collapse:
+    * callers on duplicate-heavy corpora want [[minHashDupPairs]]; this
+    * is the primitive for pipelines that already own a signature store.
+    */
+  def minHashPairsWithinSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, jaccardThreshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded0 = bandsOfSigs(sigs.select(col(idCol).as("__id"),
+      col("minhash_sig")), numHashes, bands)
+    val banded = cappedBands(banded0, maxBucketSize)
+    val cand = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("__id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifySigCandidates(cand, "id_a", "id_b",
+      sigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles")),
+      numHashes, jaccardThreshold)
+  }
+
+  /** Verified near-dup pairs BETWEEN a batch signature table and a
+    * (typically persisted) index signature table — the steady-state
+    * ingest join with zero re-hashing of index text. Ids are assumed
+    * disjoint (the caller anti-joins already-indexed ids). Returns
+    * (id_a, id_b, jaccard) with id_a < id_b. Cap applies to index-side
+    * buckets, as in [[minHashDupAgainstIndex]].
+    */
+  def minHashPairsBetweenSigs(batchSigs: DataFrame, indexSigs: DataFrame,
+      idCol: String, numHashes: Int, bands: Int, jaccardThreshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val idxBanded = cappedBands(bandsOfSigs(
+      indexSigs.select(col(idCol).as("__id"), col("minhash_sig")),
+      numHashes, bands), maxBucketSize)
+    val batchBanded = bandsOfSigs(batchSigs.select(col(idCol).as("__id"),
+      col("minhash_sig")), numHashes, bands)
+    val cand = batchBanded.select(col("band"), col("band_hash"), col("__id").as("__bid"))
+      .join(idxBanded.select(col("band"), col("band_hash"), col("__id").as("__iid")),
+        Seq("band", "band_hash"))
+      .select(least(col("__bid"), col("__iid")).as("id_a"),
+        greatest(col("__bid"), col("__iid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifySigCandidates(cand, "id_a", "id_b",
+      batchSigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles"))
+        .unionByName(indexSigs.select(col(idCol).as("__id"),
+          col("minhash_sig"), col("shingles"))),
+      numHashes, jaccardThreshold)
+  }
+
+  private def bandsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("__id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("minhash_sig"), b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>").cast("string"))
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Mega-bucket cap over a banded frame; Int.MaxValue skips the
+    * histogram pass entirely (capless mode pays no extra shuffle). */
+  private def cappedBands(banded0: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded0
+    else {
+      val ok = banded0.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
+      banded0.join(ok, Seq("band", "band_hash"), "left_semi")
+    }
+
+  /** Shared est-prefilter + exact-verify tail over candidate id pairs
+    * and a signature table keyed `__id` — staged like
+    * [[pairsFromRepSpace]]: the estimate pass joins SIGNATURES only
+    * (16·numHashes bytes/row), shingle arrays move only for the
+    * verified tail. */
+  private def verifySigCandidates(cand: DataFrame, aCol: String, bCol: String,
+      sigs: DataFrame, numHashes: Int, jaccardThreshold: Double): DataFrame = {
+    val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
+    val sigOnly = sigs.select(col("__id"), col("minhash_sig"))
+    val est = cand
+      .join(sigOnly.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
+      .join(sigOnly.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
+      .withColumn("est",
+        size(filter(zip_with(col("__siga"), col("__sigb"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("est") >= estCutoff)
+      .select(aCol, bCol)
+    val sh = sigs.select(col("__id"), col("shingles"))
+    est
+      .join(sh.select(col("__id").as(aCol), col("shingles").as("__sha")), Seq(aCol))
+      .join(sh.select(col("__id").as(bCol), col("shingles").as("__shb")), Seq(bCol))
+      .withColumn("jaccard", jaccardOfSortedLongs(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col(aCol), col(bCol), col("jaccard"))
+  }
+
   /** [[minHashDupAgainstIndex]] at the DERIVED operating point — the
     * same discipline as [[minHashDupPairsAuto]]: (rowsPerBand, bands)
     * analytically from (τ, targetRecall), the index-side mega-bucket

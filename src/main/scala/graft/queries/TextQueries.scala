@@ -573,14 +573,14 @@ object TextQueries {
     // ── E2E: the LLM-curation flagship DAG — incremental, crash-recovered ──
     // URL ledger → canonical dedup → quality gate → LSH near-dup →
     // budget cut → token shards, composed as TWO incremental crawl
-    // drops over a keyed store with a crash injected INSIDE drop 2
-    // between a chunk's pair commit and its doc commit (the worst-torn
-    // state), then a recovery run that resumes from the sink instead of
-    // restarting (the e2e_vendor_ingest discipline applied to the §2.14
-    // family). Every stage is an already-oracled operator; what THIS
-    // query proves is the COMPOSITION: the two-run + crash + recovery
-    // final output must equal the from-scratch single-pass build the
-    // oracle expresses.
+    // drops over a keyed store with a crash injected INSIDE drop 2 —
+    // after the drop's pair commit and its first doc chunk, before the
+    // rest (a torn mid-drop state) — then a recovery run that resumes
+    // from the sink instead of restarting (the e2e_vendor_ingest
+    // discipline applied to the §2.14 family). Every stage is an
+    // already-oracled operator; what THIS query proves is the
+    // COMPOSITION: the two-run + crash + recovery final output must
+    // equal the from-scratch single-pass build the oracle expresses.
     //
     // Near-dup setting: the ANALYTIC auto band shape (lshAutoShape at
     // τ=0.4 → 2 rows × 27 bands) with the mega-bucket cap DISABLED.
@@ -592,12 +592,13 @@ object TextQueries {
     // would diverge exactly at cap boundaries; a deployment re-enables
     // it per batch and accepts that bounded divergence.
     //
-    // Commit order inside a chunk is load-bearing: pairs BEFORE docs.
-    // A crash between them (exactly what run 2 injects) leaves pairs
-    // for docs the sink doesn't know — harmless, the recovery re-run
-    // recomputes and PK-upserts them idempotently. The opposite order
-    // would commit docs whose pairs are lost, and the recovery's
-    // anti-join would never revisit them: a silent dedup hole.
+    // Commit order inside a drop is load-bearing: ALL the drop's pairs
+    // BEFORE any doc chunk. A crash in between (exactly what run 2
+    // injects) leaves pairs for docs the sink doesn't know — harmless,
+    // the recovery re-run recomputes and PK-upserts them idempotently.
+    // The opposite order would commit docs whose pairs are lost, and
+    // the recovery's anti-join would never revisit them: a silent,
+    // permanent dedup hole.
     "e2e_corpus_curation" -> ((s, d) => {
       import graft.core.{TableSpec, TableStore}
       val dir = graft.core.Scratch.queryDir("e2e_curation")
@@ -639,53 +640,65 @@ object TextQueries {
         val gate = graft.operators.CorpusStats
           .gopherQuality(batch0, "doc_id", "text")
           .select(col("doc_id"), col("keep"))
+        // one fused scoring + signature pass per fetched doc: the
+        // minhash signature and shingle set are computed HERE, once,
+        // and PERSISTED with the row — every later drop reads them as
+        // its index side instead of re-hashing previously ingested
+        // text (the incremental-index shape minHashSigTable documents)
         val batch = graft.core.Scratch.materialize(
           batch0.join(gate, Seq("doc_id"))
             .withColumn("__toks", tokens(col("text")))
             .withColumn("__ltoks", tokens(lower(col("text"))))
+            .withColumn("__c", Dedup.sigAndHashedShingles(5, lr * lb)(col("text")))
             .select(col("doc_id"), col("source"), col("n_urls"),
               qualityScoreOf(col("text"), col("__toks"), col("__ltoks")).as("quality"),
               tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
-              col("keep"), col("text")),
+              col("keep"), col("__c._1").as("minhash_sig"),
+              col("__c._2").as("shingles")),
           s"e2e_cur_batch_$tag", d)
-        // the reference's bunch-insert batching: commit in chunks so a
-        // crash preserves partial progress
-        (0 until 3).foreach { i =>
-          val chunk = batch.filter(pmod(col("doc_id"), lit(3)) === i)
-          val dedupIn = chunk.filter(col("keep"))
-          val index =
-            if (store.exists(docSpec))
-              store.read(docSpec).filter(col("keep"))
-                .select(col("doc_id"), col("text"))
-            else dedupIn.select(col("doc_id"), col("text")).filter(lit(false))
-          val within = Dedup.minHashDupPairs(dedupIn, "doc_id", "text",
-            shingleLen = 5, numHashes = lr * lb, bands = lb,
-            jaccardThreshold = 0.4, maxBucketSize = Int.MaxValue)
-          val cross = Dedup.minHashDupAgainstIndex(index, dedupIn, "doc_id", "text",
-            shingleLen = 5, numHashes = lr * lb, bands = lb,
-            jaccardThreshold = 0.4, maxBucketSize = Int.MaxValue)
-            .select(least(col("new_id"), col("index_id")).as("id_a"),
-              greatest(col("new_id"), col("index_id")).as("id_b"), col("jaccard"))
-          val pairs = within.unionByName(cross)
-          if (!pairs.isEmpty) store.upsert(pairSpec, pairs)
-          within.unpersist()
-          cross.unpersist()
+        // Near-dup pairs for the WHOLE drop, committed BEFORE any doc
+        // chunk: within-drop pairs + drop-vs-index pairs cover exactly
+        // the pairs this drop adds, and committing them first means a
+        // crash can only leave ORPHAN pairs (docs the sink doesn't
+        // know — recomputed and PK-upserted idempotently on recovery).
+        // The opposite order would commit docs whose pairs are lost,
+        // and the recovery anti-join would never revisit them: a
+        // silent, permanent dedup hole.
+        val dedupIn = batch.filter(col("keep"))
+          .select(col("doc_id"), col("minhash_sig"), col("shingles"))
+        val index =
+          if (store.exists(docSpec))
+            store.read(docSpec).filter(col("keep"))
+              .select(col("doc_id"), col("minhash_sig"), col("shingles"))
+          else dedupIn.filter(lit(false))
+        val within = Dedup.minHashPairsWithinSigs(dedupIn, "doc_id",
+          numHashes = lr * lb, bands = lb, jaccardThreshold = 0.4)
+        val cross = Dedup.minHashPairsBetweenSigs(dedupIn, index, "doc_id",
+          numHashes = lr * lb, bands = lb, jaccardThreshold = 0.4)
+        val pairs = within.unionByName(cross).persist()
+        if (!pairs.isEmpty) store.upsert(pairSpec, pairs)
+        pairs.unpersist()
+        // the reference's bunch-insert batching: docs commit in chunks
+        // so a crash preserves partial progress
+        // chunk on doc_id div 2 so BOTH parity drops split non-trivially
+        (0 until 2).foreach { i =>
+          val chunk = batch.filter(pmod(expr("doc_id div 2"), lit(2)) === i)
+          if (!chunk.isEmpty) store.upsert(docSpec, chunk)
           if (i == crashBetweenChunk)
             throw new RuntimeException(
-              "injected crash: pairs committed, docs not — the torn chunk")
-          if (!chunk.isEmpty) store.upsert(docSpec, chunk)
+              "injected crash: drop pairs + first doc chunk committed, rest lost")
         }
         n
       }
 
       runDrop("run1", lit(0), -1) // drop 1: even docs, clean run
       val crashed =
-        try { runDrop("crash", lit(1), 1); false }
+        try { runDrop("crash", lit(1), 0); false }
         catch { case _: RuntimeException => true }
       require(crashed, "e2e curation: crash injection never fired")
       // recovery: REPLAN from the sink — chunk 0's committed docs are
-      // skipped, the torn chunk 1 is recomputed (its orphan pairs
-      // PK-upsert idempotently), chunk 2 runs fresh
+      // skipped, chunk 1's docs are re-fetched and their (already
+      // committed) pairs PK-upsert idempotently
       val replayed = runDrop("rec", lit(1), -1)
       val fullDrop2 = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(2)) === 1).count()
@@ -1000,8 +1013,12 @@ object TextQueries {
     */
   private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
       maxBucket: Int = 100, autoCap: Boolean = false,
-      noCap: Boolean = false): String = {
+      noCap: Boolean = false, tau: Double = 0.4): String = {
     val rows = numHashes / bands
+    // engine twin: estCutoff = max(0, τ - 0.25); fixed 2-dp rendering so
+    // the SQL literal is exact for the thresholds in use
+    val tauLit = f"$tau%.2f"
+    val estLit = f"${math.max(0.0, tau - 0.25)}%.2f"
     // Auto mode replays Dedup.autoBucketCap: cut at the largest relative
     // gap (argmax by (ratio, n) — ordering only, no float equality)
     // between consecutive distinct bucket sizes ≥ 16, falling back to
@@ -1037,7 +1054,7 @@ object TextQueries {
        |  JOIN sigs$p sa ON sa.doc_id = cand$p.id_a
        |  JOIN sigs$p sb ON sb.doc_id = cand$p.id_b
        |  WHERE CAST(len(list_filter(range(1, ${numHashes + 1}),
-       |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes >= 0.15),
+       |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes >= $estLit),
        |rp$p AS (
        |  SELECT id_a, id_b, jac FROM (
        |    SELECT id_a, id_b,
@@ -1047,7 +1064,7 @@ object TextQueries {
        |    FROM est$p
        |    JOIN sigs$p sa ON sa.doc_id = est$p.id_a
        |    JOIN sigs$p sb ON sb.doc_id = est$p.id_b) x
-       |  WHERE jac >= 0.4),
+       |  WHERE jac >= $tauLit),
        |prs$p AS MATERIALIZED (
        |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, jac
        |  FROM rp$p JOIN mem ma ON ma.rid = rp$p.id_a
@@ -1646,7 +1663,7 @@ object TextQueries {
          |  JOIN q ON q.doc_id = d.doc_id
          |  WHERE gk.keep),
          |${minhashBaseCtesFrom("kd")},
-         |${minhashSettingCtes("", numHashes = lr * lb, bands = lb, noCap = true)},
+         |${minhashSettingCtes("", numHashes = lr * lb, bands = lb, noCap = true, tau = 0.4)},
          |drp AS (SELECT DISTINCT id_b AS doc_id FROM prs),
          |alive AS MATERIALIZED (
          |  SELECT kd.doc_id, kd.source, kd.n_urls, kd.quality, kd.n_tokens
