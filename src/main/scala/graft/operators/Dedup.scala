@@ -666,24 +666,63 @@ object Dedup {
       r * b, b, jaccardThreshold, Right((minOutlierBucket, outlierGapRatio)))
   }
 
+  // r14, found by the full sf10 board: the asymmetric ingest join now
+  // runs the SAME identity collapse as minHashPairsCore, on BOTH sides.
+  // On a duplicate-heavy corpus (the verbatim ScaleUp corpus: 100
+  // identical copies per text) the uncollapsed batch×index bucket join
+  // exploded multiplicatively in copy counts — 1147 s at sf10 at the
+  // auto point — while the collapsed pipeline pays for DISTINCT texts
+  // and fans members out only at emission. Same two recall wins as the
+  // bootstrap fix: identical batch/index texts pair UNCONDITIONALLY
+  // (pre-collapse a big-enough identical cohort blew past the cap and
+  // its jaccard-1.0 matches silently vanished), and the index-side cap
+  // counts DISTINCT texts — the mega-bucket definition intended all
+  // along.
   private def minHashAgainstIndexCore(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int, bands: Int,
       jaccardThreshold: Double, capSpec: Either[Int, (Int, Double)]): DataFrame = {
     require(numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes")
+    require(jaccardThreshold > 0,
+      "threshold must be positive — identical batch/index texts emit " +
+      "unconditionally at jaccard 1.0, which matches the uncollapsed " +
+      "semantics only for τ > 0")
     val rowsPerBand = numHashes / bands
-    def perDocOf(df: DataFrame) = graft.core.Tables.scatter(df)
-      .select(col(idCol).as("__id"),
-        sigAndHashedShingles(shingleLen, numHashes)(col(textCol)).as("__c"))
-      .select(col("__id"), col("__c._1").as("sig"), col("__c._2").as("__sh"))
+    def collapse(df: DataFrame): (DataFrame, DataFrame) = {
+      val withNorm = graft.core.Tables.scatter(df)
+        .select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__norm"))
+        .filter(col("__norm").isNotNull)
+        .withColumn("__k", sha2(col("__norm").cast("binary"), 256))
+      val reps = withNorm.groupBy(col("__k"))
+        .agg(min(col("__id")).as("__rid"), min(col("__norm")).as("__norm"))
+        .persist()
+      val members = withNorm.select(col("__k"), col("__id"))
+        .join(reps.select(col("__k"), col("__rid")), Seq("__k"))
+        .select(col("__k"), col("__rid"), col("__id"))
+        .persist()
+      members.count()
+      (reps, members)
+    }
+    val (iReps, iMem) = collapse(index)
+    val (bReps, bMem) = collapse(batch)
+    // identical texts across the boundary: every (batch member, index
+    // member) pair, unconditionally — banding and the cap never see them
+    val samePairs = bMem.select(col("__k"), col("__id").as("new_id"))
+      .join(iMem.select(col("__k"), col("__id").as("index_id")), Seq("__k"))
+      .select(col("new_id"), col("index_id"), lit(1.0).as("jaccard"))
+    def perDocOf(reps: DataFrame) = reps
+      .select(col("__rid").as("__id"), col("__k"),
+        sigAndHashedShingles(shingleLen, numHashes)(col("__norm")).as("__c"))
+      .select(col("__id"), col("__k"),
+        col("__c._1").as("sig"), col("__c._2").as("__sh"))
     def bandedOf(sigs: DataFrame) = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>").cast("string"))
       }: _*)).as(Seq("band", "band_hash")))
-    val idxDoc = perDocOf(index).persist()
-    val newDoc = perDocOf(batch).persist()
+    val idxDoc = perDocOf(iReps).persist()
+    val newDoc = perDocOf(bReps).persist()
     val idxBand0 = bandedOf(idxDoc.select(col("__id"), col("sig")))
     val maxBucketSize = capSpec match {
       case Left(fixed) => fixed
@@ -696,30 +735,45 @@ object Dedup {
       .drop("__n")
     val idxBand = idxBand0.join(okBuckets, Seq("band", "band_hash"), "left_semi")
     val newBand = bandedOf(newDoc.select(col("__id"), col("sig")))
-    val cand = newBand.select(col("band"), col("band_hash"), col("__id").as("new_id"))
-      .join(idxBand.select(col("band"), col("band_hash"), col("__id").as("index_id")),
+    val cand = newBand.select(col("band"), col("band_hash"), col("__id").as("new_rid"))
+      .join(idxBand.select(col("band"), col("band_hash"), col("__id").as("index_rid")),
         Seq("band", "band_hash"))
-      .select("new_id", "index_id")
-      .dropDuplicates("new_id", "index_id")
+      .select("new_rid", "index_rid")
+      .dropDuplicates("new_rid", "index_rid")
+      // same-text rep pairs are spoken for (emitted above at 1.0)
+      .join(newDoc.select(col("__id").as("new_rid"), col("__k").as("__kb")), Seq("new_rid"))
+      .join(idxDoc.select(col("__id").as("index_rid"), col("__k").as("__ki")), Seq("index_rid"))
+      .filter(col("__kb") =!= col("__ki"))
+      .select("new_rid", "index_rid")
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
     val withSigs = cand
-      .join(newDoc.select(col("__id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
-      .join(idxDoc.select(col("__id").as("index_id"), col("sig").as("sig_i")), Seq("index_id"))
+      .join(newDoc.select(col("__id").as("new_rid"), col("sig").as("sig_n")), Seq("new_rid"))
+      .join(idxDoc.select(col("__id").as("index_rid"), col("sig").as("sig_i")), Seq("index_rid"))
       .withColumn("est",
         size(filter(zip_with(col("sig_n"), col("sig_i"), (x, y) => x === y), b => b))
           .cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
-      .select("new_id", "index_id")
-    val pairs = withSigs
-      .join(newDoc.select(col("__id").as("new_id"), col("__sh").as("sh_n")), Seq("new_id"))
-      .join(idxDoc.select(col("__id").as("index_id"), col("__sh").as("sh_i")), Seq("index_id"))
+      .select("new_rid", "index_rid")
+    val repPairs = withSigs
+      .join(newDoc.select(col("__id").as("new_rid"), col("__sh").as("sh_n")), Seq("new_rid"))
+      .join(idxDoc.select(col("__id").as("index_rid"), col("__sh").as("sh_i")), Seq("index_rid"))
       .withColumn("jaccard", jaccardOfSortedLongs(col("sh_n"), col("sh_i")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select("new_id", "index_id", "jaccard")
-    val out = pairs.persist()
+      .select("new_rid", "index_rid", "jaccard")
+    // emission fan-out: cross-rep member pairs inherit their reps' exact
+    // jaccard (identical texts are interchangeable)
+    val crossPairs = repPairs
+      .join(bMem.select(col("__rid").as("new_rid"), col("__id").as("new_id")),
+        Seq("new_rid"))
+      .join(iMem.select(col("__rid").as("index_rid"), col("__id").as("index_id")),
+        Seq("index_rid"))
+      .select(col("new_id"), col("index_id"), col("jaccard"))
+    val out = crossPairs.unionByName(samePairs).persist()
     out.count()
     idxDoc.unpersist()
     newDoc.unpersist()
+    iReps.unpersist(); iMem.unpersist()
+    bReps.unpersist(); bMem.unpersist()
     out
   }
 

@@ -141,25 +141,37 @@ object QualityQueries {
         "bitext_emb", d)
       val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
       val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
-      val exact = Similarity.marginBitextMine(src, tgt,
-          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
-        .select(col("src_id"), col("tgt_id"))
+      // Each mined set is MATERIALIZED before the count/intersection
+      // algebra: settingRow references every set 2-3× (count + semi
+      // join), and the exact kernel is quadratic by semantics — at
+      // sf10 (75k × 70k sides, ~16 min for one evaluation) the lazy
+      // plan re-ran it per reference and the audit took hours instead
+      // of minutes. Found by the r14 full sf10 board.
+      val exact = graft.core.Scratch.materialize(
+        Similarity.marginBitextMine(src, tgt,
+            "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
+          .select(col("src_id"), col("tgt_id")),
+        "bitext_exact", d)
       val srcCent = src.orderBy(col("doc_id")).limit(8)
         .select(col("doc_id").as("cent_id"), col("v").as("cv"))
       val tgtCent = tgt.orderBy(col("doc_id")).limit(8)
         .select(col("doc_id").as("cent_id"), col("v").as("cv"))
-      val ann = Similarity.marginBitextMineIvf(src, tgt,
-          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0,
-          srcCent, tgtCent, "cent_id", "cv", nprobe = 6)
-        .select(col("src_id"), col("tgt_id"))
+      val ann = graft.core.Scratch.materialize(
+        Similarity.marginBitextMineIvf(src, tgt,
+            "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0,
+            srcCent, tgtCent, "cent_id", "cv", nprobe = 6)
+          .select(col("src_id"), col("tgt_id")),
+        "bitext_ann_fixed", d)
       // auto = the DERIVED point (r14): ⌈√N⌉ cells per side, nprobe
       // MEASURED per direction by ivfCalibrateNprobe's cell-rank
       // histogram at a 95% target — the LSH auto discipline applied to
       // IVF. Rides next to the fixed hand-set point it replaced
       // (ivf_c8_p6, recall 0.89/0.88 at sf0.01/0.1).
-      val annAuto = Similarity.marginBitextMineIvfAuto(src, tgt,
-          "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
-        .select(col("src_id"), col("tgt_id"))
+      val annAuto = graft.core.Scratch.materialize(
+        Similarity.marginBitextMineIvfAuto(src, tgt,
+            "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
+          .select(col("src_id"), col("tgt_id")),
+        "bitext_ann_auto", d)
       def r6(x: org.apache.spark.sql.Column) =
         floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
       def settingRow(setting: String, mined: DataFrame): DataFrame = {
