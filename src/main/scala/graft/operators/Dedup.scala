@@ -300,7 +300,20 @@ object Dedup {
       .filter(col("__n") >= minOutlierBucket && col("__nx").isNotNull)
       .withColumn("__ratio", col("__nx").cast("double") / col("__n"))
     val best = gaps.orderBy(desc("__ratio"), desc("__n")).limit(1).collect()
-    if (best.isEmpty || best(0).getDouble(2) < outlierGapRatio) {
+    // Cut at the largest relative gap unconditionally (r14). The ≥1.5
+    // qualifying floor used to route "no clear knee" to max(n) — i.e.
+    // keep EVERY bucket — which on a smooth histogram (the mutated-copy
+    // corpus: heavy rewrites populate a dense size range with no 1.5×
+    // jump) silently disabled the skew guard and let the 2-row-band
+    // candidate join go quadratic (367 s at sf1-mutated, found by the
+    // r14 scaling record). Whenever a ≥`outlierGapRatio` knee exists —
+    // every driver SF — the argmax IS that knee, so the selection (and
+    // every oracle hash) is unchanged; the floor now only labels the
+    // knee quality in the degenerate no-gap case, where SOME bound
+    // beats none: LSH recall loss from a capped bucket is measurable
+    // (dd_lsh_recall_report), a quadratic join at 100 TB is fatal.
+    val _ = outlierGapRatio // knee-quality floor retired from selection
+    if (best.isEmpty) {
       val m = ds.agg(max(col("__n"))).head()
       if (m.isNullAt(0)) 1 else m.getLong(0).toInt
     } else best(0).getLong(0).toInt

@@ -1021,8 +1021,8 @@ object TextQueries {
     val estLit = f"${math.max(0.0, tau - 0.25)}%.2f"
     // Auto mode replays Dedup.autoBucketCap: cut at the largest relative
     // gap (argmax by (ratio, n) — ordering only, no float equality)
-    // between consecutive distinct bucket sizes ≥ 16, falling back to
-    // max(n) when no gap reaches 1.5×. noCap disables the mega-bucket
+    // between consecutive distinct bucket sizes ≥ 16 (r14: the 1.5×
+    // qualifying floor is retired — max(n) only when no gap exists). noCap disables the mega-bucket
     // guard entirely (the e2e curation DAG's decomposable setting).
     val capClause =
       if (noCap) Long.MaxValue.toString
@@ -1033,7 +1033,7 @@ object TextQueries {
           |gap$p AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM ds$p),
           |cap$p AS (SELECT COALESCE(
           |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gap$p
-          |       WHERE n >= 16 AND nx IS NOT NULL AND CAST(nx AS DOUBLE) / n >= 1.5
+          |       WHERE n >= 16 AND nx IS NOT NULL
           |       ORDER BY r DESC, n DESC LIMIT 1) g),
           |    (SELECT max(n) FROM ds$p)) AS cap),
           |""".stripMargin
@@ -1660,7 +1660,7 @@ object TextQueries {
          |gapi AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM dsi),
          |capi AS (SELECT COALESCE(
          |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gapi
-         |       WHERE n >= 16 AND nx IS NOT NULL AND CAST(nx AS DOUBLE) / n >= 1.5
+         |       WHERE n >= 16 AND nx IS NOT NULL
          |       ORDER BY r DESC, n DESC LIMIT 1) g),
          |    (SELECT max(n) FROM dsi)) AS cap),
          |ok AS (SELECT band, bh FROM banded WHERE doc_id < 1000000
