@@ -1613,6 +1613,84 @@ object TextQueries {
         |FROM pairs WHERE cos_raw >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The crash-recovered two-run curation DAG must equal this
+    // from-scratch single pass: URL ledger → canonical dedup (n_urls
+    // per doc), Gopher gate, quality score + token count, capless
+    // (2-row × 27-band) minhash pairs over the gated set with the
+    // identity collapse, min-id-wins suppression, the 3/5-token budget
+    // cut (histogram semantics), and the snake token shards.
+    "e2e_corpus_curation" -> {
+      val (lr, lb) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+      s"""WITH $urlCanonCtes,
+         |ledg AS (SELECT canonical_url, CAST(min(cid) AS BIGINT) AS keep_id,
+         |    CAST(count(*) AS BIGINT) AS n_urls FROM c GROUP BY 1),
+         |pdoc AS (SELECT keep_id % 1000000 AS doc_id,
+         |    CAST(sum(n_urls) AS BIGINT) AS n_urls FROM ledg GROUP BY 1),
+         |gt AS (SELECT doc_id, $toksLower AS lt FROM documents),
+         |gtok AS (SELECT doc_id, unnest(lt) AS w FROM gt),
+         |gtc AS (SELECT doc_id, w, count(*) AS c FROM gtok GROUP BY 1, 2),
+         |guni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    max(c) AS top_c, count(*) AS n_uniq FROM gtc GROUP BY 1),
+         |gk AS (SELECT d.doc_id,
+         |    coalesce(CAST(guni.top_c AS DOUBLE) / guni.n_tokens <= 0.1
+         |      AND CAST(guni.n_uniq AS DOUBLE) / guni.n_tokens >= 0.4, false) AS keep
+         |  FROM documents d LEFT JOIN guni ON guni.doc_id = d.doc_id),
+         |qt AS (SELECT doc_id, text, $toksExpr AS toks, $toksLower AS ltoks FROM documents),
+         |parts AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score,
+         |  1.0 - least((CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '$punctClass', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+         |  CASE WHEN (CASE WHEN len(toks) > 0 THEN
+         |        CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) ELSE 0.0 END)
+         |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+         |  least((CASE WHEN len(ltoks) > 0 THEN
+         |      CAST(len(list_filter(ltoks, x -> list_contains($enStops, x))) AS DOUBLE) / len(ltoks)
+         |    ELSE 0.0 END) * 5.0, 1.0) AS sw_score
+         |FROM qt),
+         |q AS (SELECT doc_id, n_tokens,
+         |  round(length_score * 0.4 + punct_score * 0.2 + word_score * 0.2 + sw_score * 0.2, 6) AS quality
+         |FROM parts),
+         |kd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text, p.n_urls, q.quality, q.n_tokens
+         |  FROM documents d
+         |  JOIN pdoc p ON p.doc_id = d.doc_id
+         |  JOIN gk ON gk.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE gk.keep),
+         |${minhashBaseCtesFrom("kd")},
+         |${minhashSettingCtes("", numHashes = lr * lb, bands = lb, noCap = true, tau = 0.4)},
+         |drp AS (SELECT DISTINCT id_b AS doc_id FROM prs),
+         |alive AS MATERIALIZED (
+         |  SELECT kd.doc_id, kd.source, kd.n_urls, kd.quality, kd.n_tokens
+         |  FROM kd LEFT JOIN drp ON drp.doc_id = kd.doc_id
+         |  WHERE drp.doc_id IS NULL),
+         |ab AS (SELECT *, CAST(floor(least(greatest(quality, 0), 1) * 1000) AS INT) AS b FROM alive),
+         |bud AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 5 AS budget FROM alive),
+         |bhist AS (SELECT b, CAST(sum(n_tokens) AS BIGINT) AS bt FROM ab GROUP BY b),
+         |bcum AS (SELECT b, bt, CAST(coalesce(sum(bt) OVER (ORDER BY b DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM bhist),
+         |bsel AS (SELECT ab.doc_id, ab.quality, ab.n_tokens, ab.b, c.bt, c.cumb, bud.budget
+         |  FROM ab JOIN bcum c ON ab.b = c.b CROSS JOIN bud),
+         |bkeep AS (
+         |  SELECT doc_id, n_tokens FROM bsel WHERE cumb + bt <= budget
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT s.doc_id, s.n_tokens, s.cumb, s.budget,
+         |      CAST(sum(s.n_tokens) OVER (PARTITION BY s.b
+         |        ORDER BY s.quality DESC, s.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+         |    FROM bsel s WHERE s.cumb < s.budget AND s.cumb + s.bt > s.budget) x
+         |  WHERE run <= budget - cumb),
+         |o AS (SELECT doc_id, n_tokens,
+         |  CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS ord FROM bkeep)
+         |SELECT o.doc_id, a.source, a.n_urls, a.quality, o.n_tokens, o.ord,
+         |  CAST(CASE WHEN ((o.ord - 1) // 16) % 2 = 0 THEN (o.ord - 1) % 16
+         |            ELSE 15 - (o.ord - 1) % 16 END AS INT) AS shard
+         |FROM o JOIN alive a ON a.doc_id = o.doc_id
+         |ORDER BY o.doc_id""".stripMargin
+    },
+
     // Asymmetric replay of the minhash pipeline over base ∪ re-keyed
     // batch, WITH the r14 two-sided identity collapse: per-side rep
     // election (min id per normalized text), unconditional same-text
