@@ -42,16 +42,84 @@ object Dedup {
     */
   def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCosine: Double): DataFrame = {
-    val a = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
-    a.join(b, Seq("__bk"))
-      .filter(col("id_a") < col("id_b"))
+    // Identity collapse for VECTORS (r15, the dd_doc_semdedup/
+    // dd_embed_cosine sf10 fix — the text-side collapseByText discipline
+    // applied to embeddings): byte-identical vectors inside a block
+    // collapse to one representative, the pairwise cosine scan runs in
+    // rep space, and member pairs fan out arithmetically at emission
+    // (same-vector members pair at the vector's own self-cosine — the
+    // raw kernel's value for an identical pair, which is NOT exactly 1.0
+    // in floating point and is 0 for zero vectors; cross-rep member
+    // pairs inherit their reps' cosine, identical bytes being
+    // interchangeable). On a replication-heavy corpus (the verbatim
+    // ScaleUp corpus: 100 identical copies per vector) the within-block
+    // quadratic cost drops from O(Σ block²) in DOCUMENTS to O(Σ block²)
+    // in DISTINCT vectors; the output fan-out is the mandated result,
+    // not intermediate state. The identity key is the vector's exact
+    // decimal string form (Spark's double→string cast is
+    // shortest-round-trip, hence injective), sha2-256-hashed so the
+    // grouping shuffle moves 32-byte keys. Rows with a null block or
+    // null vector produce no pairs in the raw kernel (null equi-join /
+    // null cosine) and are filtered symmetrically here. The
+    // duplicate-sparse short-circuit ([[collapsePays]]) keeps the raw
+    // single-join plan — and the bench-SF board cost — when collapsing
+    // cannot pay.
+    val keyed = vectors
+      .select(col(blockCol).as("__bk"), col(idCol).as("__mid"),
+        col(vecCol).as("__mv"))
+      .filter(col("__bk").isNotNull && col("__mv").isNotNull)
+      .withColumn("__gk",
+        sha2(col("__mv").cast("array<string>").cast("string").cast("binary"), 256))
+    val groups = keyed.groupBy(col("__bk"), col("__gk"))
+      .agg(min(col("__mid")).as("__rid"), first(col("__mv")).as("__mv"),
+        count(lit(1)).as("__k"))
+    if (!collapsePays(groups)) {
+      val a = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"))
+      val b = vectors.select(col(blockCol).as("__bk"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"))
+      return a.join(b, Seq("__bk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")))
+        .filter(col("cosine") >= minCosine)
+        .select("id_a", "id_b", "cosine")
+    }
+    val key = s"$idCol|$vecCol|$blockCol|$minCosine|" +
+      graft.core.Scratch.planKey(vectors)
+    val grp = graft.core.Scratch.materialize(groups, "vec_collapse_groups", key)
+    val mem = graft.core.Scratch.materialize(
+      keyed.select(col("__bk"), col("__gk"), col("__mid")),
+      "vec_collapse_members", key)
+    val a = grp.select(col("__bk"), col("__gk").as("__ga"),
+      col("__rid").as("__ra"), col("__mv").as("__va"))
+    val b = grp.select(col("__bk"), col("__gk").as("__gb"),
+      col("__rid").as("__rb"), col("__mv").as("__vb"))
+    val repPairs = a.join(b, Seq("__bk"))
+      .filter(col("__ra") < col("__rb"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
+      .select(col("__bk"), col("__ga"), col("__gb"), col("cosine"))
+    val cross = repPairs
+      .join(mem.select(col("__bk"), col("__gk").as("__ga"), col("__mid").as("__ma")),
+        Seq("__bk", "__ga"))
+      .join(mem.select(col("__bk"), col("__gk").as("__gb"), col("__mid").as("__mb")),
+        Seq("__bk", "__gb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+    val same = grp.filter(col("__k") >= 2)
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("__mv"), col("__mv")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("__bk"), col("__gk"), col("cosine"))
+      .join(mem.select(col("__bk"), col("__gk"), col("__mid").as("__ma")),
+        Seq("__bk", "__gk"))
+      .join(mem.select(col("__bk"), col("__gk"), col("__mid").as("__mb")),
+        Seq("__bk", "__gk"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"), col("cosine"))
+    cross.unionByName(same)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -77,27 +145,81 @@ object Dedup {
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centId: String, centVec: String,
       eps: Double): DataFrame = {
-    // The assignment subtree (scan + broadcast argmin + top-1 window) is
-    // consumed three times (both self-join sides + the final keep join);
-    // materialize it once — Catalyst shares no plans across join
-    // branches, and at corpus scale three assignment passes would triple
-    // the operator's only per-vector shuffle.
     val key = s"$idCol|$vecCol|$eps|${graft.core.Scratch.planKey(vectors)}" +
       s"|${graft.core.Scratch.planKey(centroids)}"
+    // Identity collapse for vectors (r15 — see [[embeddingCosinePairs]]):
+    // byte-identical vectors share one cell assignment (nearest-centroid
+    // is a pure function of the vector) and one within-cell scan row.
+    // The per-member dup verdict reconstructs arithmetically: a member x
+    // of group g is a duplicate iff SOME lower-id cell-mate sits within
+    // eps, i.e. iff x exceeds the group's minimum qualifying threshold —
+    // min over {rid(g') : (g,g') rep pair at cos ≥ eps} ∪ {rid(g) when
+    // the group's self-cosine (1 for nonzero vectors, 0 for zero/NaN —
+    // the raw kernel's own value for identical pairs) clears eps and
+    // |g| ≥ 2}. The null key is coalesced to a sentinel so null-vector
+    // rows keep flowing to the output exactly as the raw plan's
+    // null-cosine (never ≥ eps → kept) semantics. Duplicate-sparse
+    // corpora short-circuit to the raw per-document plan
+    // ([[collapsePays]]), keeping the bench-SF board cost unchanged.
+    val keyed = vectors
+      .select(col(idCol).as("__mid"), col(vecCol).as("__mv"))
+      .withColumn("__gk", sha2(coalesce(
+        col("__mv").cast("array<string>").cast("string"),
+        lit("__NULL_VEC__")).cast("binary"), 256))
+    val groups = keyed.groupBy(col("__gk"))
+      .agg(min(col("__mid")).as("__rid"), first(col("__mv")).as("__mv"),
+        count(lit(1)).as("__k"))
+    if (!collapsePays(groups)) {
+      // The assignment subtree (scan + broadcast argmin + top-1 window)
+      // is consumed three times (both self-join sides + the final keep
+      // join); materialize it once — Catalyst shares no plans across
+      // join branches, and at corpus scale three assignment passes would
+      // triple the operator's only per-vector shuffle.
+      val assigned = graft.core.Scratch.materialize(
+        graft.operators.Similarity
+          .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec),
+        "semdedup_cells", key)
+      val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+      val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+      val dups = a.join(b, Seq("cell"))
+        .filter(col("__ida") < col("__idb"))
+        .filter(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")) >= eps)
+        .select(col("__idb").as(idCol)).distinct()
+      return assigned
+        .join(dups.withColumn("__dup", lit(1)), Seq(idCol), "left_outer")
+        .select(col(idCol), col("cell"),
+          when(col("__dup").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+    }
+    // rep-space assignment, consumed by both self-join sides and the
+    // member fan-out — materialized once, like the raw path's cache
     val assigned = graft.core.Scratch.materialize(
-      graft.operators.Similarity
-        .ivfAssign(vectors, idCol, vecCol, centroids, centId, centVec),
-      "semdedup_cells", key)
-    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
-    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dups = a.join(b, Seq("cell"))
-      .filter(col("__ida") < col("__idb"))
+      graft.operators.Similarity.ivfAssign(
+        groups.select(col("__gk"), col("__rid"), col("__k"), col("__mv")),
+        "__rid", "__mv", centroids, centId, centVec),
+      "semdedup_repcells", key)
+    val a = assigned.select(col("cell"), col("__gk").as("__ga"),
+      col("__rid").as("__ra"), col("__mv").as("__va"))
+    val b = assigned.select(col("cell"), col("__gk").as("__gb"),
+      col("__rid").as("__rb"), col("__mv").as("__vb"))
+    val repPairs = a.join(b, Seq("cell"))
+      .filter(col("__ra") < col("__rb"))
       .filter(graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")) >= eps)
-      .select(col("__idb").as(idCol)).distinct()
-    assigned
-      .join(dups.withColumn("__dup", lit(1)), Seq(idCol), "left_outer")
-      .select(col(idCol), col("cell"),
-        when(col("__dup").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+      .select(col("__ga"), col("__ra"), col("__gb"), col("__rb"))
+    // per-group duplicate threshold: a rep pair (g, g') at cos ≥ eps
+    // makes every member of g above rid(g') (and of g' above rid(g)) a
+    // duplicate; a qualifying self-cosine makes every non-rep member one
+    val thresholds = repPairs.select(col("__gb").as("__gk"), col("__ra").as("__thr"))
+      .unionByName(repPairs.select(col("__ga").as("__gk"), col("__rb").as("__thr")))
+      .unionByName(assigned.filter(col("__k") >= 2 &&
+          graft.functions.VectorFunctions.cosine(col("__mv"), col("__mv")) >= eps)
+        .select(col("__gk"), col("__rid").as("__thr")))
+      .groupBy(col("__gk")).agg(min(col("__thr")).as("__thr"))
+    keyed
+      .join(assigned.select(col("__gk"), col("cell")), Seq("__gk"))
+      .join(thresholds, Seq("__gk"), "left_outer")
+      .select(col("__mid").as(idCol), col("cell"),
+        when(col("__thr").isNotNull && col("__mid") > col("__thr"), lit(0L))
+          .otherwise(lit(1L)).as("kept"))
   }
 
   /** MinHash signature: `numHashes` permutations from the
@@ -258,6 +380,12 @@ object Dedup {
     *
     * Both derivations are deterministic functions of (τ, corpus), so a
     * SQL oracle replays them exactly (dd_lsh_recall_report's auto row).
+    *
+    * This is the single-shape form; the engine's DEFAULT dedup path is
+    * [[minHashDupPairsBudgeted]], which walks a recall ladder and only
+    * keeps this shape when its MEASURED candidate mass fits the budget
+    * (the R=0.99-forced 2-row banding is quadratic-ish on realistic
+    * corpora — 209 s at sf1-mutated, the r14 scaling record).
     */
   def minHashDupPairsAuto(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, jaccardThreshold: Double = 0.6,
@@ -266,6 +394,78 @@ object Dedup {
     val (r, b) = lshAutoShape(jaccardThreshold, targetRecall, maxBands)
     minHashPairsCore(docs, idCol, textCol, shingleLen, r * b, b,
       jaccardThreshold, Right((minOutlierBucket, outlierGapRatio)))
+  }
+
+  /** [[minHashDupPairsAuto]] with a MEASURED candidate-budget check on
+    * the band shape — the missing cost dial of the derived operating
+    * point. The analytic chooser alone is recall-only: at τ=0.4 a
+    * R=0.99 target forces r=2 (r=3 needs 70 > 64 bands), and 2-row band
+    * keys are so coarse that a low-duplication corpus (heavy rewrites,
+    * realistic growth — the mutated ScaleUp corpus) carries crushing
+    * INTRINSIC candidate mass in perfectly ordinary buckets the
+    * mega-bucket cap must not cut (measured 209 s at sf1-mutated, the
+    * r14 scaling record). This operator walks `recallLadder` from the
+    * highest target down: for each shape it bands the (collapsed,
+    * already-hashed) representative signatures, derives the auto cap,
+    * and MEASURES the capped candidate mass Σ C(bucket,2) — the exact
+    * row count of the bucket self-join; the first shape whose mass fits
+    * `budgetPairsPerRep · nReps` wins, and the ladder's last entry is
+    * unconditional (at τ=0.4 that is R=0.95 → r=3 × 46 bands, whose
+    * buckets are cubically smaller). The trade is explicit and
+    * measurable: dd_lsh_recall_report carries the fallback shape's
+    * measured recall next to the primary's.
+    *
+    * Cost of the decision: the ladder shapes share ONE corpus
+    * normalization/collapse/hash pass (Kirsch–Mitzenmacher prefix
+    * slicing, as [[minHashDupPairsMulti]]); each probe is a banding
+    * groupBy over rep-space id/hash rows plus the model-sized histogram
+    * — nothing pairwise runs until the shape is chosen. The decision is
+    * a deterministic integer compare over measured longs, so the DuckDB
+    * oracle replays shape selection, cap, mass, and verdict exactly.
+    */
+  def minHashDupPairsBudgeted(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, jaccardThreshold: Double = 0.6,
+      recallLadder: Seq[Double] = Seq(0.99, 0.95), maxBands: Int = 64,
+      minOutlierBucket: Int = 16, outlierGapRatio: Double = 1.5,
+      budgetPairsPerRep: Long = 64L): DataFrame = {
+    require(recallLadder.nonEmpty, "recallLadder must be non-empty")
+    require(recallLadder == recallLadder.sorted.reverse,
+      s"recallLadder $recallLadder must be highest-recall first — the walk " +
+      "accepts the FIRST shape within budget and must not skip a cheaper, " +
+      "higher-recall one")
+    val shapes = recallLadder.map(lshAutoShape(jaccardThreshold, _, maxBands))
+    val maxHashes = shapes.map { case (r, b) => r * b }.max
+    val rs = collapseToReps(docs, idCol, textCol, shingleLen, maxHashes)
+    val budget = budgetPairsPerRep * rs.perDoc.count()
+    val probed = shapes.init.iterator.map { case (r, b) =>
+      val banded0 = bandsOfSigs(rs.perDoc.select(col("__id"),
+        slice(col("minhash_sig"), 1, r * b).as("minhash_sig")), r * b, b)
+      val cap = autoBucketCap(banded0, minOutlierBucket, outlierGapRatio)
+      ((r, b), cap, cappedCandidateMass(banded0, cap))
+    }.find(_._3 <= budget)
+    val out = probed match {
+      case Some(((r, b), cap, _)) =>
+        // reuse the measured cap — re-deriving it inside the pair
+        // pipeline would repeat the histogram pass for the same answer
+        pairsFromRepSpace(rs, r * b, b, jaccardThreshold, Left(cap))
+      case None =>
+        val (r, b) = shapes.last
+        pairsFromRepSpace(rs, r * b, b, jaccardThreshold,
+          Right((minOutlierBucket, outlierGapRatio)))
+    }
+    rs.release()
+    out
+  }
+
+  /** Σ C(bucket, 2) over the cap-surviving buckets of a banded frame —
+    * the exact bucket-self-join row count the budget check bounds.
+    * Integer `div`, long sum: DuckDB replays it with `//`. */
+  private def cappedCandidateMass(banded0: DataFrame, cap: Int): Long = {
+    val r = banded0.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= cap)
+      .agg(sum(expr("__n * (__n - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Analytic (rowsPerBand, bands) for target recall R at threshold τ —
@@ -283,11 +483,34 @@ object Dedup {
       .getOrElse((1, maxBands))
   }
 
-  /** Data-derived mega-bucket cap: cut at the largest relative gap in
-    * the distinct bucket-size sequence — see [[minHashDupPairsAuto]].
-    * Only ordering comparisons (argmax by (ratio, n)), no float
-    * equality, so DuckDB replays the selection bit-identically. */
-  private def autoBucketCap(banded0: DataFrame, minOutlierBucket: Int,
+  /** Data-derived mega-bucket cap over the distinct bucket-size
+    * sequence — see [[minHashDupPairsAuto]]. Two-tier selection:
+    *
+    *  1. '''qualified knee''': the largest RELATIVE gap between
+    *     consecutive distinct sizes (among sizes ≥ `minOutlierBucket`),
+    *     accepted when it reaches `outlierGapRatio` — the bulk/noise
+    *     boundary every driver SF exhibits (≥2× jumps).
+    *  2. '''knee-less fallback''': when no gap qualifies (a SMOOTH
+    *     histogram — the mutated-copy corpus populates a dense size
+    *     range with no 1.5× jump), cut at the largest ABSOLUTE gap
+    *     (ties → larger n) instead. The r14 interim rule cut at the
+    *     relative-gap argmax unconditionally, but on a fully dense
+    *     sequence the max ratio is (n+1)/n at the SMALLEST n, which
+    *     collapsed the cap to ≈`minOutlierBucket` and silently dropped
+    *     legitimate duplicate cohorts corpus-wide; the absolute-gap
+    *     fallback keeps a real bound (the r13 keep-everything rule let
+    *     the 2-row-band join go quadratic: 367 s at sf1-mutated)
+    *     without the recall cliff. Bulk candidate mass on knee-less
+    *     corpora is governed by the budget-aware band SHAPE
+    *     ([[minHashDupPairsBudgeted]]), not by this cap.
+    *
+    * Only ordering comparisons (argmax by (ratio, n) / (gap, n)) plus
+    * one exact-double ratio-vs-literal compare, so DuckDB replays the
+    * selection bit-identically. The gap table is one row per distinct
+    * size — model-sized at any corpus scale — and is collected like the
+    * calibration histograms.
+    */
+  private[graft] def autoBucketCap(banded0: DataFrame, minOutlierBucket: Int,
       outlierGapRatio: Double): Int = {
     import org.apache.spark.sql.expressions.Window
     // one row per DISTINCT bucket size: model-sized at any corpus scale,
@@ -298,25 +521,16 @@ object Dedup {
     val gaps = ds
       .withColumn("__nx", lead(col("__n"), 1).over(Window.orderBy(col("__n"))))
       .filter(col("__n") >= minOutlierBucket && col("__nx").isNotNull)
-      .withColumn("__ratio", col("__nx").cast("double") / col("__n"))
-    val best = gaps.orderBy(desc("__ratio"), desc("__n")).limit(1).collect()
-    // Cut at the largest relative gap unconditionally (r14). The ≥1.5
-    // qualifying floor used to route "no clear knee" to max(n) — i.e.
-    // keep EVERY bucket — which on a smooth histogram (the mutated-copy
-    // corpus: heavy rewrites populate a dense size range with no 1.5×
-    // jump) silently disabled the skew guard and let the 2-row-band
-    // candidate join go quadratic (367 s at sf1-mutated, found by the
-    // r14 scaling record). Whenever a ≥`outlierGapRatio` knee exists —
-    // every driver SF — the argmax IS that knee, so the selection (and
-    // every oracle hash) is unchanged; the floor now only labels the
-    // knee quality in the degenerate no-gap case, where SOME bound
-    // beats none: LSH recall loss from a capped bucket is measurable
-    // (dd_lsh_recall_report), a quadratic join at 100 TB is fatal.
-    val _ = outlierGapRatio // knee-quality floor retired from selection
-    if (best.isEmpty) {
+      .select(col("__n"), col("__nx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (gaps.isEmpty) {
       val m = ds.agg(max(col("__n"))).head()
       if (m.isNullAt(0)) 1 else m.getLong(0).toInt
-    } else best(0).getLong(0).toInt
+    } else {
+      val knee = gaps.maxBy { case (n, nx) => (nx.toDouble / n, n) }
+      if (knee._2.toDouble / knee._1 >= outlierGapRatio) knee._1.toInt
+      else gaps.maxBy { case (n, nx) => (nx - n, n) }._1.toInt
+    }
   }
 
   /** Normalized text — the collapse identity. Must equal the
@@ -365,6 +579,10 @@ object Dedup {
       settings: Seq[(String, Int, Int, Either[Int, (Int, Double)])])
       : Map[String, DataFrame] = {
     require(settings.nonEmpty, "at least one LSH setting")
+    require(settings.map(_._1).distinct.size == settings.size,
+      s"duplicate setting labels in ${settings.map(_._1)} — .toMap would " +
+      "silently keep only the last pipeline per label while every earlier " +
+      "one stays persisted for the session's life")
     val maxHashes = settings.map(_._2).max
     val rs = collapseToReps(docs, idCol, textCol, shingleLen, maxHashes)
     val out = settings.map { case (label, nh, b, cap) =>
@@ -579,15 +797,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifySigCandidates(cand, "id_a", "id_b",
-      sigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles")),
+    val sigTable = sigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles"))
+    verifySigCandidates(cand, "id_a", "id_b", sigTable, sigTable,
       numHashes, jaccardThreshold)
   }
 
   /** Verified near-dup pairs BETWEEN a batch signature table and a
     * (typically persisted) index signature table — the steady-state
-    * ingest join with zero re-hashing of index text. Ids are assumed
-    * disjoint (the caller anti-joins already-indexed ids). Returns
+    * ingest join with zero re-hashing of index text. The candidate
+    * keeps its (batch id, index id) orientation through estimation and
+    * verification — each side joins ONLY its own signature table, so an
+    * id that appears in both tables cannot fan the verify joins out or
+    * cross-match rows (it yields the well-defined batch-row × index-row
+    * pair instead; self pairs with equal ids are dropped). Returns
     * (id_a, id_b, jaccard) with id_a < id_b. Cap applies to index-side
     * buckets, as in [[minHashDupAgainstIndex]].
     */
@@ -602,14 +824,15 @@ object Dedup {
     val cand = batchBanded.select(col("band"), col("band_hash"), col("__id").as("__bid"))
       .join(idxBanded.select(col("band"), col("band_hash"), col("__id").as("__iid")),
         Seq("band", "band_hash"))
+      .filter(col("__bid") =!= col("__iid"))
+      .select("__bid", "__iid")
+      .dropDuplicates("__bid", "__iid")
+    verifySigCandidates(cand, "__bid", "__iid",
+        batchSigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles")),
+        indexSigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles")),
+        numHashes, jaccardThreshold)
       .select(least(col("__bid"), col("__iid")).as("id_a"),
-        greatest(col("__bid"), col("__iid")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifySigCandidates(cand, "id_a", "id_b",
-      batchSigs.select(col(idCol).as("__id"), col("minhash_sig"), col("shingles"))
-        .unionByName(indexSigs.select(col(idCol).as("__id"),
-          col("minhash_sig"), col("shingles"))),
-      numHashes, jaccardThreshold)
+        greatest(col("__bid"), col("__iid")).as("id_b"), col("jaccard"))
   }
 
   private def bandsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -635,27 +858,28 @@ object Dedup {
       banded0.join(ok, Seq("band", "band_hash"), "left_semi")
     }
 
-  /** Shared est-prefilter + exact-verify tail over candidate id pairs
-    * and a signature table keyed `__id` — staged like
-    * [[pairsFromRepSpace]]: the estimate pass joins SIGNATURES only
-    * (16·numHashes bytes/row), shingle arrays move only for the
-    * verified tail. */
+  /** Shared est-prefilter + exact-verify tail over candidate id pairs —
+    * staged like [[pairsFromRepSpace]]: the estimate pass joins
+    * SIGNATURES only (16·numHashes bytes/row), shingle arrays move only
+    * for the verified tail. Each candidate side joins its OWN signature
+    * table (`sigsA` for `aCol`, `sigsB` for `bCol`) so two-table callers
+    * stay well-defined even when an id appears in both tables;
+    * single-table callers pass the same frame twice. */
   private def verifySigCandidates(cand: DataFrame, aCol: String, bCol: String,
-      sigs: DataFrame, numHashes: Int, jaccardThreshold: Double): DataFrame = {
+      sigsA: DataFrame, sigsB: DataFrame,
+      numHashes: Int, jaccardThreshold: Double): DataFrame = {
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
-    val sigOnly = sigs.select(col("__id"), col("minhash_sig"))
     val est = cand
-      .join(sigOnly.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
-      .join(sigOnly.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
+      .join(sigsA.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
+      .join(sigsB.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
       .withColumn("est",
         size(filter(zip_with(col("__siga"), col("__sigb"), (x, y) => x === y), p => p))
           .cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select(aCol, bCol)
-    val sh = sigs.select(col("__id"), col("shingles"))
     est
-      .join(sh.select(col("__id").as(aCol), col("shingles").as("__sha")), Seq(aCol))
-      .join(sh.select(col("__id").as(bCol), col("shingles").as("__shb")), Seq(bCol))
+      .join(sigsA.select(col("__id").as(aCol), col("shingles").as("__sha")), Seq(aCol))
+      .join(sigsB.select(col("__id").as(bCol), col("shingles").as("__shb")), Seq(bCol))
       .withColumn("jaccard", jaccardOfSortedLongs(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col(aCol), col(bCol), col("jaccard"))

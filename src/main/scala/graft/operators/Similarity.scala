@@ -823,10 +823,20 @@ object Similarity {
     val tot = hist.map(_._2).sum
     if (tot == 0L) 1
     else {
+      // Explicit cumulative scan (not collectFirst with a mutating
+      // guard): each element's count is added exactly once regardless
+      // of how many times a combinator evaluates its predicate, which
+      // keeps the cut identical to the oracle's SQL running-sum replay.
       var cum = 0L
-      hist.collectFirst {
-        case (rn, c) if { cum += c; cum * 100L >= tot * targetRecallPct } => rn
-      }.getOrElse(hist.last._1)
+      var i = 0
+      var chosen = hist.last._1
+      var found = false
+      while (i < hist.length && !found) {
+        cum += hist(i)._2
+        if (cum * 100L >= tot * targetRecallPct) { chosen = hist(i)._1; found = true }
+        i += 1
+      }
+      chosen
     }
   }
 

@@ -223,6 +223,58 @@ object QualityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The ANN-SERVED twin of v_hard_negatives, measuring itself (the
+    // v_recall_report discipline): the same mid-rank band (exact ranks
+    // 4..8) mined twice — once exactly with the build side FLIPPED
+    // (anchors stream-joined against the corpus: the 20-row side is the
+    // one to broadcast; corpus-side broadcast is what made the exact
+    // query 69×/decade at sf10) and once through the DERIVED IVF point
+    // (⌈√N⌉ lowest-id coarse cells capped at 1024 — the
+    // marginBitextMineAuto cell budget — with nprobe MEASURED by
+    // ivfCalibrateNprobe's cell-rank histogram at a 95% target). The
+    // recall row is the honest end-to-end number a negative-mining
+    // deployment reads before trusting the served band; the derived
+    // nprobe rides in the row so the calibration itself is oracled.
+    "v_hardneg_recall" -> ((s, d) => {
+      import graft.operators.Similarity
+      val e = graft.core.Scratch.materialize(
+        Similarity.hashedDocEmbedding(
+            Tables.documents(s, d), "doc_id", "text", dim = 32)
+          .select(col("doc_id"),
+            transform(col("vec"), x => x.cast("double")).as("v")),
+        "hardneg_emb", d)
+      val anchors = e.filter(col("doc_id") < 20)
+      val exact = graft.core.Scratch.materialize(
+        Similarity.bruteForceTopK(anchors, e, "doc_id", "v", "doc_id", "v",
+            k = 8, broadcastCorpus = false, rankRound = Some(6))
+          .filter(col("rank") >= 4)
+          .select(col("query_id"), col("neighbor_id")),
+        "hardneg_exact", d)
+      val n = e.count()
+      val nCells = math.min(1024, math.max(1,
+        math.ceil(math.sqrt(n.toDouble)).toInt))
+      val cents = e.orderBy(col("doc_id")).limit(nCells)
+        .select(col("doc_id").as("cent_id"), col("v").as("cv"))
+      val np = Similarity.ivfCalibrateNprobe(anchors, e, "doc_id", "v",
+        "doc_id", "v", cents, "cent_id", "cv", k = 8)
+      val ann = graft.core.Scratch.materialize(
+        Similarity.ivfSearch(anchors, e, "doc_id", "v", "doc_id", "v",
+            cents, "cent_id", "cv", nprobe = np, k = 8, rankRound = Some(6))
+          .filter(col("rank") >= 4)
+          .select(col("query_id"), col("neighbor_id")),
+        "hardneg_ann", d)
+      def r6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      val hit = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit("ivf_auto").as("setting"), lit(np.toLong).as("nprobe"),
+          col("n_exact"), col("n_ann"), col("n_hit"),
+          when(col("n_exact") > 0, r6(col("n_hit").cast("double") /
+            col("n_exact").cast("double"))).as("recall"))
+    }),
+
     // SemDeDup on RAW TEXT: hashed embeddings → IVF-cell blocking →
     // within-cell cosine dedup, every stage in-engine. Integer vectors
     // make the cell assignment and the ≥ eps comparisons exact, so the
@@ -484,6 +536,80 @@ object QualityQueries {
          |      ORDER BY round(cos_raw, 6) DESC, neighbor_id ASC) AS rank
          |  FROM s) t
          |WHERE rank BETWEEN 4 AND 8 ORDER BY query_id, rank""".stripMargin,
+
+    // v_hardneg_recall replay: exact anchor ranking (round-6, id
+    // tie-break) → the 4..8 band; the derived IVF point — least(⌈√N⌉,
+    // 1024) lowest-id centroids, corpus cell assignment, per-anchor
+    // centroid rank lists, the calibration cut (top-8 truth per sampled
+    // anchor, cell-rank histogram, integer cum·100 ≥ tot·95), probe
+    // lists, within-probed-cell ranking → the served band; exact-long
+    // counts and a floor-micro recall.
+    "v_hardneg_recall" -> {
+      def l2(a: String, b: String): String =
+        s"sqrt(list_sum(list_transform(range(1, 33), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))))"
+      s"""$hashedVecCtes
+         |ev AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(vec, x -> CAST(x AS DOUBLE)) AS vv FROM vecs),
+         |anc AS (SELECT doc_id, vv FROM ev WHERE doc_id < 20),
+         |exs AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |    round(${bitextCos("q.vv", "c.vv")}, 6) AS cosine
+         |  FROM anc q JOIN ev c ON q.doc_id <> c.doc_id),
+         |exr AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM exs),
+         |exb AS (SELECT query_id, neighbor_id FROM exr WHERE rank BETWEEN 4 AND 8),
+         |ncq AS (SELECT least(1024, greatest(1,
+         |    CAST(ceil(sqrt(CAST((SELECT count(*) FROM ev) AS DOUBLE))) AS BIGINT))) AS nc),
+         |centq AS (SELECT doc_id AS cid, vv AS cv FROM (
+         |    SELECT doc_id, vv, row_number() OVER (ORDER BY doc_id) AS rn FROM ev) x
+         |  WHERE rn <= (SELECT nc FROM ncq)),
+         |cellq AS MATERIALIZED (SELECT doc_id, cid AS cell FROM (
+         |    SELECT t.doc_id, c.cid, row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY ${l2("t.vv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM ev t CROSS JOIN centq c) x WHERE rn = 1),
+         |rnkq AS MATERIALIZED (SELECT q.doc_id AS qid, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.doc_id
+         |      ORDER BY ${l2("q.vv", "c.cv")} ASC, c.cid ASC) AS rn
+         |  FROM anc q CROSS JOIN centq c),
+         |smpq AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM anc) x
+         |  WHERE rn <= 64),
+         |hitq AS (SELECT query_id AS qid, neighbor_id AS nid FROM exr
+         |  WHERE rank <= 8 AND query_id IN (SELECT doc_id FROM smpq)),
+         |hrq AS (SELECT r.rn FROM hitq h
+         |  JOIN cellq tc ON tc.doc_id = h.nid
+         |  JOIN rnkq r ON r.qid = h.qid AND r.cell = tc.cell),
+         |covq AS (SELECT rn, CAST(count(*) AS BIGINT) AS c FROM hrq GROUP BY rn),
+         |cumq AS (SELECT rn, sum(c) OVER (ORDER BY rn) AS cum,
+         |    sum(c) OVER () AS tot FROM covq),
+         |npq AS (SELECT COALESCE(
+         |    (SELECT min(rn) FROM cumq WHERE cum * 100 >= tot * 95), 1) AS np),
+         |anns AS (SELECT q.doc_id AS query_id, t.doc_id AS neighbor_id,
+         |    round(${bitextCos("q.vv", "t.vv")}, 6) AS cosine
+         |  FROM rnkq p JOIN anc q ON q.doc_id = p.qid
+         |  JOIN cellq cl ON cl.cell = p.cell
+         |  JOIN ev t ON t.doc_id = cl.doc_id
+         |  WHERE p.rn <= (SELECT np FROM npq) AND q.doc_id <> t.doc_id),
+         |annb AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM anns) x WHERE rank BETWEEN 4 AND 8),
+         |cnt AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM exb) AS n_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM annb) AS n_ann,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM
+         |      (SELECT query_id, neighbor_id FROM exb INTERSECT
+         |       SELECT query_id, neighbor_id FROM annb) h) AS n_hit)
+         |SELECT 'ivf_auto' AS setting,
+         |  (SELECT CAST(np AS BIGINT) FROM npq) AS nprobe,
+         |  n_exact, n_ann, n_hit,
+         |  CASE WHEN n_exact > 0 THEN
+         |    floor(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |  END AS recall
+         |FROM cnt""".stripMargin
+    },
 
     "dd_doc_semdedup" ->
       s"""$hashedVecCtes

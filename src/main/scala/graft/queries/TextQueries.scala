@@ -28,16 +28,21 @@ object TextQueries {
     new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     pairsCache.evictIf((k, _) => k._1.sparkContext.isStopped)
-    // r14: the shared pair set runs at the DERIVED operating point
-    // (minHashDupPairsAuto — bands analytic from τ, cap from the
-    // measured bucket histogram) instead of the legacy hand-set 16×4 /
-    // cap-100 point: same machinery cost (~7.3 s vs ~5 s at sf0.1),
-    // recall 0.9805 vs 0.6055 — every downstream consumer
+    // r15: the shared pair set runs at the BUDGET-AWARE derived point
+    // (minHashDupPairsBudgeted — the r14 auto point plus a measured
+    // candidate-mass check on the band shape). The R=0.99-forced 2-row
+    // banding the r14 default ran carries crushing intrinsic candidate
+    // mass even where the mega-bucket cap is right (measured 22.7 M
+    // capped candidates for 5 000 docs at sf0.1; 209 s at sf1-mutated),
+    // so the walk accepts R=0.95 → r=3 × 46 bands whenever the measured
+    // mass exceeds 64 pairs/rep — cubically smaller buckets, analytic
+    // recall ≥ 0.952 at τ exactly (and → 1 above it; measured in
+    // dd_lsh_recall_report's auto row). Every downstream consumer
     // (dd_minhash_pairs, dd_dup_clusters, dd_keep_best) inherits the
-    // derived recall by default.
+    // budgeted point by default.
     pairsCache.getOrElseUpdate((s, d),
       graft.core.Scratch.materialize(
-        Dedup.minHashDupPairsAuto(Tables.documents(s, d), "doc_id", "text",
+        Dedup.minHashDupPairsBudgeted(Tables.documents(s, d), "doc_id", "text",
           shingleLen = 5, jaccardThreshold = 0.4),
         "mh_pairs", d))
   }
@@ -438,28 +443,38 @@ object TextQueries {
             when(col("n_lsh") > 0, r6(col("n_hit").cast("double") /
               col("n_lsh").cast("double"))).as("lsh_precision"))
       }
-      // r14 decomposition: the auto row IS the shared default pipeline
-      // (scratch-materialized once per session — zero marginal pipeline
-      // cost on a board run), and the two hand-set comparison points
-      // ride ONE shared identity-collapse + signature pass
-      // (minHashDupPairsMulti slices the 64-wide signature's prefixes)
-      // instead of replaying the corpus per setting. "base" is
-      // relabeled legacy_16x4: it is no longer any consumer's operating
-      // point, it documents what the derived point replaced (recall
-      // 0.6055 vs auto 0.9805 at sf0.1, precision 1.0 both).
+      // r14 decomposition, r15 row set: the auto row IS the shared
+      // default pipeline (scratch-materialized once per session — zero
+      // marginal pipeline cost on a board run; r15: the BUDGET-AWARE
+      // point, which lands on r=3 × 46 bands wherever the R=0.99 shape's
+      // measured candidate mass blows the 64-pairs/rep budget — every
+      // driver SF does). The comparison points ride ONE shared
+      // identity-collapse + signature pass (minHashDupPairsMulti slices
+      // the widest signature's prefixes) instead of replaying the
+      // corpus per setting:
+      //   legacy_16x4 — the pre-r14 hand-set default (recall 0.6055 at
+      //     sf0.1); tuned — the r12 hand-calibrated 64×32/cap-1000 point;
+      //   p99_r2xN — the r14 analytic R=0.99 shape the budget walk now
+      //     REJECTS on this corpus: its recall rides next to the budget
+      //     point's so the explicit recall-for-cost trade stays measured.
+      val (lr99, lb99) = Dedup.lshAutoShape(0.4, 0.99, 64)
       val cmp = Dedup.minHashDupPairsMulti(
         Tables.documents(s, d), "doc_id", "text",
         shingleLen = 5, jaccardThreshold = 0.4,
         Seq(("legacy_16x4", 16, 4, Left(100)),
-          ("tuned", 64, 32, Left(1000))))
+          ("tuned", 64, 32, Left(1000)),
+          (s"p99_r${lr99}x$lb99", lr99 * lb99, lb99, Right((16, 1.5)))))
       val legacyPairs = graft.core.Scratch.materialize(
         cmp("legacy_16x4"), "mh_pairs_legacy", d)
       val tunedPairs = graft.core.Scratch.materialize(
         cmp("tuned"), "mh_pairs_tuned", d)
+      val p99Pairs = graft.core.Scratch.materialize(
+        cmp(s"p99_r${lr99}x$lb99"), "mh_pairs_p99", d)
       cmp.values.foreach(_.unpersist())
       settingRow("auto", minhashPairsShared(s, d))
         .unionByName(settingRow("legacy_16x4", legacyPairs))
         .unionByName(settingRow("tuned", tunedPairs))
+        .unionByName(settingRow(s"p99_r${lr99}x$lb99", p99Pairs))
         .orderBy(col("setting"))
     }),
 
@@ -696,15 +711,24 @@ object TextQueries {
         try { runDrop("crash", lit(1), 0); false }
         catch { case _: RuntimeException => true }
       require(crashed, "e2e curation: crash injection never fired")
-      // recovery: REPLAN from the sink — chunk 0's committed docs are
-      // skipped, chunk 1's docs are re-fetched and their (already
+      // what the torn state actually committed (drop 2 = the odd docs);
+      // the recovery assertion is exact arithmetic against it rather
+      // than a strict `< fullDrop2` — at a small enough SF (or an
+      // unlucky id distribution under the div-2 chunking) chunk 0 can
+      // legitimately be empty, where re-fetching the whole drop IS the
+      // correct recovery and the old inequality aborted a healthy run
+      val committedAtCrash = store.read(docSpec)
+        .filter(pmod(col("doc_id"), lit(2)) === 1).count()
+      // recovery: REPLAN from the sink — the committed chunk's docs are
+      // skipped, the lost chunk's docs are re-fetched and their (already
       // committed) pairs PK-upsert idempotently
       val replayed = runDrop("rec", lit(1), -1)
       val fullDrop2 = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(2)) === 1).count()
-      require(replayed > 0 && replayed < fullDrop2,
-        s"recovery re-fetched the whole drop ($replayed of $fullDrop2) — " +
-          "sink replanning is not engaged")
+      require(replayed == fullDrop2 - committedAtCrash,
+        s"recovery re-fetched $replayed of $fullDrop2 docs with " +
+          s"$committedAtCrash already committed — sink replanning is " +
+          "not engaged")
       // ── the serving read: suppress near-dups, cut to budget, shard ──
       val curated = store.read(docSpec)
       val kept = curated.filter(col("keep"))
@@ -1000,7 +1024,11 @@ object TextQueries {
 
   /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]],
     * ending in `prs$p(id_a, id_b, jac)`: rep-space signatures
-    * (`numHashes` Kirsch–Mitzenmacher combinations), banding (`bands`
+    * (`numHashes` Kirsch–Mitzenmacher combinations `h1 + k·h2` — run in
+    * HUGEINT and wrapped back to two's-complement BIGINT because the
+    * engine's Scala Long wraps silently past k≈127 while DuckDB throws
+    * on int64 overflow; the wrap is identity wherever no overflow
+    * occurs, so narrow settings are unchanged), banding (`bands`
     * bands of numHashes/bands rows — bucket KEYS differ from the
     * engine's xxhash64 but bucket MEMBERSHIP is identical), the
     * mega-bucket cap (literal, or the measured gap-rule selection when
@@ -1019,11 +1047,13 @@ object TextQueries {
     // the SQL literal is exact for the thresholds in use
     val tauLit = f"$tau%.2f"
     val estLit = f"${math.max(0.0, tau - 0.25)}%.2f"
-    // Auto mode replays Dedup.autoBucketCap: cut at the largest relative
-    // gap (argmax by (ratio, n) — ordering only, no float equality)
-    // between consecutive distinct bucket sizes ≥ 16 (r14: the 1.5×
-    // qualifying floor is retired — max(n) only when no gap exists). noCap disables the mega-bucket
-    // guard entirely (the e2e curation DAG's decomposable setting).
+    // Auto mode replays Dedup.autoBucketCap's two-tier rule (r15): the
+    // largest relative gap (argmax by (ratio, n)) between consecutive
+    // distinct bucket sizes ≥ 16 when it QUALIFIES (ratio ≥ 1.5 — an
+    // exact-double compare against a representable literal), else the
+    // largest ABSOLUTE gap (ties → larger n), else max(n) when no gap
+    // row exists at all. noCap disables the mega-bucket guard entirely
+    // (the e2e curation DAG's decomposable setting).
     val capClause =
       if (noCap) Long.MaxValue.toString
       else if (autoCap) s"(SELECT cap FROM cap$p)" else maxBucket.toString
@@ -1034,13 +1064,19 @@ object TextQueries {
           |cap$p AS (SELECT COALESCE(
           |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gap$p
           |       WHERE n >= 16 AND nx IS NOT NULL
-          |       ORDER BY r DESC, n DESC LIMIT 1) g),
+          |       ORDER BY r DESC, n DESC LIMIT 1) g
+          |     WHERE g.r >= 1.5),
+          |    (SELECT n FROM (SELECT n, nx - n AS ag FROM gap$p
+          |       WHERE n >= 16 AND nx IS NOT NULL
+          |       ORDER BY ag DESC, n DESC LIMIT 1) a),
           |    (SELECT max(n) FROM ds$p)) AS cap),
           |""".stripMargin
     s"""sigs$p AS (SELECT doc_id,
        |    list_distinct(list_transform(hp, q -> q[1])) AS hl,
        |    list_transform(range(0, $numHashes),
-       |      k -> list_min(list_transform(hp, q -> q[1] + k * q[2]))) AS sig
+       |      k -> list_min(list_transform(hp, q ->
+       |        CAST((q[1] + k * CAST(q[2] AS HUGEINT) + 9223372036854775808)
+       |          % 18446744073709551616 - 9223372036854775808 AS BIGINT)))) AS sig
        |  FROM hs),
        |banded$p AS (SELECT doc_id, b.range AS band,
        |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
@@ -1074,14 +1110,27 @@ object TextQueries {
 
   /** The DEFAULT pipeline with unprefixed CTE names, ending in `prs` —
     * used by the pair oracle and the connected-components oracles.
-    * r14: the default is the DERIVED operating point (auto band shape
-    * from lshAutoShape, measured-histogram cap), exactly what
-    * `minhashPairsShared` runs.
+    * r15: the default is the BUDGET-AWARE derived operating point
+    * (Dedup.minHashDupPairsBudgeted): both ladder shapes' pipelines are
+    * built (R=0.99 → `_p99`, R=0.95 → `_p95`, each with its own
+    * measured cap), the decision CTE recomputes the p99 shape's capped
+    * candidate mass Σ C(n,2) against the 64·|reps| budget with exact
+    * integer arithmetic, and `prs` is the gated union — exactly the
+    * shape selection the engine performs, replayed value-level.
     */
   private def minhashPairCtes = {
-    val (r, b) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+    val (r99, b99) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+    val (r95, b95) = graft.operators.Dedup.lshAutoShape(0.4, 0.95, 64)
     s"""$minhashBaseCtes,
-       |${minhashSettingCtes("", numHashes = r * b, bands = b, autoCap = true)}""".stripMargin
+       |${minhashSettingCtes("_p99", numHashes = r99 * b99, bands = b99, autoCap = true)},
+       |${minhashSettingCtes("_p95", numHashes = r95 * b95, bands = b95, autoCap = true)},
+       |dec AS (SELECT COALESCE((SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+       |    FROM bsz_p99 WHERE n <= (SELECT cap FROM cap_p99)), 0)
+       |  <= 64 * (SELECT count(*) FROM grp) AS use_p99),
+       |prs AS MATERIALIZED (
+       |  SELECT id_a, id_b, jac FROM prs_p99 WHERE (SELECT use_p99 FROM dec)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jac FROM prs_p95 WHERE NOT (SELECT use_p99 FROM dec))""".stripMargin
   }
 
   /** One recall-report row CTE: setting label + counts + floor-micro
@@ -1482,11 +1531,14 @@ object TextQueries {
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // Recall-report replay: all THREE LSH pipelines (auto = the
-    // unprefixed default prs, legacy_16x4 prs_ba, tuned prs_tu)
-    // against a brute-force 5-gram τ=0.4 ground truth,
-    // membership-intersected per setting.
-    "dd_lsh_recall_report" ->
+    // Recall-report replay: all FOUR LSH pipelines (auto = the
+    // unprefixed budget-gated default prs, legacy_16x4 prs_ba, tuned
+    // prs_tu, and the budget-rejected R=0.99 shape prs_p99 — already
+    // built inside minhashPairCtes for the decision replay) against a
+    // brute-force 5-gram τ=0.4 ground truth, membership-intersected
+    // per setting.
+    "dd_lsh_recall_report" -> {
+      val (lr99, lb99) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
       s"""WITH $minhashPairCtes,
          |${minhashSettingCtes("_ba", numHashes = 16, bands = 4, maxBucket = 100)},
          |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 1000)},
@@ -1502,10 +1554,12 @@ object TextQueries {
          |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
          |${lshReportCte("legacy_16x4", "prs_ba", "c_base")},
          |${lshReportCte("tuned", "prs_tu", "c_tuned")},
+         |${lshReportCte(s"p99_r${lr99}x$lb99", "prs_p99", "c_p99")},
          |${lshReportCte("auto", "prs", "c_auto")}
          |SELECT * FROM c_auto UNION ALL SELECT * FROM c_base
-         |UNION ALL SELECT * FROM c_tuned
-         |ORDER BY setting""".stripMargin,
+         |UNION ALL SELECT * FROM c_tuned UNION ALL SELECT * FROM c_p99
+         |ORDER BY setting""".stripMargin
+    },
 
     // Connected components over the minhash pairs: recursive min-label
     // propagation (transitive closure is fine at the dup-pair graph's

@@ -39,7 +39,18 @@ object LshAutoProbe {
         f"recall=${if (nExact > 0) nHit.toDouble / nExact else 1.0}%.4f " +
         f"precision=${if (nAuto > 0) nHit.toDouble / nAuto else 1.0}%.4f " +
         f"exact_s=${(t1 - t0) / 1e9}%.2f auto_s=${(t2 - t1) / 1e9}%.2f")
-      exact.unpersist(); auto.unpersist()
+      // the budget-aware DEFAULT (r15): same recall audit + its own cost
+      val t3 = System.nanoTime()
+      val budgeted = graft.operators.Dedup.minHashDupPairsBudgeted(
+        docs, "doc_id", "text", shingleLen = 5, jaccardThreshold = 0.4)
+      val nBud = budgeted.count()
+      val t4 = System.nanoTime()
+      val nBudHit = exact.join(budgeted, Seq("id_a", "id_b"), "left_semi").count()
+      println(f"[probe] $d budgeted=$nBud hit=$nBudHit " +
+        f"recall=${if (nExact > 0) nBudHit.toDouble / nExact else 1.0}%.4f " +
+        f"precision=${if (nBud > 0) nBudHit.toDouble / nBud else 1.0}%.4f " +
+        f"budgeted_s=${(t4 - t3) / 1e9}%.2f")
+      exact.unpersist(); auto.unpersist(); budgeted.unpersist()
       // histogram of band-bucket sizes at the auto shape, with the
       // cumulative pair cost the cap selection walks
       val sigs = graft.core.Tables.scatter(docs)

@@ -14,17 +14,18 @@ import org.apache.spark.sql.functions._
   * means near-dup pair queries see 10 near-identical copies per doc,
   * so their OUTPUT grows quadratically in the copy count by design.
   *
-  * `mutated` mode (4th arg) perturbs the replicated DOCUMENT TEXT so the
-  * true near-dup pair set grows realistically (≈ linearly in copies)
-  * instead of quadratically: copy 0 stays verbatim; ~20% of the other
-  * copies are LIGHT variants (2% of tokens replaced — a re-crawl with a
-  * tweaked footer, still a true near-dup at τ=0.4) and the remaining
-  * ~80% are HEAVY rewrites (40% of tokens replaced — shingle overlap
-  * collapses well below any dedup threshold, i.e. a genuinely new
-  * document that happens to share phrasing). All replacement is a pure
-  * deterministic function of (doc_id, copy, position): no RNG state, so
-  * two builds of the same corpus are byte-identical. Bench-only — the
-  * correctness oracles always run on driver testdata.
+  * `mutated` mode (4th arg) perturbs the replicated DOCUMENT TEXT and
+  * (r15) the replicated EMBEDDING VECTORS so the true near-dup pair set
+  * grows realistically (≈ linearly in copies) instead of quadratically:
+  * copy 0 stays verbatim; ~20% of the other copies are LIGHT variants
+  * (2% of tokens replaced / ±2%·RMS vector noise — a re-crawl with a
+  * tweaked footer, still a true near-dup at τ=0.4 / eps=0.9) and the
+  * remaining ~80% are HEAVY rewrites (40% of tokens replaced / ±80%·RMS
+  * noise — similarity collapses well below any dedup threshold, i.e. a
+  * genuinely new document that happens to share phrasing). All
+  * replacement is a pure deterministic function of (id, copy, position):
+  * no RNG state, so two builds of the same corpus are byte-identical.
+  * Bench-only — the correctness oracles always run on driver testdata.
   *
   * Usage: runMain graft.tools.ScaleUp [srcDir dstDir copies [mutated]]
   */
@@ -48,6 +49,37 @@ object ScaleUp {
             mix((docId << 20) ^ (copy.toLong << 40) ^ p.toLong), 100L) < rate)
           s"m${copy}q$p" else t
       }.mkString(" ")
+    }
+  }
+
+  /** The vector twin of [[mutateText]] (r15 — closes the embedding-side
+    * realistic-growth gap: dd_embed_cosine / dd_doc_semdedup / v_* decade
+    * ratios were verbatim-corpus artifacts before this): copy 0 stays
+    * byte-identical; ~20% of other copies are LIGHT variants (±2%·RMS
+    * additive noise per component — cosine ≈ 0.9999, still inside any
+    * near-dup eps), the remaining ~80% HEAVY rewrites (±10·RMS noise —
+    * uniform noise carries RMS amplitude/√3 ≈ 5.8·RMS, so cosine to the
+    * original lands at ≈ 0.17 ± 1/√dim: statistically a FRESH vector,
+    * always far below the semantic eps = 0.9 and only brushing the 0.3
+    * fixture band exactly as often as genuinely new random vectors do).
+    * Noise is a pure function of
+    * (vecId, copy, position): no RNG state, byte-identical across builds.
+    * Matches the text mutator's 20/80 split decision hash so a document
+    * and its embedding agree on light-vs-heavy.
+    */
+  private[tools] def mutateVec(vec: Seq[Float], vecId: Long, copy: Int): Seq[Float] = {
+    if (copy == 0 || vec == null) vec
+    else {
+      val light = java.lang.Math.floorMod(mix(vecId * 31L + copy), 5L) == 0L
+      val scale = if (light) 0.02 else 10.0
+      var ss = 0.0
+      vec.foreach(x => ss += x.toDouble * x.toDouble)
+      val rms = math.sqrt(ss / math.max(vec.length, 1))
+      vec.zipWithIndex.map { case (x, i) =>
+        val u = java.lang.Math.floorMod(
+          mix((vecId << 20) ^ (copy.toLong << 40) ^ i.toLong), 2001L) - 1000L
+        (x.toDouble + scale * rms * (u.toDouble / 1000.0)).toFloat
+      }
     }
   }
 
@@ -80,6 +112,7 @@ object ScaleUp {
       println(s"[scaleup] $t copied as-is")
     }
     val mutateUdf = udf(mutateText _)
+    val mutateVecUdf = udf(mutateVec _)
     for ((t, shift) <- shifts) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val scaled = (0 until copies).map { i =>
@@ -92,6 +125,10 @@ object ScaleUp {
         if (mutated && t == "documents")
           shifted.withColumn("text",
             mutateUdf(col("text"), col("doc_id") - lit(1000000L * i), lit(i)))
+        else if (mutated && t == "embeddings")
+          shifted.withColumn("embedding",
+            mutateVecUdf(col("embedding"), col("vec_id") - lit(1000000L * i), lit(i))
+              .cast("array<float>"))
         else shifted
       }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")

@@ -214,6 +214,87 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(rows(multi("b")).contains((1L, 2L, rows(directB).find(t => t._1 == 1L && t._2 == 2L).get._3)))
   }
 
+  test("minHashDupPairsMulti: duplicate labels fail loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashDupPairsMulti(docs, "doc_id", "text",
+        shingleLen = 4, jaccardThreshold = 0.5,
+        Seq(("a", 16, 8, Left(100)), ("a", 64, 32, Left(1000))))
+    }
+  }
+
+  test("budgeted LSH shape: within budget = ladder head, over budget = ladder tail") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    val docs = (Seq((1L, base), (2L, nearDup)) ++
+      (10L to 60L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6))).toSet
+    // a generous budget keeps the R=0.99 head shape — bit-identical to
+    // the plain auto pipeline
+    val head = Dedup.minHashDupPairsBudgeted(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5,
+      budgetPairsPerRep = 1000000L)
+    assert(rows(head) == rows(Dedup.minHashDupPairsAuto(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5)))
+    // a zero budget forces the ladder tail (R=0.95) — bit-identical to
+    // the auto pipeline run at the lowered recall target, and the
+    // planted near-dup still surfaces
+    val tail = Dedup.minHashDupPairsBudgeted(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5, budgetPairsPerRep = 0L)
+    assert(rows(tail) == rows(Dedup.minHashDupPairsAuto(docs, "doc_id", "text",
+      shingleLen = 4, jaccardThreshold = 0.5, targetRecall = 0.95)))
+    assert(rows(tail).exists(t => t._1 == 1L && t._2 == 2L))
+    // ladder must be highest-recall first
+    intercept[IllegalArgumentException] {
+      Dedup.minHashDupPairsBudgeted(docs, "doc_id", "text",
+        shingleLen = 4, jaccardThreshold = 0.5, recallLadder = Seq(0.95, 0.99))
+    }
+  }
+
+  test("autoBucketCap: qualified knee cuts at it; knee-less falls back to absolute gap") {
+    import spark.implicits._
+    def banded(sizes: Seq[Int]): org.apache.spark.sql.DataFrame =
+      sizes.zipWithIndex.flatMap { case (n, b) =>
+        (0 until n).map(i => (0, s"bucket$b", i))
+      }.toDF("band", "band_hash", "member").select(col("band"), col("band_hash"))
+    // 30 -> 100 is a 3.3x qualified knee: cut there
+    assert(Dedup.autoBucketCap(banded((16 to 30) :+ 100), 16, 1.5) == 30)
+    // dense 16..40: no ratio reaches 1.5; the r14 interim rule would cut
+    // at the SMALLEST size (max ratio 17/16) — the fallback cuts at the
+    // largest absolute gap instead (all gaps 1, ties -> larger n = 39)
+    assert(Dedup.autoBucketCap(banded(16 to 40), 16, 1.5) == 39)
+    // no gap rows at all (every size < minOutlierBucket): keep everything
+    assert(Dedup.autoBucketCap(banded(Seq(2, 3, 5)), 16, 1.5) == 5)
+  }
+
+  test("minHashPairsBetweenSigs: an id on both sides stays well-defined") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val idx = Seq((1L, base), (2L, "totally unrelated filler content here"))
+      .toDF("doc_id", "text")
+    // id 1 appears on BOTH sides (a caller bug the old union-based verify
+    // silently corrupted): per-side joins now yield exactly the
+    // batch-row x index-row pairs, no fan-out, no self pair
+    val batch = Seq((1L, base.replace("tonight", "today")),
+      (9L, base.replace("tonight", "today")))
+      .toDF("doc_id", "text")
+    val idxSigs = Dedup.minHashSigTable(idx, "doc_id", "text", 4, 16)
+    val batchSigs = Dedup.minHashSigTable(batch, "doc_id", "text", 4, 16)
+    val all = Dedup.minHashPairsBetweenSigs(batchSigs, idxSigs, "doc_id",
+      numHashes = 16, bands = 8, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // batch 9 x index 1 is the one true cross pair; batch 1 x index 1
+    // is the equal-id candidate (dropped), and nothing may fan out
+    assert(all.toSet == Set((1L, 9L)), s"got ${all.toSeq}")
+    assert(all.length == 1, "per-side verify joins must not duplicate pairs")
+  }
+
   test("minHashDupAgainstIndexAuto: derived point finds the planted batch dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
@@ -602,6 +683,56 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == Seq(
       (0L, 0L, 1L), (1L, 1L, 1L), (10L, 0L, 0L),
       (11L, 0L, 1L), (12L, 0L, 0L), (20L, 1L, 0L)))
+  }
+
+  test("semDedup identity collapse: replication cohorts keep raw semantics") {
+    import spark.implicits._
+    // 80 byte-identical copies trip the collapsePays probe; the output
+    // must equal the raw per-document semantics, including the edges the
+    // collapse could get wrong: the cohort's min-id member stays a dup
+    // of the lower-id near-identical centroid vector, and IDENTICAL ZERO
+    // vectors are NOT duplicates of each other (their self-cosine is 0,
+    // the raw kernel's value — never a blanket jaccard-1-style fanout).
+    val vecs = (Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0), // centroid 0
+      1L -> Seq(0.0, 0.0, 1.0, 0.0), // centroid 1
+      50L -> Seq(0.6, 0.8, 0.0, 0.0), // cell 0, cos 0.6 vs everything — kept
+      300L -> Seq(0.0, 0.0, 0.0, 0.0), // zero vector
+      301L -> Seq(0.0, 0.0, 0.0, 0.0)) ++ // identical zero vector — kept too
+      (100L to 179L).map(i => i -> Seq(1.0, 0.01, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val cents = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val got = Dedup.semDedup(vecs, "vec_id", "v", cents, "cent_id", "cv", eps = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (Seq((0L, 0L, 1L), (1L, 1L, 1L), (50L, 0L, 1L),
+      (300L, 0L, 1L), (301L, 0L, 1L)) ++
+      (100L to 179L).map(i => (i, 0L, 0L))).toSet // every copy dups vs id 0
+    assert(got == expected)
+  }
+
+  test("embeddingCosinePairs identity collapse: blocked replication equals brute force") {
+    import spark.implicits._
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(1.0, 0.05, 0.0, 0.0) // cos(a,b) ≈ 0.99875
+    val vecs = ((0L to 79L).map(i => (i, "x", a)) ++ Seq(
+      (90L, "x", b),
+      (95L, "x", Seq(0.0, 1.0, 0.0, 0.0)), // orthogonal — no pairs
+      (200L, "x", Seq(0.0, 0.0, 0.0, 0.0)), // zero vectors: cosine 0,
+      (201L, "x", Seq(0.0, 0.0, 0.0, 0.0)), //   never pair even if identical
+      (500L, "y", a))) // identical bytes, OTHER block — no cross-block pair
+      .toDF("vec_id", "label", "v")
+    val got = Dedup.embeddingCosinePairs(vecs, "vec_id", "v", "label",
+        minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val withinA = got.filter { case (x, y, _) => x <= 79 && y <= 79 }
+    assert(withinA.length == 80 * 79 / 2)
+    assert(withinA.map(_._3).distinct.length == 1) // the one self-cosine value
+    val crossAB = got.filter { case (_, y, _) => y == 90L }
+    assert(crossAB.length == 80 && crossAB.forall(_._3 >= 0.99))
+    assert(got.length == withinA.length + crossAB.length,
+      s"unexpected extra pairs: ${got.filterNot(p =>
+        (p._1 <= 79 && p._2 <= 79) || p._2 == 90L)}")
   }
 
   test("lshNeighborPairs drops mega-buckets over the cap") {
