@@ -14,9 +14,12 @@ import java.security.MessageDigest
   *  - `h2(s)` = next 14 hex chars as a long (56 bits) —
   *    DuckDB `('0x' || substr(md5(s), 16, 14))::BIGINT`
   *
-  * Both are non-negative, and `h1 + i*h2` stays below 2^61 for i ≤ 16,
-  * so the Kirsch–Mitzenmacher double-hashing family `g_i = h1 + i*h2`
-  * is overflow-free in 64-bit signed arithmetic on BOTH engines.
+  * Both are non-negative and below 2^61 — in particular h1 < the
+  * Mersenne prime 2^61−1, so it can feed the universal-hash MinHash
+  * permutations `(a_k·h1 + b_k) mod (2^61−1)` directly (see
+  * graft.operators.Dedup.minHashSignature for why the earlier
+  * Kirsch–Mitzenmacher `h1 + i·h2` family was retired: its components
+  * are argmin-correlated across i, which broke banding).
   * Parsed straight from digest bytes — no hex-string allocation in the
   * hot loop.
   */

@@ -222,11 +222,50 @@ object Dedup {
           .otherwise(lit(1L)).as("kept"))
   }
 
-  /** MinHash signature: `numHashes` permutations from the
-    * Kirsch–Mitzenmacher family `g_k(s) = h1(s) + k·h2(s)` over MD5
-    * windows ([[graft.functions.Md5Hash]] — chosen so the DuckDB oracle
-    * can recompute signatures exactly); signature_k = min over distinct
-    * char shingles of the normalized text.
+  /** 2⁶¹ − 1, the Mersenne prime modulus of the per-component MinHash
+    * permutations. */
+  private[graft] val MinHashP: Long = (1L << 61) - 1
+
+  /** Per-component universal-hash coefficients, derived from MD5 so the
+    * DuckDB oracle recomputes them verbatim: (a_k, b_k) = the h1/h2
+    * windows of md5("mh:k"), with a_k = 0 remapped to 1 (a zero
+    * multiplier would make the component constant). */
+  private[graft] def permCoeff(k: Int): (Long, Long) = {
+    val (a, b) = graft.functions.Md5Hash.h1h2(s"mh:$k")
+    (if (a == 0L) 1L else a, b)
+  }
+
+  /** `(a·x + b) mod (2⁶¹ − 1)` without 128-bit types: Math.multiplyHigh
+    * plus Mersenne folding (2⁶¹ ≡ 1, hence 2⁶⁴ ≡ 8 mod p). Inputs are
+    * non-negative and < 2⁶¹, so the folded sum fits a signed long with
+    * one conditional subtract. Bit-equal to DuckDB's
+    * `(a::HUGEINT * x + b) % 2305843009213693951`.
+    */
+  private def permApply(a: Long, b: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x
+    val t0 = (lo & MinHashP) + (lo >>> 61) + hi * 8L + b
+    val t1 = (t0 & MinHashP) + (t0 >>> 61)
+    if (t1 >= MinHashP) t1 - MinHashP else t1
+  }
+
+  /** MinHash signature: `numHashes` independent universal-hash
+    * permutations `π_k(x) = (a_k·x + b_k) mod (2⁶¹−1)` over the MD5-h1
+    * shingle hash ([[graft.functions.Md5Hash]] — chosen so the DuckDB
+    * oracle can recompute signatures exactly); signature_k = min over
+    * distinct char shingles of the normalized text.
+    *
+    * Per-component permutations, NOT the Kirsch–Mitzenmacher linear
+    * family `h1 + k·h2` this shipped with through round 14: K–M
+    * components are monotone-correlated in k, so ADJACENT components
+    * share their argmin shingle and an r-row band discriminates like
+    * ~1 row — measured on the sf1-mutated corpus, the (3-row, 46-band)
+    * shape carried 2.0 BILLION capped candidate pairs under K–M and
+    * 40.7 M under independent permutations (49×), flipping banding from
+    * structurally broken to matching the analytic 1-(1-s^r)^b model.
+    * Component k depends only on k, so narrower signatures remain exact
+    * prefixes of wider ones (the property the multi-setting and
+    * budgeted pipelines slice on).
     *
     * Fused single-pass UDF rather than Column algebra: higher-order
     * array functions are interpreted (no codegen, no subexpression
@@ -236,6 +275,8 @@ object Dedup {
     */
   def minHashSignature(docs: DataFrame, textCol: String, shingleLen: Int,
       numHashes: Int): DataFrame = {
+    val as = Array.tabulate(numHashes)(k => permCoeff(k)._1)
+    val bs = Array.tabulate(numHashes)(k => permCoeff(k)._2)
     val sigUdf = udf { text: String =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
       if (text != null) {
@@ -246,10 +287,10 @@ object Dedup {
         while (i < n) {
           val s = norm.substring(i, math.min(i + shingleLen, norm.length))
           if (seen.add(s)) {
-            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
+            val x = graft.functions.Md5Hash.h1(s)
             var k = 0
             while (k < numHashes) {
-              val h = h1 + k * h2
+              val h = permApply(as(k), bs(k), x)
               if (h < sig(k)) sig(k) = h
               k += 1
             }
@@ -272,7 +313,9 @@ object Dedup {
     * than per-pair string hash sets) and the verify join shuffles 8
     * bytes per shingle instead of the shingle text.
     */
-  private[graft] def sigAndHashedShingles(shingleLen: Int, numHashes: Int) =
+  private[graft] def sigAndHashedShingles(shingleLen: Int, numHashes: Int) = {
+    val as = Array.tabulate(numHashes)(k => permCoeff(k)._1)
+    val bs = Array.tabulate(numHashes)(k => permCoeff(k)._2)
     udf { text: String =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var sh = Array.empty[Long]
@@ -285,13 +328,17 @@ object Dedup {
         while (i < n) {
           val s = norm.substring(i, math.min(i + shingleLen, norm.length))
           if (seen.add(s)) {
-            val (h1, h2) = graft.functions.Md5Hash.h1h2(s)
-            hs.add(h1)
-            var k = 0
-            while (k < numHashes) {
-              val h = h1 + k * h2
-              if (h < sig(k)) sig(k) = h
-              k += 1
+            val x = graft.functions.Md5Hash.h1(s)
+            if (hs.add(x)) {
+              // distinct-h1 guard: two shingles sharing h1 produce the
+              // SAME permuted values, so re-running the k-loop for a
+              // colliding shingle cannot change any minimum
+              var k = 0
+              while (k < numHashes) {
+                val h = permApply(as(k), bs(k), x)
+                if (h < sig(k)) sig(k) = h
+                k += 1
+              }
             }
           }
           i += 1
@@ -303,6 +350,7 @@ object Dedup {
       }
       (sig, sh)
     }
+  }
 
   /** Jaccard of two sorted distinct long arrays via two-pointer merge.
     * Parameters are primitive `Array[Long]`, not `Seq[Long]`: Spark
@@ -416,7 +464,7 @@ object Dedup {
     * measured recall next to the primary's.
     *
     * Cost of the decision: the ladder shapes share ONE corpus
-    * normalization/collapse/hash pass (Kirsch–Mitzenmacher prefix
+    * normalization/collapse/hash pass (per-component-permutation prefix
     * slicing, as [[minHashDupPairsMulti]]); each probe is a banding
     * groupBy over rep-space id/hash rows plus the model-sized histogram
     * — nothing pairwise runs until the shape is chosen. The decision is
@@ -561,9 +609,10 @@ object Dedup {
   }
 
   /** Several LSH operating points over ONE shared identity collapse and
-    * ONE fused signature pass: the Kirsch–Mitzenmacher combination
-    * `h1 + k·h2` makes every shorter signature a PREFIX of the widest
-    * one, so the corpus is normalized, collapsed, shingled and hashed
+    * ONE fused signature pass: component k of the signature depends only
+    * on k (an independent permutation `(a_k·h1 + b_k) mod (2⁶¹−1)` —
+    * see [[minHashSignature]]), so every shorter signature is a PREFIX
+    * of the widest one and the corpus is normalized, collapsed, shingled and hashed
     * exactly once at `max(numHashes)` and each setting merely slices
     * its prefix before banding. This is what makes a multi-setting
     * audit (dd_lsh_recall_report) cost one corpus pass plus per-setting
@@ -668,9 +717,9 @@ object Dedup {
       "which matches the uncollapsed semantics only for τ > 0")
     val rowsPerBand = numHashes / bands
     val members = rs.members
-    // Prefix slice: component k of the Kirsch–Mitzenmacher signature is
-    // min(h1 + k·h2) regardless of the total width, so a narrower
-    // setting's signature is exactly the wider cache's prefix.
+    // Prefix slice: component k is min over shingles of the k-th
+    // independent permutation regardless of the total width, so a
+    // narrower setting's signature is exactly the wider cache's prefix.
     val sigs = rs.perDoc.select(col("__id"),
       slice(col("minhash_sig"), 1, numHashes).as("minhash_sig"))
     val banded0 = sigs.select(col("__id"),

@@ -993,7 +993,7 @@ object TextQueries {
   /** Corpus-side CTEs shared by every MinHash-LSH setting: normalized
     * text → distinct 5-char shingles → (h1, h2) MD5 hash pairs. The
     * per-setting pipelines ([[minhashSettingCtes]]) differ only in how
-    * many Kirsch–Mitzenmacher combinations they take and how they band.
+    * many permutation components they take and how they band.
     */
   private def minhashBaseCtes = minhashBaseCtesFrom("documents")
 
@@ -1016,19 +1016,18 @@ object TextQueries {
        |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
        |      i -> substr(norm, i + 1, 5))) AS shingles
        |  FROM grp),
-       |hs AS (SELECT doc_id, shingles,
-       |    list_transform(shingles, s ->
-       |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
-       |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
+       |hs AS (SELECT doc_id,
+       |    list_distinct(list_transform(shingles, s ->
+       |      ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hl
        |  FROM sh)""".stripMargin
 
   /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]],
     * ending in `prs$p(id_a, id_b, jac)`: rep-space signatures
-    * (`numHashes` Kirsch–Mitzenmacher combinations `h1 + k·h2` — run in
-    * HUGEINT and wrapped back to two's-complement BIGINT because the
-    * engine's Scala Long wraps silently past k≈127 while DuckDB throws
-    * on int64 overflow; the wrap is identity wherever no overflow
-    * occurs, so narrow settings are unchanged), banding (`bands`
+    * (`numHashes` independent universal permutations
+    * `(a_k·h1 + b_k) mod (2⁶¹−1)` with MD5-derived coefficients — one
+    * HUGEINT multiply-mod per (shingle, k), the exact twin of the
+    * engine's Mersenne-folded kernel; see Dedup.minHashSignature for
+    * why the Kirsch–Mitzenmacher family was retired), banding (`bands`
     * bands of numHashes/bands rows — bucket KEYS differ from the
     * engine's xxhash64 but bucket MEMBERSHIP is identical), the
     * mega-bucket cap (literal, or the measured gap-rule selection when
@@ -1071,13 +1070,17 @@ object TextQueries {
           |       ORDER BY ag DESC, n DESC LIMIT 1) a),
           |    (SELECT max(n) FROM ds$p)) AS cap),
           |""".stripMargin
-    s"""sigs$p AS (SELECT doc_id,
-       |    list_distinct(list_transform(hp, q -> q[1])) AS hl,
-       |    list_transform(range(0, $numHashes),
-       |      k -> list_min(list_transform(hp, q ->
-       |        CAST((q[1] + k * CAST(q[2] AS HUGEINT) + 9223372036854775808)
-       |          % 18446744073709551616 - 9223372036854775808 AS BIGINT)))) AS sig
-       |  FROM hs),
+    s"""mhab$p AS (SELECT r.range AS k,
+       |    CASE WHEN ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT = 0 THEN 1
+       |      ELSE ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT END AS a,
+       |    ('0x' || substr(md5('mh:' || r.range), 16, 14))::BIGINT AS b
+       |  FROM range(0, $numHashes) r),
+       |sigx$p AS (SELECT doc_id, k,
+       |    min(CAST((CAST(a AS HUGEINT) * x + b) % 2305843009213693951 AS BIGINT)) AS mn
+       |  FROM (SELECT doc_id, unnest(hl) AS x FROM hs) u CROSS JOIN mhab$p
+       |  GROUP BY doc_id, k),
+       |sigs$p AS (SELECT h.doc_id, h.hl, list(s.mn ORDER BY s.k) AS sig
+       |  FROM sigx$p s JOIN hs h USING (doc_id) GROUP BY h.doc_id, h.hl),
        |banded$p AS (SELECT doc_id, b.range AS band,
        |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
        |  FROM sigs$p, range(0, $bands) b),
