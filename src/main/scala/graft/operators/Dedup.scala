@@ -471,11 +471,16 @@ object Dedup {
     * a deterministic integer compare over measured longs, so the DuckDB
     * oracle replays shape selection, cap, mass, and verdict exactly.
     */
+  /** Default candidate budget of [[minHashDupPairsBudgeted]], shared
+    * with the DuckDB decision replay (TextQueries inlines the same
+    * constant into the oracle SQL). */
+  val DefaultBudgetPairsPerRep: Long = 1024L
+
   def minHashDupPairsBudgeted(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, jaccardThreshold: Double = 0.6,
       recallLadder: Seq[Double] = Seq(0.99, 0.95), maxBands: Int = 64,
       minOutlierBucket: Int = 16, outlierGapRatio: Double = 1.5,
-      budgetPairsPerRep: Long = 64L): DataFrame = {
+      budgetPairsPerRep: Long = DefaultBudgetPairsPerRep): DataFrame = {
     require(recallLadder.nonEmpty, "recallLadder must be non-empty")
     require(recallLadder == recallLadder.sorted.reverse,
       s"recallLadder $recallLadder must be highest-recall first — the walk " +
@@ -484,10 +489,12 @@ object Dedup {
     val shapes = recallLadder.map(lshAutoShape(jaccardThreshold, _, maxBands))
     val maxHashes = shapes.map { case (r, b) => r * b }.max
     val rs = collapseToReps(docs, idCol, textCol, shingleLen, maxHashes)
-    val budget = budgetPairsPerRep * rs.perDoc.count()
-    val probed = shapes.init.iterator.map { case (r, b) =>
-      val banded0 = bandsOfSigs(rs.perDoc.select(col("__id"),
+    val budget = budgetPairsPerRep * rs.nReps
+    def bandedAt(r: Int, b: Int) =
+      bandsOfSigs(rs.perDoc.select(col("__id"),
         slice(col("minhash_sig"), 1, r * b).as("minhash_sig")), r * b, b)
+    val probed = shapes.iterator.map { case (r, b) =>
+      val banded0 = bandedAt(r, b)
       val cap = autoBucketCap(banded0, minOutlierBucket, outlierGapRatio)
       ((r, b), cap, cappedCandidateMass(banded0, cap))
     }.find(_._3 <= budget)
@@ -497,9 +504,20 @@ object Dedup {
         // pipeline would repeat the histogram pass for the same answer
         pairsFromRepSpace(rs, r * b, b, jaccardThreshold, Left(cap))
       case None =>
+        // Ladder exhausted: even the sharpest shape's histogram-derived
+        // cap exceeds the budget. Tier 3 makes the budget a HARD bound —
+        // derive the cap from the budget itself (the largest bucket size
+        // whose ascending cumulative mass still fits), so candidate mass
+        // is ≤ budgetPairsPerRep·reps BY CONSTRUCTION, i.e. linear in
+        // corpus size at any scale. Intrinsic-similarity-heavy corpora
+        // (shared-vocab synthetic text, boilerplate-dense crawls) have
+        // Σ C(bucket,2) ∝ N²·E[s^r]·bands under ANY fixed shape, so a
+        // shape alone cannot bound the join at 100 TB; the sacrifice —
+        // pairs living only in hot buckets — is uniform band-redundancy
+        // loss, and dd_lsh_recall_report measures it per corpus.
         val (r, b) = shapes.last
         pairsFromRepSpace(rs, r * b, b, jaccardThreshold,
-          Right((minOutlierBucket, outlierGapRatio)))
+          Left(budgetCap(bandedAt(r, b), budget)))
     }
     rs.release()
     out
@@ -514,6 +532,30 @@ object Dedup {
       .filter(col("__n") <= cap)
       .agg(sum(expr("__n * (__n - 1) div 2"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Budget-derived mega-bucket cap: the largest bucket size whose
+    * ascending cumulative candidate mass Σ C(n,2)·count(n) still fits
+    * `budget`; 1 (identity-collapse pairs only) when even size-2
+    * buckets overshoot. Pure integer arithmetic over the model-sized
+    * size histogram — DuckDB replays it with a running-sum window. */
+  private def budgetCap(banded0: DataFrame, budget: Long): Int = {
+    val hist = banded0.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__m"))
+      .orderBy(col("__n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    var cap = 1L
+    var i = 0
+    var over = false
+    while (i < hist.length && !over) {
+      val (n, m) = hist(i)
+      cum += n * (n - 1) / 2 * m
+      if (cum <= budget) cap = n else over = true
+      i += 1
+    }
+    cap.toInt
   }
 
   /** Analytic (rowsPerBand, bands) for target recall R at threshold τ —
@@ -592,12 +634,28 @@ object Dedup {
 
   /** Shared rep-space state of the identity collapse: the rep→member
     * map and the fused per-representative (signature, shingles) cache,
-    * both persisted. `release()` after the consuming pair frames are
+    * both persisted, plus the rep count (already materialized by the
+    * collapse — lets consumers make broadcast decisions without a new
+    * job). `release()` after the consuming pair frames are
     * materialized.
     */
-  private case class RepSpace(members: DataFrame, perDoc: DataFrame) {
+  private case class RepSpace(members: DataFrame, perDoc: DataFrame,
+      nReps: Long) {
     def release(): Unit = { perDoc.unpersist(); members.unpersist() }
   }
+
+  /** Count of equal positions of two equal-length long arrays — the
+    * signature-estimate kernel, fused (zip_with/filter/size run
+    * interpreted per element; at tens of millions of candidates the
+    * Column form dominated the whole pair join). */
+  private val sigEqCount: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Long], b: Array[Long]) =>
+      var i = 0
+      var eq = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq
+    }
 
   private def minHashPairsCore(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int, bands: Int,
@@ -693,9 +751,9 @@ object Dedup {
     // Materialize members (and transitively reps) now, then drop reps:
     // everything downstream reads members/perDoc only.
     members.count()
-    perDoc.count()
+    val nReps = perDoc.count()
     reps.unpersist()
-    RepSpace(members, perDoc)
+    RepSpace(members, perDoc, nReps)
   }
 
   /** One LSH operating point over an already-collapsed [[RepSpace]]:
@@ -749,14 +807,25 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     // signature-estimate prefilter (slightly permissive vs the exact
-    // threshold so borderline true pairs survive to verification)
+    // threshold so borderline true pairs survive to verification).
+    // The rep sig table is model-sized on any collapsed corpus; when it
+    // fits a broadcast budget, ship it to the candidates instead of
+    // dragging one 8·numHashes-byte array per CANDIDATE through the
+    // second join's shuffle (measured at sf1-mutated: ~70 M candidates
+    // × 1.1 KB ≈ 77 GB of shuffle under the join form). Past the bound
+    // (a corpus whose DISTINCT texts alone are huge) the shuffle join
+    // remains — the 100 TB fallback.
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
+    val sigBytes = rs.nReps * numHashes * 8L
+    def sigSide(idAs: String, sigAs: String) = {
+      val s = sigs.select(col("__id").as(idAs), col("minhash_sig").as(sigAs))
+      if (sigBytes <= (256L << 20)) broadcast(s) else s
+    }
     val withSigs = cand
-      .join(sigs.select(col("__id").as("id_a"), col("minhash_sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("minhash_sig").as("sig_b")), Seq("id_b"))
+      .join(sigSide("id_a", "sig_a"), Seq("id_a"))
+      .join(sigSide("id_b", "sig_b"), Seq("id_b"))
       .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / numHashes)
+        sigEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
     val shingles = rs.perDoc.select(col("__id"), col("__sh"))
@@ -922,8 +991,7 @@ object Dedup {
       .join(sigsA.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
       .join(sigsB.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
       .withColumn("est",
-        size(filter(zip_with(col("__siga"), col("__sigb"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
+        sigEqCount(col("__siga"), col("__sigb")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select(aCol, bCol)
     est
@@ -1036,8 +1104,7 @@ object Dedup {
       .join(newDoc.select(col("__id").as("new_rid"), col("sig").as("sig_n")), Seq("new_rid"))
       .join(idxDoc.select(col("__id").as("index_rid"), col("sig").as("sig_i")), Seq("index_rid"))
       .withColumn("est",
-        size(filter(zip_with(col("sig_n"), col("sig_i"), (x, y) => x === y), b => b))
-          .cast("double") / numHashes)
+        sigEqCount(col("sig_n"), col("sig_i")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("new_rid", "index_rid")
     val repPairs = withSigs

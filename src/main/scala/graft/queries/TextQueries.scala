@@ -392,6 +392,28 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Decision-tier coverage for the budgeted walk (the default budget
+    // lands on tier 1 at the gate SF, so tiers 2 and 3 would otherwise
+    // never face the oracle): budget 128/rep forces the LADDER TAIL
+    // (R=0.95 shape within budget) at sf0.01, budget 8/rep forces the
+    // TIER-3 budget-derived hard cap. Both replay the full three-tier
+    // walk, so the oracle checks the DECISION, not just the pipeline.
+    "dd_minhash_budget_mid" -> ((s, d) =>
+      graft.core.Scratch.materialize(
+        Dedup.minHashDupPairsBudgeted(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4, budgetPairsPerRep = 128L),
+        "mh_pairs_mid", d)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dd_minhash_budget_floor" -> ((s, d) =>
+      graft.core.Scratch.materialize(
+        Dedup.minHashDupPairsBudgeted(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4, budgetPairsPerRep = 8L),
+        "mh_pairs_floor", d)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Measured LSH dedup quality — the dedup twin of v_recall_report,
     // at THREE operating points against the PPJoin EXACT threshold join
     // run at the SAME (shingleLen=5, τ=0.4): auto (the derived default
@@ -1040,7 +1062,8 @@ object TextQueries {
     */
   private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
       maxBucket: Int = 100, autoCap: Boolean = false,
-      noCap: Boolean = false, tau: Double = 0.4): String = {
+      noCap: Boolean = false, tau: Double = 0.4,
+      budgetCapPerRep: Option[Long] = None): String = {
     val rows = numHashes / bands
     // engine twin: estCutoff = max(0, τ - 0.25); fixed 2-dp rendering so
     // the SQL literal is exact for the thresholds in use
@@ -1051,12 +1074,19 @@ object TextQueries {
     // distinct bucket sizes ≥ 16 when it QUALIFIES (ratio ≥ 1.5 — an
     // exact-double compare against a representable literal), else the
     // largest ABSOLUTE gap (ties → larger n), else max(n) when no gap
-    // row exists at all. noCap disables the mega-bucket guard entirely
-    // (the e2e curation DAG's decomposable setting).
+    // row exists at all. budgetCapPerRep replays Dedup.budgetCap — the
+    // tier-3 HARD bound: the largest bucket size whose ascending
+    // cumulative mass Σ C(n,2)·count(n) fits budget·|reps|, 1 when even
+    // size-2 buckets overshoot. noCap disables the mega-bucket guard
+    // entirely (the e2e curation DAG's decomposable setting).
+    require(!(autoCap && budgetCapPerRep.isDefined),
+      "autoCap and budgetCapPerRep are mutually exclusive cap modes")
     val capClause =
       if (noCap) Long.MaxValue.toString
-      else if (autoCap) s"(SELECT cap FROM cap$p)" else maxBucket.toString
-    val autoCtes = if (!autoCap) "" else
+      else if (autoCap) s"(SELECT cap FROM cap$p)"
+      else if (budgetCapPerRep.isDefined) s"(SELECT cap FROM bcap$p)"
+      else maxBucket.toString
+    val autoCtes = if (autoCap)
       s"""|bsz$p AS (SELECT band, bh, count(*) AS n FROM banded$p GROUP BY 1, 2),
           |ds$p AS (SELECT DISTINCT n FROM bsz$p),
           |gap$p AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM ds$p),
@@ -1070,6 +1100,14 @@ object TextQueries {
           |       ORDER BY ag DESC, n DESC LIMIT 1) a),
           |    (SELECT max(n) FROM ds$p)) AS cap),
           |""".stripMargin
+    else budgetCapPerRep.map(bpr =>
+      s"""|bsz$p AS (SELECT band, bh, count(*) AS n FROM banded$p GROUP BY 1, 2),
+          |bh$p AS (SELECT n, CAST(count(*) AS BIGINT) AS m FROM bsz$p GROUP BY n),
+          |bcap$p AS (SELECT COALESCE((SELECT max(n) FROM (
+          |    SELECT n, sum((n * (n - 1) // 2) * m) OVER (ORDER BY n) AS cum
+          |    FROM bh$p) z
+          |  WHERE cum <= $bpr * (SELECT count(*) FROM grp)), 1) AS cap),
+          |""".stripMargin).getOrElse("")
     s"""mhab$p AS (SELECT r.range AS k,
        |    CASE WHEN ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT = 0 THEN 1
        |      ELSE ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT END AS a,
@@ -1114,26 +1152,44 @@ object TextQueries {
   /** The DEFAULT pipeline with unprefixed CTE names, ending in `prs` —
     * used by the pair oracle and the connected-components oracles.
     * r15: the default is the BUDGET-AWARE derived operating point
-    * (Dedup.minHashDupPairsBudgeted): both ladder shapes' pipelines are
-    * built (R=0.99 → `_p99`, R=0.95 → `_p95`, each with its own
-    * measured cap), the decision CTE recomputes the p99 shape's capped
-    * candidate mass Σ C(n,2) against the 64·|reps| budget with exact
-    * integer arithmetic, and `prs` is the gated union — exactly the
-    * shape selection the engine performs, replayed value-level.
+    * (Dedup.minHashDupPairsBudgeted), all THREE tiers replayed: both
+    * ladder shapes' pipelines are built (R=0.99 → `_p99`, R=0.95 →
+    * `_p95`, each with its measured histogram cap) plus the tail shape
+    * under the tier-3 BUDGET-derived cap (`_p95b` — the hard bound);
+    * the decision CTE recomputes each shape's capped candidate mass
+    * Σ C(n,2) against the budget·|reps| bound with exact integer
+    * arithmetic, and `prs` is the gated three-way union — exactly the
+    * walk the engine performs, replayed value-level.
     */
-  private def minhashPairCtes = {
+  private def minhashPairCtes: String =
+    minhashPairCtesAt(graft.operators.Dedup.DefaultBudgetPairsPerRep)
+
+  /** [[minhashPairCtes]] at an explicit per-rep budget — the floor/mid
+    * decision-coverage oracles replay the identical three-tier walk at
+    * budgets that force tiers 3 and 2 at the driver's gate SF. */
+  private def minhashPairCtesAt(bud: Long) = {
     val (r99, b99) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
     val (r95, b95) = graft.operators.Dedup.lshAutoShape(0.4, 0.95, 64)
     s"""$minhashBaseCtes,
        |${minhashSettingCtes("_p99", numHashes = r99 * b99, bands = b99, autoCap = true)},
        |${minhashSettingCtes("_p95", numHashes = r95 * b95, bands = b95, autoCap = true)},
-       |dec AS (SELECT COALESCE((SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT)
-       |    FROM bsz_p99 WHERE n <= (SELECT cap FROM cap_p99)), 0)
-       |  <= 64 * (SELECT count(*) FROM grp) AS use_p99),
+       |${minhashSettingCtes("_p95b", numHashes = r95 * b95, bands = b95,
+           budgetCapPerRep = Some(bud))},
+       |dec AS (SELECT
+       |    COALESCE((SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+       |      FROM bsz_p99 WHERE n <= (SELECT cap FROM cap_p99)), 0)
+       |    <= $bud * (SELECT count(*) FROM grp) AS use_p99,
+       |    COALESCE((SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+       |      FROM bsz_p95 WHERE n <= (SELECT cap FROM cap_p95)), 0)
+       |    <= $bud * (SELECT count(*) FROM grp) AS use_p95),
        |prs AS MATERIALIZED (
        |  SELECT id_a, id_b, jac FROM prs_p99 WHERE (SELECT use_p99 FROM dec)
        |  UNION ALL
-       |  SELECT id_a, id_b, jac FROM prs_p95 WHERE NOT (SELECT use_p99 FROM dec))""".stripMargin
+       |  SELECT id_a, id_b, jac FROM prs_p95
+       |  WHERE NOT (SELECT use_p99 FROM dec) AND (SELECT use_p95 FROM dec)
+       |  UNION ALL
+       |  SELECT id_a, id_b, jac FROM prs_p95b
+       |  WHERE NOT (SELECT use_p99 FROM dec) AND NOT (SELECT use_p95 FROM dec))""".stripMargin
   }
 
   /** One recall-report row CTE: setting label + counts + floor-micro
@@ -1531,6 +1587,16 @@ object TextQueries {
 
     "dd_minhash_pairs" ->
       s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_budget_mid" ->
+      s"""WITH ${minhashPairCtesAt(128L)}
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_budget_floor" ->
+      s"""WITH ${minhashPairCtesAt(8L)}
          |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM prs
          |ORDER BY id_a, id_b""".stripMargin,
 
