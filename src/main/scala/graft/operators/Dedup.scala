@@ -640,7 +640,7 @@ object Dedup {
     * materialized.
     */
   private case class RepSpace(members: DataFrame, perDoc: DataFrame,
-      nReps: Long) {
+      nReps: Long, shingleBytes: Long) {
     def release(): Unit = { perDoc.unpersist(); members.unpersist() }
   }
 
@@ -749,11 +749,16 @@ object Dedup {
       .select(col("__id"), col("__c._1").as("minhash_sig"), col("__c._2").as("__sh"))
       .persist()
     // Materialize members (and transitively reps) now, then drop reps:
-    // everything downstream reads members/perDoc only.
+    // everything downstream reads members/perDoc only. The one
+    // materializing aggregate also measures the shingle payload (long
+    // count × 8) so downstream join-vs-broadcast staging decisions cost
+    // no extra job.
     members.count()
-    val nReps = perDoc.count()
+    val stats = perDoc.agg(count(lit(1)), sum(size(col("__sh")))).head()
+    val nReps = stats.getLong(0)
+    val shingleBytes = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8L
     reps.unpersist()
-    RepSpace(members, perDoc, nReps)
+    RepSpace(members, perDoc, nReps, shingleBytes)
   }
 
   /** One LSH operating point over an already-collapsed [[RepSpace]]:
@@ -800,38 +805,59 @@ object Dedup {
       .filter(col("__n") <= maxBucketSize)
       .drop("__n")
     val banded = banded0.join(bucketSizes, Seq("band", "band_hash"), "left_semi")
-    val cand = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val candRaw = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("__id").as("id_b")),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     // signature-estimate prefilter (slightly permissive vs the exact
     // threshold so borderline true pairs survive to verification).
     // The rep sig table is model-sized on any collapsed corpus; when it
-    // fits a broadcast budget, ship it to the candidates instead of
-    // dragging one 8·numHashes-byte array per CANDIDATE through the
-    // second join's shuffle (measured at sf1-mutated: ~70 M candidates
-    // × 1.1 KB ≈ 77 GB of shuffle under the join form). Past the bound
-    // (a corpus whose DISTINCT texts alone are huge) the shuffle join
-    // remains — the 100 TB fallback.
+    // fits a 1 GB broadcast budget (well under Spark's 8 GB broadcast
+    // cap — ~1 M reps at 138 components), ship it to the candidates AND
+    // run the estimate as a MAP-ONLY filter over the raw (still
+    // band-duplicated) candidate stream, deduplicating only the
+    // survivors: the alternative — dedup first, then est via joins —
+    // sorts the FULL candidate mass (a 476 M-row sort at sf10-mutated
+    // filled a 75 GB disk) and/or drags one 8·numHashes-byte array per
+    // candidate through a shuffle (~77 GB at sf1-mutated). est is a
+    // pure function of the pair, so filtering band-duplicates before
+    // dedup returns the identical pair set. Past the broadcast bound
+    // (DISTINCT texts in the many millions) the dedup-first shuffle
+    // join remains — at that scale a deployment shards the candidate
+    // join by rep-id range so each block's sig slice broadcasts.
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
-    val sigBytes = rs.nReps * numHashes * 8L
+    val sigsSmall = rs.nReps * numHashes * 8L <= (1L << 30)
     def sigSide(idAs: String, sigAs: String) = {
       val s = sigs.select(col("__id").as(idAs), col("minhash_sig").as(sigAs))
-      if (sigBytes <= (256L << 20)) broadcast(s) else s
+      if (sigsSmall) broadcast(s) else s
     }
-    val withSigs = cand
+    def estFilter(pairs: DataFrame): DataFrame = pairs
       .join(sigSide("id_a", "sig_a"), Seq("id_a"))
       .join(sigSide("id_b", "sig_b"), Seq("id_b"))
       .withColumn("est",
         sigEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
+    val withSigs =
+      if (sigsSmall) estFilter(candRaw).dropDuplicates("id_a", "id_b")
+      else estFilter(candRaw.dropDuplicates("id_a", "id_b"))
+    // Exact verify with the same staging rule: per-rep shingle sets are
+    // compact (sorted longs — measured 867 MB for 462 k reps at
+    // sf10-mutated), so under a 2 GB bound they BROADCAST and the
+    // verify is map-only over the survivors; the join form carried one
+    // shingle array per SURVIVOR through a shuffle (253 M survivors at
+    // sf10-mutated — hundreds of GB). The est survivor stream was
+    // deduplicated above, so the map-only tail does each pair's
+    // two-pointer merge exactly once.
     val shingles = rs.perDoc.select(col("__id"), col("__sh"))
+    def shSide(idAs: String, shAs: String) = {
+      val s = shingles.select(col("__id").as(idAs), col("__sh").as(shAs))
+      if (rs.shingleBytes <= (2L << 30)) broadcast(s) else s
+    }
     val repPairs = withSigs
-      .join(shingles.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(shingles.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .join(shSide("id_a", "sh_a"), Seq("id_a"))
+      .join(shSide("id_b", "sh_b"), Seq("id_b"))
       .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
