@@ -493,10 +493,18 @@ object Dedup {
     def bandedAt(r: Int, b: Int) =
       bandsOfSigs(rs.perDoc.select(col("__id"),
         slice(col("minhash_sig"), 1, r * b).as("minhash_sig")), r * b, b)
+    // ONE (size, count) histogram per probed shape: cap, capped mass,
+    // and the tier-3 budget cap are all pure functions of it (the r15
+    // probe re-aggregated the same banded frame up to three times).
+    // The iterator is lazy, so when find() hits early the remaining
+    // shapes are never banded; when it exhausts, lastHist holds the
+    // LAST shape's histogram for the tier-3 budget cap.
+    var lastHist: Array[(Long, Long)] = Array.empty
     val probed = shapes.iterator.map { case (r, b) =>
-      val banded0 = bandedAt(r, b)
-      val cap = autoBucketCap(banded0, minOutlierBucket, outlierGapRatio)
-      ((r, b), cap, cappedCandidateMass(banded0, cap))
+      val hist = bucketHistogram(bandedAt(r, b))
+      lastHist = hist
+      val cap = autoBucketCapFromHist(hist, minOutlierBucket, outlierGapRatio)
+      ((r, b), cap, cappedMassFromHist(hist, cap))
     }.find(_._3 <= budget)
     val out = probed match {
       case Some(((r, b), cap, _)) =>
@@ -517,34 +525,38 @@ object Dedup {
         // loss, and dd_lsh_recall_report measures it per corpus.
         val (r, b) = shapes.last
         pairsFromRepSpace(rs, r * b, b, jaccardThreshold,
-          Left(budgetCap(bandedAt(r, b), budget)))
+          Left(budgetCapFromHist(lastHist, budget)))
     }
     rs.release()
     out
   }
 
-  /** Σ C(bucket, 2) over the cap-surviving buckets of a banded frame —
-    * the exact bucket-self-join row count the budget check bounds.
-    * Integer `div`, long sum: DuckDB replays it with `//`. */
-  private def cappedCandidateMass(banded0: DataFrame, cap: Int): Long = {
-    val r = banded0.groupBy(col("band"), col("band_hash"))
+  /** Ascending (bucket size, bucket count) histogram of a banded frame —
+    * ONE aggregation pass per probed shape; the auto cap, the capped
+    * candidate mass, and the tier-3 budget cap are all pure functions
+    * of it. Model-sized at any corpus scale: one row per DISTINCT
+    * bucket size, so the collect is bounded like the calibration
+    * histograms. */
+  private def bucketHistogram(banded0: DataFrame): Array[(Long, Long)] =
+    banded0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= cap)
-      .agg(sum(expr("__n * (__n - 1) div 2"))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+      .groupBy(col("__n")).agg(count(lit(1)).as("__m"))
+      .orderBy(col("__n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Σ C(bucket, 2) over the cap-surviving buckets — the exact
+    * bucket-self-join row count the budget check bounds. Integer `div`,
+    * long sum: DuckDB replays it with `//`. */
+  private def cappedMassFromHist(hist: Array[(Long, Long)], cap: Int): Long =
+    hist.iterator.takeWhile(_._1 <= cap)
+      .map { case (n, m) => n * (n - 1) / 2 * m }.sum
 
   /** Budget-derived mega-bucket cap: the largest bucket size whose
     * ascending cumulative candidate mass Σ C(n,2)·count(n) still fits
     * `budget`; 1 (identity-collapse pairs only) when even size-2
     * buckets overshoot. Pure integer arithmetic over the model-sized
     * size histogram — DuckDB replays it with a running-sum window. */
-  private def budgetCap(banded0: DataFrame, budget: Long): Int = {
-    val hist = banded0.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .groupBy(col("__n")).agg(count(lit(1)).as("__m"))
-      .orderBy(col("__n")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+  private def budgetCapFromHist(hist: Array[(Long, Long)], budget: Long): Int = {
     var cum = 0L
     var cap = 1L
     var i = 0
@@ -601,21 +613,19 @@ object Dedup {
     * calibration histograms.
     */
   private[graft] def autoBucketCap(banded0: DataFrame, minOutlierBucket: Int,
-      outlierGapRatio: Double): Int = {
-    import org.apache.spark.sql.expressions.Window
-    // one row per DISTINCT bucket size: model-sized at any corpus scale,
-    // so the single-partition lead() window is fine
-    val ds = banded0.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .select(col("__n")).distinct()
-    val gaps = ds
-      .withColumn("__nx", lead(col("__n"), 1).over(Window.orderBy(col("__n"))))
-      .filter(col("__n") >= minOutlierBucket && col("__nx").isNotNull)
-      .select(col("__n"), col("__nx"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      outlierGapRatio: Double): Int =
+    autoBucketCapFromHist(bucketHistogram(banded0), minOutlierBucket,
+      outlierGapRatio)
+
+  /** The gap-rule selection itself, over the ascending size histogram —
+    * pure, so the budgeted walk derives it from the SAME single
+    * aggregation pass that feeds the mass and budget-cap checks. */
+  private[graft] def autoBucketCapFromHist(hist: Array[(Long, Long)],
+      minOutlierBucket: Int, outlierGapRatio: Double): Int = {
+    val sizes = hist.map(_._1) // ascending DISTINCT bucket sizes
+    val gaps = sizes.zip(sizes.drop(1)).filter(_._1 >= minOutlierBucket)
     if (gaps.isEmpty) {
-      val m = ds.agg(max(col("__n"))).head()
-      if (m.isNullAt(0)) 1 else m.getLong(0).toInt
+      if (sizes.isEmpty) 1 else sizes.last.toInt
     } else {
       val knee = gaps.maxBy { case (n, nx) => (nx.toDouble / n, n) }
       if (knee._2.toDouble / knee._1 >= outlierGapRatio) knee._1.toInt
@@ -650,11 +660,18 @@ object Dedup {
     * Column form dominated the whole pair join). */
   private val sigEqCount: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Array[Long], b: Array[Long]) =>
-      var i = 0
-      var eq = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq
+      // null-safe like the zip_with/filter/size Column form it replaced:
+      // est 0 never passes the cutoff, matching the old null→filtered
+      // semantics (all current call sites inner-join non-null sig
+      // tables, but a nullable minhash_sig column must not NPE)
+      if (a == null || b == null) 0
+      else {
+        var i = 0
+        var eq = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+        eq
+      }
     }
 
   private def minHashPairsCore(docs: DataFrame, idCol: String, textCol: String,
@@ -826,6 +843,12 @@ object Dedup {
     // (DISTINCT texts in the many millions) the dedup-first shuffle
     // join remains — at that scale a deployment shards the candidate
     // join by rep-id range so each block's sig slice broadcasts.
+    // NOTE both bounds here and below are raw PAYLOAD bytes; Spark
+    // materializes a broadcast deserialized on the driver and every
+    // executor with 2-4x object overhead, so the 1 GB / 2 GB constants
+    // assume ≥ ~8-16 GB driver/executor heaps (this rig runs 128 GB;
+    // a default 1 GB driver would OOM near the bound — size the
+    // constants to ~1/16 of the smallest heap when porting).
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
     val sigsSmall = rs.nReps * numHashes * 8L <= (1L << 30)
     def sigSide(idAs: String, sigAs: String) = {
@@ -954,7 +977,13 @@ object Dedup {
     * id that appears in both tables cannot fan the verify joins out or
     * cross-match rows (it yields the well-defined batch-row × index-row
     * pair instead; self pairs with equal ids are dropped). Returns
-    * (id_a, id_b, jaccard) with id_a < id_b. Cap applies to index-side
+    * (id_a, id_b, jaccard) with id_a < id_b, ONE row per unordered
+    * pair: when ids overlap between the tables a pair can band together
+    * in BOTH orientations (batch x vs index y AND batch y vs index x),
+    * and the two verifies may even compute different jaccards if the
+    * same id carries different text per table — the final aggregate
+    * keeps the MAX jaccard across orientations (deterministic, and the
+    * identity when the orientations agree). Cap applies to index-side
     * buckets, as in [[minHashDupAgainstIndex]].
     */
   def minHashPairsBetweenSigs(batchSigs: DataFrame, indexSigs: DataFrame,
@@ -977,6 +1006,8 @@ object Dedup {
         numHashes, jaccardThreshold)
       .select(least(col("__bid"), col("__iid")).as("id_a"),
         greatest(col("__bid"), col("__iid")).as("id_b"), col("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   private def bandsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {

@@ -1043,22 +1043,74 @@ object TextQueries {
        |      ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hl
        |  FROM sh)""".stripMargin
 
-  /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]],
-    * ending in `prs$p(id_a, id_b, jac)`: rep-space signatures
-    * (`numHashes` independent universal permutations
-    * `(a_k·h1 + b_k) mod (2⁶¹−1)` with MD5-derived coefficients — one
-    * HUGEINT multiply-mod per (shingle, k), the exact twin of the
-    * engine's Mersenne-folded kernel; see Dedup.minHashSignature for
-    * why the Kirsch–Mitzenmacher family was retired), banding (`bands`
-    * bands of numHashes/bands rows — bucket KEYS differ from the
-    * engine's xxhash64 but bucket MEMBERSHIP is identical), the
+  /** The ONE shared signature pass every MinHash-LSH setting in a query
+    * prefix-slices (the r16 oracle-cost fix): `maxHashes` independent
+    * universal permutations `(a_k·h1 + b_k) mod (2⁶¹−1)` with
+    * MD5-derived coefficients — one multiply-mod per (shingle, k), the
+    * exact twin of the engine's Mersenne-folded kernel
+    * (Dedup.minHashSignature; component k depends only on k, so a
+    * numHashes-component signature IS sig[1:numHashes] of this one —
+    * the same prefix-slicing Dedup.minHashDupPairsBudgeted's shared
+    * collapse pass exploits). Two cost properties are load-bearing for
+    * the driver's gate wall time (DuckDB 1.0):
+    *
+    *  1. MATERIALIZED: 1.0 INLINES plain CTEs per reference, and `sigs`
+    *     is referenced ~5× per setting × up to 3 settings — the r15
+    *     oracles re-evaluated the |shingles|×numHashes pass ~15× per
+    *     query (measured 195 s for dd_minhash_pairs at sf0.01; 4 s once
+    *     materialized and shared).
+    *  2. BIGINT split arithmetic: DuckDB's 128-bit `%` is a real
+    *     128-bit division — measured 0.6 M rows/s/thread vs 13.5 M for
+    *     the split form (22×). With a = ah·2³¹+al, x = xh·2³⁰+xl and
+    *     2⁶¹ ≡ 1 (mod p): a·x ≡ ah·xh + rot₃₁(ah·xl) + rot₃₀(al·xh)
+    *     + al·xl, every product < 2⁶² and every rotation a shift/mask
+    *     pair — verified bit-equal to the HUGEINT form on 2 M random
+    *     (a, b, x) triples and on the full corpus signature table.
+    *
+    * Also emits `hx`, the exploded (doc_id, shingle-hash) table the
+    * join-based exact-Jaccard verify in [[minhashSettingCtes]] probes.
+    */
+  private def minhashSigCtes(maxHashes: Int): String =
+    s"""mhab AS (SELECT r.range AS k,
+       |    CASE WHEN ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT = 0 THEN 1
+       |      ELSE ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT END AS a,
+       |    ('0x' || substr(md5('mh:' || r.range), 16, 14))::BIGINT AS b
+       |  FROM range(0, $maxHashes) r),
+       |sigt AS (SELECT doc_id, k, b,
+       |    (ah * xh) % 2305843009213693951 AS t1,
+       |    (ah * xl) % 2305843009213693951 AS t2,
+       |    (al * xh) % 2305843009213693951 AS t3,
+       |    (al * xl) % 2305843009213693951 AS t4
+       |  FROM (SELECT doc_id, k, b,
+       |      (a >> 31) AS ah, (a & 2147483647) AS al,
+       |      (x >> 30) AS xh, (x & 1073741823) AS xl
+       |    FROM (SELECT doc_id, unnest(hl) AS x FROM hs) u CROSS JOIN mhab) sp),
+       |sigx AS (SELECT doc_id, k,
+       |    min(((((t1
+       |      + ((t2 & 1073741823) * 2147483648 + (t2 >> 30))) % 2305843009213693951
+       |      + ((t3 & 2147483647) * 1073741824 + (t3 >> 31))) % 2305843009213693951
+       |      + t4) % 2305843009213693951
+       |      + b) % 2305843009213693951) AS mn
+       |  FROM sigt GROUP BY doc_id, k),
+       |sigs AS MATERIALIZED (SELECT h.doc_id, h.hl, len(h.hl) AS hn,
+       |    list(s.mn ORDER BY s.k) AS sig
+       |  FROM sigx s JOIN hs h USING (doc_id) GROUP BY h.doc_id, h.hl),
+       |hx AS MATERIALIZED (SELECT doc_id, unnest(hl) AS x FROM sigs)""".stripMargin
+
+  /** Per-setting MinHash-LSH pipeline CTEs on top of [[minhashBaseCtes]]
+    * + [[minhashSigCtes]] (whose `maxHashes` must be ≥ this setting's
+    * `numHashes` — the banding and the est prefilter read prefixes of
+    * the shared `sigs`), ending in `prs$p(id_a, id_b, jac)`: banding
+    * (`bands` bands of numHashes/bands rows — bucket KEYS differ from
+    * the engine's xxhash64 but bucket MEMBERSHIP is identical), the
     * mega-bucket cap (literal, or the measured gap-rule selection when
-    * `autoCap`), the est ≥ 0.15 signature prefilter, the exact
-    * hashed-shingle Jaccard ≥ τ verify, and the member fan-out of the
-    * identity collapse (cross-rep pairs + the shared `spr` same-text
-    * pairs) — the exact replay of
-    * [[graft.operators.Dedup.minHashDupPairs]]. MATERIALIZED so a
-    * recursive consumer evaluates the pipeline once.
+    * `autoCap`), the est ≥ 0.15 signature prefilter over the first
+    * `numHashes` components, the exact hashed-shingle Jaccard ≥ τ
+    * verify, and the member fan-out of the identity collapse
+    * (cross-rep pairs + the shared `spr` same-text pairs) — the exact
+    * replay of [[graft.operators.Dedup.minHashDupPairs]]. `banded$p`
+    * and `prs$p` are MATERIALIZED (multi-referenced under DuckDB 1.0's
+    * per-reference CTE inlining; both are rep-space-sized).
     */
   private def minhashSettingCtes(p: String, numHashes: Int, bands: Int,
       maxBucket: Int = 100, autoCap: Boolean = false,
@@ -1108,39 +1160,37 @@ object TextQueries {
           |    FROM bh$p) z
           |  WHERE cum <= $bpr * (SELECT count(*) FROM grp)), 1) AS cap),
           |""".stripMargin).getOrElse("")
-    s"""mhab$p AS (SELECT r.range AS k,
-       |    CASE WHEN ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT = 0 THEN 1
-       |      ELSE ('0x' || substr(md5('mh:' || r.range), 1, 15))::BIGINT END AS a,
-       |    ('0x' || substr(md5('mh:' || r.range), 16, 14))::BIGINT AS b
-       |  FROM range(0, $numHashes) r),
-       |sigx$p AS (SELECT doc_id, k,
-       |    min(CAST((CAST(a AS HUGEINT) * x + b) % 2305843009213693951 AS BIGINT)) AS mn
-       |  FROM (SELECT doc_id, unnest(hl) AS x FROM hs) u CROSS JOIN mhab$p
-       |  GROUP BY doc_id, k),
-       |sigs$p AS (SELECT h.doc_id, h.hl, list(s.mn ORDER BY s.k) AS sig
-       |  FROM sigx$p s JOIN hs h USING (doc_id) GROUP BY h.doc_id, h.hl),
-       |banded$p AS (SELECT doc_id, b.range AS band,
+    s"""banded$p AS MATERIALIZED (SELECT doc_id, b.range AS band,
        |    array_to_string(sig[b.range * $rows + 1 : b.range * $rows + $rows], ',') AS bh
-       |  FROM sigs$p, range(0, $bands) b),
+       |  FROM sigs, range(0, $bands) b),
        |${autoCtes}ok$p AS (SELECT band, bh FROM banded$p GROUP BY 1, 2 HAVING count(*) <= $capClause),
        |cand$p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded$p a JOIN ok$p USING (band, bh)
        |  JOIN banded$p b ON b.band = a.band AND b.bh = a.bh AND b.doc_id > a.doc_id),
        |est$p AS (SELECT id_a, id_b
        |  FROM cand$p
-       |  JOIN sigs$p sa ON sa.doc_id = cand$p.id_a
-       |  JOIN sigs$p sb ON sb.doc_id = cand$p.id_b
+       |  JOIN sigs sa ON sa.doc_id = cand$p.id_a
+       |  JOIN sigs sb ON sb.doc_id = cand$p.id_b
        |  WHERE CAST(len(list_filter(range(1, ${numHashes + 1}),
        |    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes >= $estLit),
        |rp$p AS (
+       |  -- exact-Jaccard verify as an unnest-join intersection count:
+       |  -- per-pair list_intersect over ~200-element lists ran at
+       |  -- ~150 µs/pair (9 s for one setting's 59 k candidates at
+       |  -- sf0.01); the join form is one hash probe per (pair,
+       |  -- shingle). hl is distinct, so count(*) = |A∩B| and
+       |  -- |A∪B| = hn_a + hn_b − ic exactly; a candidate with empty
+       |  -- intersection has no group row, matching jac 0 < τ.
        |  SELECT id_a, id_b, jac FROM (
-       |    SELECT id_a, id_b,
-       |      CASE WHEN len(list_distinct(list_concat(sa.hl, sb.hl))) > 0 THEN
-       |        CAST(len(list_intersect(sa.hl, sb.hl)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(sa.hl, sb.hl))) ELSE 0.0 END AS jac
-       |    FROM est$p
-       |    JOIN sigs$p sa ON sa.doc_id = est$p.id_a
-       |    JOIN sigs$p sb ON sb.doc_id = est$p.id_b) x
+       |    SELECT i.id_a, i.id_b,
+       |      CAST(i.ic AS DOUBLE) / (sa.hn + sb.hn - i.ic) AS jac
+       |    FROM (SELECT e.id_a, e.id_b, count(*) AS ic
+       |        FROM est$p e
+       |        JOIN hx ua ON ua.doc_id = e.id_a
+       |        JOIN hx ub ON ub.doc_id = e.id_b AND ub.x = ua.x
+       |        GROUP BY 1, 2) i
+       |    JOIN sigs sa ON sa.doc_id = i.id_a
+       |    JOIN sigs sb ON sb.doc_id = i.id_b) x
        |  WHERE jac >= $tauLit),
        |prs$p AS MATERIALIZED (
        |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, jac
@@ -1170,7 +1220,13 @@ object TextQueries {
   private def minhashPairCtesAt(bud: Long) = {
     val (r99, b99) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
     val (r95, b95) = graft.operators.Dedup.lshAutoShape(0.4, 0.95, 64)
+    // the shared signature table carries the WIDEST shape's components;
+    // every setting (including recall-report's 16/64-hash extras) is a
+    // prefix slice of it — max over the ladder, exactly like the
+    // engine's maxHashes in minHashDupPairsBudgeted
+    val maxH = math.max(r99 * b99, r95 * b95)
     s"""$minhashBaseCtes,
+       |${minhashSigCtes(maxH)},
        |${minhashSettingCtes("_p99", numHashes = r99 * b99, bands = b99, autoCap = true)},
        |${minhashSettingCtes("_p95", numHashes = r95 * b95, bands = b95, autoCap = true)},
        |${minhashSettingCtes("_p95b", numHashes = r95 * b95, bands = b95,
@@ -1611,16 +1667,26 @@ object TextQueries {
       s"""WITH $minhashPairCtes,
          |${minhashSettingCtes("_ba", numHashes = 16, bands = 4, maxBucket = 100)},
          |${minhashSettingCtes("_tu", numHashes = 64, bands = 32, maxBucket = 1000)},
-         |ex0 AS (SELECT doc_id,
-         |    list_distinct(list_transform(
+         |ex0 AS MATERIALIZED (SELECT doc_id, w5, len(w5) AS wn FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
          |      range(0, greatest(len($toksLower) - 5, 0) + 1),
          |      i -> array_to_string(($toksLower)[i + 1:i + 5], ' '))) AS w5
-         |  FROM documents),
-         |exp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM ex0 a JOIN ex0 b ON b.doc_id > a.doc_id
-         |  WHERE len(a.w5) > 0 AND len(b.w5) > 0
-         |    AND CAST(len(list_intersect(a.w5, b.w5)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.w5, b.w5))) >= 0.4),
+         |    FROM documents) z WHERE len(w5) > 0),
+         |wx AS (SELECT doc_id, unnest(w5) AS g FROM ex0),
+         |-- brute-force τ=0.4 ground truth as a gram-equality self-join
+         |-- (w5 is distinct per doc, so count(*) = |A∩B| and
+         |-- |A∪B| = wn_a + wn_b − ic; all-pairs list_intersect cost
+         |-- 8 s of the gate's wall at sf0.01, the join form is ~0.1 s)
+         |exp AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT i.id_a, i.id_b,
+         |      CAST(i.ic AS DOUBLE) / (na.wn + nb.wn - i.ic) AS jac
+         |    FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+         |        FROM wx a JOIN wx b ON b.g = a.g AND b.doc_id > a.doc_id
+         |        GROUP BY 1, 2) i
+         |    JOIN ex0 na ON na.doc_id = i.id_a
+         |    JOIN ex0 nb ON nb.doc_id = i.id_b) x
+         |  WHERE jac >= 0.4),
          |${lshReportCte("legacy_16x4", "prs_ba", "c_base")},
          |${lshReportCte("tuned", "prs_tu", "c_tuned")},
          |${lshReportCte(s"p99_r${lr99}x$lb99", "prs_p99", "c_p99")},
@@ -1782,6 +1848,7 @@ object TextQueries {
          |  JOIN q ON q.doc_id = d.doc_id
          |  WHERE gk.keep),
          |${minhashBaseCtesFrom("kd")},
+         |${minhashSigCtes(lr * lb)},
          |${minhashSettingCtes("", numHashes = lr * lb, bands = lb, noCap = true, tau = 0.4)},
          |drp AS (SELECT DISTINCT id_b AS doc_id FROM prs),
          |alive AS MATERIALIZED (

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * copy 0 stays verbatim; ~20% of the other copies are LIGHT variants
   * (2% of tokens replaced / ±2%·RMS vector noise — a re-crawl with a
   * tweaked footer, still a true near-dup at τ=0.4 / eps=0.9) and the
-  * remaining ~80% are HEAVY rewrites (40% of tokens replaced / ±80%·RMS
+  * remaining ~80% are HEAVY rewrites (40% of tokens replaced / ±10·RMS
   * noise — similarity collapses well below any dedup threshold, i.e. a
   * genuinely new document that happens to share phrasing). All
   * replacement is a pure deterministic function of (id, copy, position):

@@ -297,6 +297,20 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     // is the equal-id candidate (dropped), and nothing may fan out
     assert(all.toSet == Set((1L, 9L)), s"got ${all.toSeq}")
     assert(all.length == 1, "per-side verify joins must not duplicate pairs")
+    // BOTH ids on both sides: the pair matches in both orientations
+    // (batch 1 x index 9 AND batch 9 x index 1) and must still emit ONE
+    // canonical row — with the MAX jaccard when the orientations verify
+    // different texts (here index 9's text is a further-mutated copy,
+    // so the two orientations' jaccards differ)
+    val idx2 = Seq((1L, base),
+      (9L, base.replace("tonight", "today").replace("lazy", "idle")))
+      .toDF("doc_id", "text")
+    val idx2Sigs = Dedup.minHashSigTable(idx2, "doc_id", "text", 4, 16)
+    val both = Dedup.minHashPairsBetweenSigs(batchSigs, idx2Sigs, "doc_id",
+      numHashes = 16, bands = 8, jaccardThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(both.count { case (a, b, _) => (a, b) == (1L, 9L) } <= 1,
+      s"overlapping-id pair emitted in both orientations: ${both.toSeq}")
   }
 
   test("minHashDupAgainstIndexAuto: derived point finds the planted batch dups") {
