@@ -607,6 +607,22 @@ object TextQueries {
         .orderBy(col("new_id"), col("index_id"))
     }),
 
+    // Budget-branch coverage for the incremental path (r16 — the
+    // asymmetric twin of dd_minhash_budget_mid/_floor): a forced tiny
+    // per-batch-rep budget makes the measured (bucket size, batch hits)
+    // walk LOWER the gap cap at the gate SF, so the budget decision —
+    // not just the default pipeline — faces the oracle.
+    "dd_incremental_budget" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minHashDupAgainstIndexAuto(base, batch, "doc_id", "text",
+          shingleLen = 5, jaccardThreshold = 0.4,
+          budgetPairsPerBatchRep = 4L)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
     // ── E2E: the LLM-curation flagship DAG — incremental, crash-recovered ──
     // URL ledger → canonical dedup → quality gate → LSH near-dup →
     // budget cut → token shards, composed as TWO incremental crawl
@@ -1217,6 +1233,105 @@ object TextQueries {
   /** [[minhashPairCtes]] at an explicit per-rep budget — the floor/mid
     * decision-coverage oracles replay the identical three-tier walk at
     * budgets that force tiers 3 and 2 at the driver's gate SF. */
+  /** dd_incremental_index / dd_incremental_budget oracle (r16): the
+    * asymmetric ingest replay — two-sided identity collapse, index-side
+    * banding under the full three-branch gap rule (ratio knee ≥ 1.5 →
+    * absolute-gap knee → max) REFINED by the measured per-batch budget
+    * walk (engine: `minHashAgainstIndexCore`'s `budgetCapFromMassHist`
+    * over the (index bucket size, batch band hits) histogram — mass
+    * n·m, the asymmetric analogue of the self-join's C(n,2)·m), est
+    * prefilter and join-based exact verify on the shared
+    * permutation-family signature pass ([[minhashSigCtes]] — r16 also
+    * retires this oracle's leftover Kirsch–Mitzenmacher replay, which
+    * matched the engine only value-level at gate SFs). */
+  private def incrementalIndexOracle(budget: Long): String = {
+    val (idxR, idxB) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
+    val idxH = idxR * idxB
+    s"""WITH inp AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0),
+       |t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM inp),
+       |ig AS (SELECT norm, min(doc_id) AS rid FROM t
+       |  WHERE doc_id < 1000000 AND norm IS NOT NULL GROUP BY norm),
+       |bg AS (SELECT norm, min(doc_id) AS rid FROM t
+       |  WHERE doc_id >= 1000000 AND norm IS NOT NULL GROUP BY norm),
+       |im AS (SELECT g.rid, t.doc_id AS id, t.norm FROM t
+       |  JOIN ig g ON g.norm = t.norm WHERE t.doc_id < 1000000),
+       |bm AS (SELECT g.rid, t.doc_id AS id, t.norm FROM t
+       |  JOIN bg g ON g.norm = t.norm WHERE t.doc_id >= 1000000),
+       |spr AS (SELECT b.id AS new_id, a.id AS index_id, 1.0 AS jac
+       |  FROM bm b JOIN im a ON a.norm = b.norm),
+       |srp AS (SELECT b.rid AS new_rid, a.rid AS index_rid
+       |  FROM bg b JOIN ig a ON a.norm = b.norm),
+       |reps AS (SELECT rid AS doc_id, norm FROM ig
+       |  UNION ALL SELECT rid AS doc_id, norm FROM bg),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
+       |      i -> substr(norm, i + 1, 5))) AS shingles
+       |  FROM reps),
+       |hs AS (SELECT doc_id,
+       |    list_distinct(list_transform(shingles, s ->
+       |      ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hl
+       |  FROM sh),
+       |${minhashSigCtes(idxH)},
+       |banded AS MATERIALIZED (SELECT doc_id, b.range AS band,
+       |    array_to_string(sig[b.range * $idxR + 1 : b.range * $idxR + $idxR], ',') AS bh
+       |  FROM sigs, range(0, $idxB) b),
+       |bszi AS MATERIALIZED (SELECT band, bh, count(*) AS n FROM banded
+       |  WHERE doc_id < 1000000 GROUP BY 1, 2),
+       |dsi AS (SELECT DISTINCT n FROM bszi),
+       |gapi AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM dsi),
+       |capi AS (SELECT COALESCE(
+       |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gapi
+       |       WHERE n >= 16 AND nx IS NOT NULL
+       |       ORDER BY r DESC, n DESC LIMIT 1) g
+       |     WHERE g.r >= 1.5),
+       |    (SELECT n FROM (SELECT n, nx - n AS ag FROM gapi
+       |       WHERE n >= 16 AND nx IS NOT NULL
+       |       ORDER BY ag DESC, n DESC LIMIT 1) a),
+       |    (SELECT max(n) FROM dsi)) AS cap),
+       |bn AS (SELECT band, bh, n FROM bszi WHERE n <= (SELECT cap FROM capi)),
+       |mh AS (SELECT bn.n, count(*) AS m
+       |  FROM banded b JOIN bn ON bn.band = b.band AND bn.bh = b.bh
+       |  WHERE b.doc_id >= 1000000 GROUP BY bn.n),
+       |capb AS (SELECT COALESCE((SELECT max(n) FROM (
+       |    SELECT n, sum(n * m) OVER (ORDER BY n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mh) w
+       |    WHERE cum <= $budget * (SELECT count(*) FROM bg)), 1) AS cap),
+       |fcap AS (SELECT least((SELECT cap FROM capi), (SELECT cap FROM capb)) AS cap),
+       |ok AS (SELECT band, bh FROM bszi WHERE n <= (SELECT cap FROM fcap)),
+       |cand AS (SELECT DISTINCT b.doc_id AS new_rid, a.doc_id AS index_rid
+       |  FROM banded a JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+       |  JOIN banded b ON b.band = a.band AND b.bh = a.bh
+       |  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000),
+       |est AS (SELECT c.new_rid, c.index_rid
+       |  FROM cand c
+       |  JOIN sigs sn ON sn.doc_id = c.new_rid
+       |  JOIN sigs si ON si.doc_id = c.index_rid
+       |  WHERE NOT EXISTS (SELECT 1 FROM srp s
+       |      WHERE s.new_rid = c.new_rid AND s.index_rid = c.index_rid)
+       |    AND CAST(len(list_filter(range(1, ${idxH + 1}),
+       |      i -> sn.sig[i] = si.sig[i])) AS DOUBLE) / $idxH >= 0.15),
+       |rp AS (
+       |  SELECT i.new_rid, i.index_rid,
+       |    CAST(i.ic AS DOUBLE) / (sn.hn + si.hn - i.ic) AS jac
+       |  FROM (SELECT e.new_rid, e.index_rid, count(*) AS ic
+       |      FROM est e
+       |      JOIN hx ua ON ua.doc_id = e.new_rid
+       |      JOIN hx ub ON ub.doc_id = e.index_rid AND ub.x = ua.x
+       |      GROUP BY 1, 2) i
+       |  JOIN sigs sn ON sn.doc_id = i.new_rid
+       |  JOIN sigs si ON si.doc_id = i.index_rid),
+       |fan AS (SELECT bm.id AS new_id, im.id AS index_id, rp.jac
+       |  FROM rp JOIN bm ON bm.rid = rp.new_rid
+       |  JOIN im ON im.rid = rp.index_rid
+       |  WHERE rp.jac >= 0.4)
+       |SELECT new_id, index_id, round(jac, 6) AS jaccard
+       |FROM (SELECT * FROM fan UNION ALL SELECT * FROM spr) u
+       |ORDER BY new_id, index_id""".stripMargin
+  }
+
   private def minhashPairCtesAt(bud: Long) = {
     val (r99, b99) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
     val (r95, b95) = graft.operators.Dedup.lshAutoShape(0.4, 0.95, 64)
@@ -1887,77 +2002,8 @@ object TextQueries {
     // cross pairs, rep-space signatures/banding, the gap-rule cap on
     // index-side REP buckets, est + exact verify on cross-text rep
     // pairs, and the member fan-out.
-    "dd_incremental_index" -> {
-      val (idxR, idxB) = graft.operators.Dedup.lshAutoShape(0.4, 0.99, 64)
-      val idxH = idxR * idxB
-      s"""WITH inp AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0),
-         |t AS (SELECT doc_id, array_to_string($toksLower, ' ') AS norm FROM inp),
-         |ig AS (SELECT norm, min(doc_id) AS rid FROM t WHERE doc_id < 1000000 GROUP BY norm),
-         |bg AS (SELECT norm, min(doc_id) AS rid FROM t WHERE doc_id >= 1000000 GROUP BY norm),
-         |im AS (SELECT g.rid, t.doc_id AS id, t.norm FROM t
-         |  JOIN ig g ON g.norm = t.norm WHERE t.doc_id < 1000000),
-         |bm AS (SELECT g.rid, t.doc_id AS id, t.norm FROM t
-         |  JOIN bg g ON g.norm = t.norm WHERE t.doc_id >= 1000000),
-         |spr AS (SELECT b.id AS new_id, a.id AS index_id, 1.0 AS jac
-         |  FROM bm b JOIN im a ON a.norm = b.norm),
-         |reps AS (SELECT rid AS doc_id, norm FROM ig
-         |  UNION ALL SELECT rid AS doc_id, norm FROM bg),
-         |sh AS (SELECT doc_id, norm,
-         |    list_distinct(list_transform(range(0, greatest(len(norm) - 4, 1)),
-         |      i -> substr(norm, i + 1, 5))) AS shingles
-         |  FROM reps),
-         |hs AS (SELECT doc_id, norm, shingles,
-         |    list_transform(shingles, s ->
-         |      [('0x' || substr(md5(s), 1, 15))::BIGINT,
-         |       ('0x' || substr(md5(s), 16, 14))::BIGINT]) AS hp
-         |  FROM sh),
-         |sigs AS (SELECT doc_id, norm,
-         |    list_distinct(list_transform(hp, p -> p[1])) AS hl,
-         |    list_transform(range(0, $idxH),
-         |      k -> list_min(list_transform(hp, p -> p[1] + k * p[2]))) AS sig
-         |  FROM hs),
-         |banded AS (SELECT doc_id, b.range AS band,
-         |    array_to_string(sig[b.range * $idxR + 1 : b.range * $idxR + $idxR], ',') AS bh
-         |  FROM sigs, range(0, $idxB) b),
-         |bszi AS (SELECT band, bh, count(*) AS n FROM banded
-         |  WHERE doc_id < 1000000 GROUP BY 1, 2),
-         |dsi AS (SELECT DISTINCT n FROM bszi),
-         |gapi AS (SELECT n, lead(n) OVER (ORDER BY n) AS nx FROM dsi),
-         |capi AS (SELECT COALESCE(
-         |    (SELECT n FROM (SELECT n, CAST(nx AS DOUBLE) / n AS r FROM gapi
-         |       WHERE n >= 16 AND nx IS NOT NULL
-         |       ORDER BY r DESC, n DESC LIMIT 1) g),
-         |    (SELECT max(n) FROM dsi)) AS cap),
-         |ok AS (SELECT band, bh FROM banded WHERE doc_id < 1000000
-         |  GROUP BY 1, 2 HAVING count(*) <= (SELECT cap FROM capi)),
-         |cand AS (SELECT DISTINCT b.doc_id AS new_rid, a.doc_id AS index_rid
-         |  FROM banded a JOIN ok ON ok.band = a.band AND ok.bh = a.bh
-         |  JOIN banded b ON b.band = a.band AND b.bh = a.bh
-         |  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000),
-         |est AS (SELECT new_rid, index_rid
-         |  FROM cand
-         |  JOIN sigs sn ON sn.doc_id = cand.new_rid
-         |  JOIN sigs si ON si.doc_id = cand.index_rid
-         |  WHERE sn.norm <> si.norm
-         |    AND CAST(len(list_filter(range(1, ${idxH + 1}), i -> sn.sig[i] = si.sig[i])) AS DOUBLE) / $idxH >= 0.15),
-         |rp AS (SELECT new_rid, index_rid,
-         |    CASE WHEN len(list_distinct(list_concat(sn.hl, si.hl))) > 0 THEN
-         |      CAST(len(list_intersect(sn.hl, si.hl)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(sn.hl, si.hl))) ELSE 0.0 END AS jac
-         |  FROM est
-         |  JOIN sigs sn ON sn.doc_id = est.new_rid
-         |  JOIN sigs si ON si.doc_id = est.index_rid),
-         |fan AS (SELECT bm.id AS new_id, im.id AS index_id, rp.jac
-         |  FROM rp JOIN bm ON bm.rid = rp.new_rid
-         |  JOIN im ON im.rid = rp.index_rid
-         |  WHERE rp.jac >= 0.4)
-         |SELECT new_id, index_id, round(jac, 6) AS jaccard
-         |FROM (SELECT * FROM fan UNION ALL SELECT * FROM spr) u
-         |ORDER BY new_id, index_id""".stripMargin
-    },
+    "dd_incremental_index" -> incrementalIndexOracle(budget = 1024L),
+    "dd_incremental_budget" -> incrementalIndexOracle(budget = 4L),
 
     "dd_embed_cosine" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
