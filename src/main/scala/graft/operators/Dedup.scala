@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Dev-only phase timing (SPARK_GRAFT_DEDUP_TIMING=1): brackets the
+    * pipeline's internal actions so a bench regression can be
+    * attributed to a stage instead of a query total. Zero cost when
+    * unset. */
+  private val timingOn = sys.env.get("SPARK_GRAFT_DEDUP_TIMING").contains("1")
+  private def timed[T](label: String)(f: => T): T =
+    if (!timingOn) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[dedup-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Exact dedup: keep the lowest-id document per normalized-content
     * fingerprint. One shuffle on the 64-bit fingerprint. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -520,7 +535,7 @@ object Dedup {
     // LAST shape's histogram for the tier-3 budget cap.
     var lastHist: Array[(Long, Long)] = Array.empty
     val probed = shapes.iterator.map { case (r, b) =>
-      val hist = bucketHistogram(bandedAt(r, b))
+      val hist = timed(s"probe hist r=$r b=$b")(bucketHistogram(bandedAt(r, b)))
       lastHist = hist
       val cap = autoBucketCapFromHist(hist, minOutlierBucket, outlierGapRatio)
       ((r, b), cap, cappedMassFromHist(hist, cap))
@@ -682,12 +697,62 @@ object Dedup {
     * materialized.
     */
   private case class RepSpace(members: DataFrame, perDoc: DataFrame,
-      nReps: Long, shingleBytes: Long) {
+      nReps: Long, shingleBytes: Long, sigWidth: Int) {
     /** No-op since r16: rep spaces are scratch-parquet-backed and owned
       * by the session memo ([[repSpaceMemo]]) — the JVM-exit scratch
       * sweep is the release point. Kept so call sites still mark where
       * their use of the shared space ends. */
     def release(): Unit = ()
+
+    /** Driver-built sorted-id lookup of the model-sized rep tables,
+      * built AT MOST ONCE per rep space (lazy, session-cached with the
+      * memo) and broadcast to executors. est and verify probe it from
+      * inside their UDFs, so the candidate stream stays 16 bytes/row
+      * end to end; the broadcast-JOIN form materialized two sig arrays
+      * and two shingle arrays into every candidate row (measured at
+      * sf0.1: 3.9 M capped candidates × ~2.6 KB of attached arrays ≈
+      * 10 GB of UnsafeRow writes + copies — the est+verify joins were
+      * nearly the whole 16.7 s budgeted-pipeline wall). Same memory
+      * class as the old `broadcast(sigs)` hint (the driver builds that
+      * relation anyway); the payload bounds below are unchanged, and
+      * bigger-than-bound corpora (or non-long ids) keep the join form.
+      */
+    lazy val lookup: Option[org.apache.spark.broadcast.Broadcast[RepLookup]] =
+      if (perDoc.schema("__id").dataType !=
+            org.apache.spark.sql.types.LongType ||
+          nReps * sigWidth * 8L > (1L << 30) ||
+          shingleBytes > (2L << 30)) None
+      else {
+        val rows = timed("pairs: lookup collect")(
+          perDoc.select(col("__id"), col("minhash_sig"), col("__sh"))
+            .collect())
+        java.util.Arrays.sort(rows,
+          java.util.Comparator.comparingLong(
+            (r: org.apache.spark.sql.Row) => r.getLong(0)))
+        val n = rows.length
+        val ids = new Array[Long](n)
+        val sg = new Array[Array[Long]](n)
+        val sh = new Array[Array[Long]](n)
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          ids(i) = r.getLong(0)
+          sg(i) = r.getSeq[Long](1).toArray
+          sh(i) = r.getSeq[Long](2).toArray
+          i += 1
+        }
+        Some(perDoc.sparkSession.sparkContext.broadcast(
+          new RepLookup(ids, sg, sh)))
+      }
+  }
+
+  /** Broadcast payload of [[RepSpace.lookup]]: rep ids (sorted), full-
+    * width signatures, sorted hashed-shingle sets — positional, probed
+    * by binary search. */
+  private[operators] final class RepLookup(val ids: Array[Long],
+      val sigs: Array[Array[Long]], val shs: Array[Array[Long]])
+      extends Serializable {
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
   }
 
   /** Session memo of collapsed rep spaces, keyed by the input plan —
@@ -799,10 +864,15 @@ object Dedup {
     // and the collapse shuffle moves 32-byte keys, not the corpus: the
     // text itself is shuffled exactly once (the groupBy that elects
     // representatives).
+    // Persisted (r16): BOTH the rep election groupBy and the members
+    // join read this frame — uncached, the corpus normalize UDF + sha2
+    // ran twice (once building `reps`, once as the members-join probe
+    // side). MEMORY_AND_DISK for the collapse's duration only.
     val withNorm = graft.core.Tables.scatter(docs)
       .select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__norm"))
       .filter(col("__norm").isNotNull)
       .withColumn("__k", sha2(col("__norm").cast("binary"), 256))
+      .persist()
     // Persisted: both `members` (the fan-out map) and `perDoc` (the
     // signature pass) consume reps — uncached, the representative
     // election (the one full-corpus text shuffle) would execute twice.
@@ -815,25 +885,32 @@ object Dedup {
     // rebuild never overwrites a frame an older plan might lazily
     // re-read); the banding, estimate, and verify branches all reuse
     // perDoc — uncached, the fused UDF would re-run once per DAG branch.
-    val members = graft.core.Scratch.materialize(
+    // __k (the 32-byte identity key) rides along in both tables: the
+    // asymmetric ingest path ([[minHashAgainstIndexCore]]) matches
+    // identical texts ACROSS the batch/index boundary on it; the
+    // within-corpus consumers simply never select it.
+    val members = timed("collapse: members write")(graft.core.Scratch.materialize(
       withNorm.select(col("__k"), col("__id"))
         .join(reps.select(col("__k"), col("__rid")), Seq("__k"))
-        .select(col("__rid"), col("__id")),
-      "mh_members", memoKey)
-    val perDoc = graft.core.Scratch.materialize(
+        .select(col("__k"), col("__rid"), col("__id")),
+      "mh_members", memoKey))
+    val perDoc = timed("collapse: perDoc write")(graft.core.Scratch.materialize(
       reps
-        .select(col("__rid").as("__id"),
+        .select(col("__rid").as("__id"), col("__k"),
           sigAndHashedShingles(shingleLen, numHashes)(col("__norm")).as("__c"))
-        .select(col("__id"), col("__c._1").as("minhash_sig"), col("__c._2").as("__sh")),
-      "mh_perdoc", s"$memoKey|$numHashes")
+        .select(col("__id"), col("__k"),
+          col("__c._1").as("minhash_sig"), col("__c._2").as("__sh")),
+      "mh_perdoc", s"$memoKey|$numHashes"))
     // One aggregate over the written table measures the shingle payload
     // (long count × 8) so downstream join-vs-broadcast staging decisions
     // cost no extra job.
-    val stats = perDoc.agg(count(lit(1)), sum(size(col("__sh")))).head()
+    val stats = timed("collapse: stats agg")(
+      perDoc.agg(count(lit(1)), sum(size(col("__sh")))).head())
     val nReps = stats.getLong(0)
     val shingleBytes = (if (stats.isNullAt(1)) 0L else stats.getLong(1)) * 8L
     reps.unpersist()
-    val rs = RepSpace(members, perDoc, nReps, shingleBytes)
+    withNorm.unpersist()
+    val rs = RepSpace(members, perDoc, nReps, shingleBytes, numHashes)
     repSpaceMemo(memoKey) = (numHashes, rs)
     rs
   }
@@ -875,7 +952,8 @@ object Dedup {
     val maxBucketSize = capSpec match {
       case Left(fixed) => fixed
       case Right((minOutlier, gapRatio)) =>
-        autoBucketCap(banded0, minOutlier, gapRatio)
+        timed(s"pairs: autoBucketCap nh=$numHashes")(
+          autoBucketCap(banded0, minOutlier, gapRatio))
     }
     val bucketSizes = banded0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
@@ -922,26 +1000,81 @@ object Dedup {
         sigEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
-    val withSigs =
-      if (sigsSmall) estFilter(candRaw).dropDuplicates("id_a", "id_b")
-      else estFilter(candRaw.dropDuplicates("id_a", "id_b"))
+    // Candidate-local est + verify (r16): when the rep tables fit the
+    // documented broadcast bounds, probe the shared [[RepSpace.lookup]]
+    // from inside the UDFs instead of JOINING the arrays onto the
+    // candidate stream — the join form materialized two sigs + two
+    // shingle arrays per candidate row (~10 GB of row writes at sf0.1's
+    // 3.9 M capped candidates; the whole pipeline wall). The est/jac
+    // arithmetic is bit-identical to the join form (same eq-count loop,
+    // same double division, same two-pointer merge), candidates always
+    // resolve (they were banded FROM perDoc), so the pair set — and
+    // every oracle hash — is unchanged.
+    val withSigs = rs.lookup match {
+      case Some(bl) =>
+        val width = numHashes
+        val cutoff = estCutoff
+        val estOk = udf { (ia: Long, ib: Long) =>
+          val l = bl.value
+          val x = l.idx(ia); val y = l.idx(ib)
+          x >= 0 && y >= 0 && {
+            val a = l.sigs(x); val b = l.sigs(y)
+            var i = 0
+            var eq = 0
+            val n = math.min(width, math.min(a.length, b.length))
+            while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+            eq.toDouble / width >= cutoff
+          }
+        }
+        candRaw.filter(estOk(col("id_a"), col("id_b")))
+          .dropDuplicates("id_a", "id_b")
+      case None =>
+        if (sigsSmall) estFilter(candRaw).dropDuplicates("id_a", "id_b")
+        else estFilter(candRaw.dropDuplicates("id_a", "id_b"))
+    }
     // Exact verify with the same staging rule: per-rep shingle sets are
     // compact (sorted longs — measured 867 MB for 462 k reps at
-    // sf10-mutated), so under a 2 GB bound they BROADCAST and the
-    // verify is map-only over the survivors; the join form carried one
-    // shingle array per SURVIVOR through a shuffle (253 M survivors at
-    // sf10-mutated — hundreds of GB). The est survivor stream was
-    // deduplicated above, so the map-only tail does each pair's
-    // two-pointer merge exactly once.
-    val shingles = rs.perDoc.select(col("__id"), col("__sh"))
-    def shSide(idAs: String, shAs: String) = {
-      val s = shingles.select(col("__id").as(idAs), col("__sh").as(shAs))
-      if (rs.shingleBytes <= (2L << 30)) broadcast(s) else s
-    }
-    val repPairs = withSigs
-      .join(shSide("id_a", "sh_a"), Seq("id_a"))
-      .join(shSide("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
+    // sf10-mutated), so under a 2 GB bound they ride the broadcast
+    // lookup and the verify is map-only over the survivors; the join
+    // form carried one shingle array per SURVIVOR through a shuffle
+    // (253 M survivors at sf10-mutated — hundreds of GB). The est
+    // survivor stream was deduplicated above, so the map-only tail does
+    // each pair's two-pointer merge exactly once.
+    val repPairs = (rs.lookup match {
+      case Some(bl) =>
+        val jac = udf { (ia: Long, ib: Long) =>
+          val l = bl.value
+          val x = l.idx(ia); val y = l.idx(ib)
+          if (x < 0 || y < 0) 0.0
+          else {
+            // same arithmetic as [[jaccardOfSortedLongs]]
+            val a = l.shs(x); val b = l.shs(y)
+            if (a.isEmpty && b.isEmpty) 0.0
+            else {
+              var i = 0; var j = 0; var inter = 0
+              while (i < a.length && j < b.length) {
+                val u = a(i); val v = b(j)
+                if (u == v) { inter += 1; i += 1; j += 1 }
+                else if (u < v) i += 1
+                else j += 1
+              }
+              val union = a.length + b.length - inter
+              if (union == 0) 0.0 else inter.toDouble / union
+            }
+          }
+        }
+        withSigs.withColumn("jaccard", jac(col("id_a"), col("id_b")))
+      case None =>
+        val shingles = rs.perDoc.select(col("__id"), col("__sh"))
+        def shSide(idAs: String, shAs: String) = {
+          val s = shingles.select(col("__id").as(idAs), col("__sh").as(shAs))
+          if (rs.shingleBytes <= (2L << 30)) broadcast(s) else s
+        }
+        withSigs
+          .join(shSide("id_a", "sh_a"), Seq("id_a"))
+          .join(shSide("id_b", "sh_b"), Seq("id_b"))
+          .withColumn("jaccard", jaccardOfSortedLongs(col("sh_a"), col("sh_b")))
+    })
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
     // Emission fan-out of the identity collapse: cross-rep member pairs
@@ -963,7 +1096,8 @@ object Dedup {
     // materialize it before the caller releases the rep-space caches —
     // otherwise the lazy pair DAG would recompute the whole collapse.
     val out = crossPairs.unionByName(samePairs).persist()
-    out.count()
+    timed(s"pairs: full pipeline nh=$numHashes b=$bands cap=$maxBucketSize")(
+      out.count())
     out
   }
 
@@ -1180,40 +1314,34 @@ object Dedup {
       "unconditionally at jaccard 1.0, which matches the uncollapsed " +
       "semantics only for τ > 0")
     val rowsPerBand = numHashes / bands
-    def collapse(df: DataFrame): (DataFrame, DataFrame) = {
-      val withNorm = graft.core.Tables.scatter(df)
-        .select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__norm"))
-        .filter(col("__norm").isNotNull)
-        .withColumn("__k", sha2(col("__norm").cast("binary"), 256))
-      val reps = withNorm.groupBy(col("__k"))
-        .agg(min(col("__id")).as("__rid"), min(col("__norm")).as("__norm"))
-        .persist()
-      val members = withNorm.select(col("__k"), col("__id"))
-        .join(reps.select(col("__k"), col("__rid")), Seq("__k"))
-        .select(col("__k"), col("__rid"), col("__id"))
-        .persist()
-      members.count()
-      (reps, members)
-    }
-    val (iReps, iMem) = collapse(index)
-    val (bReps, bMem) = collapse(batch)
+    // r16: both sides run the SHARED identity collapse + fused signature
+    // pass ([[collapseToReps]] — scratch-parquet-backed, session-
+    // memoized). The index side of a steady-state ingest IS the corpus
+    // the within-corpus family already collapsed, so the board's
+    // incremental queries inherit that signature asset by memo instead
+    // of re-normalizing and re-hashing the corpus per query — the
+    // single-node shape of "the index side's banded signatures are
+    // precomputed once" this scaladoc always promised.
+    val iRs = collapseToReps(index, idCol, textCol, shingleLen, numHashes)
+    val bRs = collapseToReps(batch, idCol, textCol, shingleLen, numHashes)
+    val iMem = iRs.members
+    val bMem = bRs.members
     // identical texts across the boundary: every (batch member, index
     // member) pair, unconditionally — banding and the cap never see them
     val samePairs = bMem.select(col("__k"), col("__id").as("new_id"))
       .join(iMem.select(col("__k"), col("__id").as("index_id")), Seq("__k"))
       .select(col("new_id"), col("index_id"), lit(1.0).as("jaccard"))
-    def perDocOf(reps: DataFrame) = reps
-      .select(col("__rid").as("__id"), col("__k"),
-        sigAndHashedShingles(shingleLen, numHashes)(col("__norm")).as("__c"))
+    // prefix-slice each side's (possibly wider) memoized signature
+    def perDocOf(rs: RepSpace) = rs.perDoc
       .select(col("__id"), col("__k"),
-        col("__c._1").as("sig"), col("__c._2").as("__sh"))
+        slice(col("minhash_sig"), 1, numHashes).as("sig"), col("__sh"))
     def bandedOf(sigs: DataFrame) = sigs.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>").cast("string"))
       }: _*)).as(Seq("band", "band_hash")))
-    val idxDoc = perDocOf(iReps).persist()
-    val newDoc = perDocOf(bReps).persist()
+    val idxDoc = perDocOf(iRs)
+    val newDoc = perDocOf(bRs)
     val idxBand0 = bandedOf(idxDoc.select(col("__id"), col("sig")))
     val gapCap = capSpec match {
       case Left(fixed) => fixed
@@ -1236,7 +1364,7 @@ object Dedup {
     // ≤ budget × batchReps BY CONSTRUCTION, the incremental twin of
     // minHashDupPairsBudgeted's tier-3 rule (floor 1: identical texts
     // still pair unconditionally below).
-    val nBatchReps = bReps.count()
+    val nBatchReps = bRs.nReps
     val maxBucketSize = budgetPairsPerBatchRep match {
       case None => gapCap
       case Some(budget) =>
@@ -1255,8 +1383,8 @@ object Dedup {
     // them by anti-joining the (model-sized) identical-key rep pairs
     // instead of dragging 32-byte identity keys through the candidate
     // stream
-    val sameRepPairs = bReps.select(col("__k"), col("__rid").as("new_rid"))
-      .join(iReps.select(col("__k"), col("__rid").as("index_rid")), Seq("__k"))
+    val sameRepPairs = bRs.perDoc.select(col("__k"), col("__id").as("new_rid"))
+      .join(iRs.perDoc.select(col("__k"), col("__id").as("index_rid")), Seq("__k"))
       .select("new_rid", "index_rid")
     val cand = newBand.select(col("band"), col("band_hash"), col("__id").as("new_rid"))
       .join(idxBand.select(col("band"), col("band_hash"), col("__id").as("index_rid")),
@@ -1280,17 +1408,63 @@ object Dedup {
       idxDoc.select(col("__id").as("index_rid"), col(c1).as(as1))
         .hint("SHUFFLE_HASH")
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
-    val withSigs = cand
-      .join(newSide("sig", "sig_n"), Seq("new_rid"))
-      .join(idxSide("sig", "sig_i"), Seq("index_rid"))
-      .withColumn("est",
-        sigEqCount(col("sig_n"), col("sig_i")).cast("double") / numHashes)
-      .filter(col("est") >= estCutoff)
-      .select("new_rid", "index_rid")
-    val repPairs = withSigs
-      .join(newSide("__sh", "sh_n"), Seq("new_rid"))
-      .join(idxSide("__sh", "sh_i"), Seq("index_rid"))
-      .withColumn("jaccard", jaccardOfSortedLongs(col("sh_n"), col("sh_i")))
+    // Candidate-local est + verify when BOTH sides' rep tables fit the
+    // documented broadcast bounds (same rule and same arithmetic as the
+    // within-corpus [[pairsFromRepSpace]] fast path): the candidate
+    // stream stays 16 bytes/row and the arrays are probed from the two
+    // shared lookups instead of materialized per candidate through four
+    // joins. Past the bounds (the sf10m regime) the broadcast/
+    // SHUFFLE_HASH staging below remains — nothing wide is ever sorted.
+    val repPairs = ((iRs.lookup, bRs.lookup) match {
+      case (Some(il), Some(bl)) =>
+        val width = numHashes
+        val cutoff = estCutoff
+        val estOk = udf { (ib: Long, ii: Long) =>
+          val lb = bl.value; val li = il.value
+          val x = lb.idx(ib); val y = li.idx(ii)
+          x >= 0 && y >= 0 && {
+            val a = lb.sigs(x); val b = li.sigs(y)
+            var i = 0
+            var eq = 0
+            val n = math.min(width, math.min(a.length, b.length))
+            while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+            eq.toDouble / width >= cutoff
+          }
+        }
+        val jac = udf { (ib: Long, ii: Long) =>
+          val lb = bl.value; val li = il.value
+          val x = lb.idx(ib); val y = li.idx(ii)
+          if (x < 0 || y < 0) 0.0
+          else {
+            val a = lb.shs(x); val b = li.shs(y)
+            if (a.isEmpty && b.isEmpty) 0.0
+            else {
+              var i = 0; var j = 0; var inter = 0
+              while (i < a.length && j < b.length) {
+                val u = a(i); val v = b(j)
+                if (u == v) { inter += 1; i += 1; j += 1 }
+                else if (u < v) i += 1
+                else j += 1
+              }
+              val union = a.length + b.length - inter
+              if (union == 0) 0.0 else inter.toDouble / union
+            }
+          }
+        }
+        cand.filter(estOk(col("new_rid"), col("index_rid")))
+          .withColumn("jaccard", jac(col("new_rid"), col("index_rid")))
+      case _ =>
+        cand
+          .join(newSide("sig", "sig_n"), Seq("new_rid"))
+          .join(idxSide("sig", "sig_i"), Seq("index_rid"))
+          .withColumn("est",
+            sigEqCount(col("sig_n"), col("sig_i")).cast("double") / numHashes)
+          .filter(col("est") >= estCutoff)
+          .select("new_rid", "index_rid")
+          .join(newSide("__sh", "sh_n"), Seq("new_rid"))
+          .join(idxSide("__sh", "sh_i"), Seq("index_rid"))
+          .withColumn("jaccard", jaccardOfSortedLongs(col("sh_n"), col("sh_i")))
+    })
       .filter(col("jaccard") >= jaccardThreshold)
       .select("new_rid", "index_rid", "jaccard")
     // emission fan-out: cross-rep member pairs inherit their reps' exact
@@ -1302,12 +1476,10 @@ object Dedup {
         Seq("index_rid"))
       .select(col("new_id"), col("index_id"), col("jaccard"))
     val out = crossPairs.unionByName(samePairs).persist()
-    out.count()
+    timed(s"against-index: full pipeline nh=$numHashes b=$bands " +
+      s"cap=$maxBucketSize")(out.count())
     bucketN.unpersist()
-    idxDoc.unpersist()
-    newDoc.unpersist()
-    iReps.unpersist(); iMem.unpersist()
-    bReps.unpersist(); bMem.unpersist()
+    iRs.release(); bRs.release()
     out
   }
 
