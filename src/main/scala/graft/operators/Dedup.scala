@@ -1227,30 +1227,114 @@ object Dedup {
       banded0.join(ok, Seq("band", "band_hash"), "left_semi")
     }
 
+  /** Optional driver-built lookup over an (__id, minhash_sig, shingles)
+    * signature table — the [[RepSpace.lookup]] discipline for callers
+    * that own a sig table instead of a rep space. Bounds and payload
+    * are identical (1 GiB sigs / 2 GiB shingles, long ids); one
+    * column-pruned stats aggregate decides, so the corpus-sized regime
+    * pays one cheap pass and keeps the join staging. */
+  private def sigTableLookup(sigs: DataFrame)
+      : Option[org.apache.spark.broadcast.Broadcast[RepLookup]] = {
+    if (sigs.schema("__id").dataType !=
+        org.apache.spark.sql.types.LongType) return None
+    val st = sigs.agg(count(lit(1)),
+      sum(size(col("minhash_sig"))), sum(size(col("shingles")))).head()
+    val sigB = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L
+    val shB = (if (st.isNullAt(2)) 0L else st.getLong(2)) * 8L
+    if (sigB > (1L << 30) || shB > (2L << 30)) None
+    else {
+      val rows = sigs.select(col("__id"), col("minhash_sig"), col("shingles"))
+        .collect()
+      java.util.Arrays.sort(rows,
+        java.util.Comparator.comparingLong(
+          (r: org.apache.spark.sql.Row) => r.getLong(0)))
+      val n = rows.length
+      val ids = new Array[Long](n)
+      val sg = new Array[Array[Long]](n)
+      val sh = new Array[Array[Long]](n)
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        ids(i) = r.getLong(0)
+        sg(i) = r.getSeq[Long](1).toArray
+        sh(i) = r.getSeq[Long](2).toArray
+        i += 1
+      }
+      Some(sigs.sparkSession.sparkContext.broadcast(new RepLookup(ids, sg, sh)))
+    }
+  }
+
   /** Shared est-prefilter + exact-verify tail over candidate id pairs —
-    * staged like [[pairsFromRepSpace]]: the estimate pass joins
-    * SIGNATURES only (16·numHashes bytes/row), shingle arrays move only
-    * for the verified tail. Each candidate side joins its OWN signature
-    * table (`sigsA` for `aCol`, `sigsB` for `bCol`) so two-table callers
+    * staged like [[pairsFromRepSpace]]: when both signature tables fit
+    * the broadcast-lookup bounds the candidate stream stays 16
+    * bytes/row and the arrays are probed inside the UDFs (bit-identical
+    * arithmetic); otherwise the estimate pass joins SIGNATURES only
+    * (16·numHashes bytes/row) and shingle arrays move only for the
+    * verified tail. Each candidate side uses its OWN signature table
+    * (`sigsA` for `aCol`, `sigsB` for `bCol`) so two-table callers
     * stay well-defined even when an id appears in both tables;
     * single-table callers pass the same frame twice. */
   private def verifySigCandidates(cand: DataFrame, aCol: String, bCol: String,
       sigsA: DataFrame, sigsB: DataFrame,
       numHashes: Int, jaccardThreshold: Double): DataFrame = {
     val estCutoff = math.max(0.0, jaccardThreshold - 0.25)
-    val est = cand
-      .join(sigsA.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
-      .join(sigsB.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
-      .withColumn("est",
-        sigEqCount(col("__siga"), col("__sigb")).cast("double") / numHashes)
-      .filter(col("est") >= estCutoff)
-      .select(aCol, bCol)
-    est
-      .join(sigsA.select(col("__id").as(aCol), col("shingles").as("__sha")), Seq(aCol))
-      .join(sigsB.select(col("__id").as(bCol), col("shingles").as("__shb")), Seq(bCol))
-      .withColumn("jaccard", jaccardOfSortedLongs(col("__sha"), col("__shb")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col(aCol), col(bCol), col("jaccard"))
+    val la = sigTableLookup(sigsA)
+    val lb = if (sigsA eq sigsB) la else sigTableLookup(sigsB)
+    (la, lb) match {
+      case (Some(ba), Some(bb)) =>
+        val width = numHashes
+        val cutoff = estCutoff
+        val estOk = udf { (ia: Long, ib: Long) =>
+          val a0 = ba.value; val b0 = bb.value
+          val x = a0.idx(ia); val y = b0.idx(ib)
+          x >= 0 && y >= 0 && {
+            val a = a0.sigs(x); val b = b0.sigs(y)
+            var i = 0
+            var eq = 0
+            val n = math.min(width, math.min(a.length, b.length))
+            while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+            eq.toDouble / width >= cutoff
+          }
+        }
+        val jac = udf { (ia: Long, ib: Long) =>
+          val a0 = ba.value; val b0 = bb.value
+          val x = a0.idx(ia); val y = b0.idx(ib)
+          if (x < 0 || y < 0) 0.0
+          else {
+            val a = a0.shs(x); val b = b0.shs(y)
+            if (a.isEmpty && b.isEmpty) 0.0
+            else {
+              var i = 0; var j = 0; var inter = 0
+              while (i < a.length && j < b.length) {
+                val u = a(i); val v = b(j)
+                if (u == v) { inter += 1; i += 1; j += 1 }
+                else if (u < v) i += 1
+                else j += 1
+              }
+              val union = a.length + b.length - inter
+              if (union == 0) 0.0 else inter.toDouble / union
+            }
+          }
+        }
+        cand.filter(estOk(col(aCol), col(bCol)))
+          .withColumn("jaccard", jac(col(aCol), col(bCol)))
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select(col(aCol), col(bCol), col("jaccard"))
+      case _ =>
+        val est = cand
+          .join(sigsA.select(col("__id").as(aCol), col("minhash_sig").as("__siga")), Seq(aCol))
+          .join(sigsB.select(col("__id").as(bCol), col("minhash_sig").as("__sigb")), Seq(bCol))
+          .withColumn("est",
+            sigEqCount(col("__siga"), col("__sigb")).cast("double") / numHashes)
+          .filter(col("est") >= estCutoff)
+          .select(aCol, bCol)
+        est
+          .join(sigsA.select(col("__id").as(aCol), col("shingles").as("__sha")), Seq(aCol))
+          .join(sigsB.select(col("__id").as(bCol), col("shingles").as("__shb")), Seq(bCol))
+          .withColumn("jaccard", jaccardOfSortedLongs(col("__sha"), col("__shb")))
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select(col(aCol), col(bCol), col("jaccard"))
+    }
   }
 
   /** [[minHashDupAgainstIndex]] at the DERIVED operating point — the
@@ -2053,14 +2137,30 @@ object Dedup {
         symmetric = true))
   }
 
+  /** One shingle pass per (corpus, shingleLen), scratch-parquet-backed
+    * (r16): the PPJoin kernels consume the shingle-set table from FOUR
+    * DAG branches (the df aggregation, the prefix emission, and both
+    * verify sides), and uncached each branch re-ran the wordShingleSet
+    * UDF over the corpus — the session memo makes it one corpus pass,
+    * the operator-layer twin of the MinHash rep-space memo. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame = synchronized {
+    val key = s"$idCol|$textCol|$shingleLen|${graft.core.Scratch.planKey(docs)}"
+    ppSetsMemo.getOrElseUpdate(key, graft.core.Scratch.materialize(
+      docs
+        .select(col(idCol).as("__id"),
+          wordShingleSet(shingleLen)(col(textCol)).as("__sh"))
+        .withColumn("__n", size(col("__sh")))
+        .filter(col("__n") > 0),
+      "pp_sets", key))
+  }
+  private val ppSetsMemo =
+    new graft.core.BoundedMemo[String, DataFrame](32)
+
   private[graft] def prefixFilterPairsRaw(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
-    val sets = docs
-      .select(col(idCol).as("__id"),
-        wordShingleSet(shingleLen)(col(textCol)).as("__sh"))
-      .withColumn("__n", size(col("__sh")))
-      .filter(col("__n") > 0)
+    val sets = shingleSets(docs, idCol, textCol, shingleLen)
     // One corpus pass feeds both the df table and the prefix emission.
     val grams = sets.select(col("__id"), col("__n"),
       explode(col("__sh")).as("__g"))
@@ -2115,11 +2215,7 @@ object Dedup {
   private[graft] def containmentPairsRaw(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
-    val sets = docs
-      .select(col(idCol).as("__id"),
-        wordShingleSet(shingleLen)(col(textCol)).as("__sh"))
-      .withColumn("__n", size(col("__sh")))
-      .filter(col("__n") > 0)
+    val sets = shingleSets(docs, idCol, textCol, shingleLen)
     val grams = sets.select(col("__id"), col("__n"),
       explode(col("__sh")).as("__g"))
     val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))

@@ -13,6 +13,79 @@ import org.apache.spark.sql.functions._
 object QualityQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Shared bitext fixtures (r16): the zh/de embedding table (one
+    * corpus embedding pass) and the EXACT margin mine at the audited
+    * operating point (k=4, minMargin=1). v_bitext_margin RETURNS the
+    * mined frame and v_bitext_recall measures two ANN points against
+    * the same frame; without the memo each query re-ran the corpus
+    * embedding AND the quadratic exact kernel — the board paid the
+    * most expensive computation in the family twice (guide §1.2: don't
+    * compute things twice before tuning anything). Scratch-parquet per
+    * session, same discipline as `minhashPairsShared`. */
+  /** Shared hashed document embedding (dim 32, doubles) — the corpus
+    * text→vector pass consumed by v_doc_knn_hashed, dd_doc_semdedup,
+    * the hard-negative family and (lang-joined) the bitext family;
+    * without the memo each of them re-tokenized and re-hashed the
+    * corpus. One scratch-parquet write per session. */
+  private val docEmbMemo =
+    new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
+  private def docEmbShared(s: SparkSession, d: String): DataFrame = {
+    docEmbMemo.evictIf((k, _) => k._1.sparkContext.isStopped)
+    docEmbMemo.getOrElseUpdate((s, d), graft.core.Scratch.materialize(
+      graft.operators.Similarity.hashedDocEmbedding(
+          Tables.documents(s, d), "doc_id", "text", dim = 32)
+        .select(col("doc_id"),
+          transform(col("vec"), x => x.cast("double")).as("v")),
+      "doc_emb32", d))
+  }
+
+  private val bitextMemo = new graft.core.BoundedMemo[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)](8)
+  private def bitextShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    bitextMemo.evictIf((k, _) => k._1.sparkContext.isStopped)
+    bitextMemo.getOrElseUpdate((s, d), {
+      import graft.operators.Similarity
+      val docs = Tables.documents(s, d)
+      val e = graft.core.Scratch.materialize(
+        docEmbShared(s, d)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("v")),
+        "bitext_emb", d)
+      val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
+      val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
+      val exact = graft.core.Scratch.materialize(
+        Similarity.marginBitextMine(src, tgt, "doc_id", "v", "doc_id", "v",
+          k = 4, minMargin = 1.0),
+        "bitext_exact_full", d)
+      (src, tgt, exact)
+    })
+  }
+
+  /** Shared hard-negative fixtures (r16): the hashed-embedding table
+    * and the EXACT mid-rank band (ranks 4..8 of the top-8, build side
+    * flipped — anchors broadcast, corpus streams: the scale-correct
+    * kernel v_hardneg_recall documents). v_hard_negatives returns this
+    * band; v_hardneg_recall measures the IVF-served band against it —
+    * one exact pass serves both queries. */
+  private val hardnegMemo = new graft.core.BoundedMemo[
+    (SparkSession, String), (DataFrame, DataFrame)](8)
+  private def hardnegShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    hardnegMemo.evictIf((k, _) => k._1.sparkContext.isStopped)
+    hardnegMemo.getOrElseUpdate((s, d), {
+      import graft.operators.Similarity
+      val e = docEmbShared(s, d)
+      val anchors = e.filter(col("doc_id") < 20)
+      val band = graft.core.Scratch.materialize(
+        Similarity.bruteForceTopK(anchors, e, "doc_id", "v", "doc_id", "v",
+            k = 8, broadcastCorpus = false, rankRound = Some(6))
+          .filter(col("rank") >= 4),
+        "hardneg_exact_band", d)
+      (e, band)
+    })
+  }
+
   val queries: Map[String, Q] = Map(
     // C4-style line cleaning over a deterministically line-injected
     // corpus (the synthetic docs are single-line, so each gets the one
@@ -82,12 +155,9 @@ object QualityQueries {
     // search bit-for-bit.
     "v_doc_knn_hashed" -> ((s, d) => {
       import graft.operators.Similarity
-      // query side = filter of the SAME embedding plan (bruteForceTopK
-      // aliases both sides, so the self-join is unambiguous) — a second
-      // hashedDocEmbedding call would plan the corpus embedding twice
-      val e = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      // the shared materialized embedding (one corpus pass per session;
+      // both kNN sides read the same scratch table)
+      val e = docEmbShared(s, d)
       Similarity.bruteForceTopK(e.filter(col("doc_id") < 20), e,
         "doc_id", "v", "doc_id", "v", k = 3, rankRound = Some(6))
         .withColumn("rank", col("rank").cast("long"))
@@ -103,23 +173,10 @@ object QualityQueries {
     // quantization make every neighborhood sum and the margin ratio
     // exact longs/ratios — DuckDB replays the whole pipeline
     // value-level.
-    "v_bitext_margin" -> ((s, d) => {
-      import graft.operators.Similarity
-      val docs = Tables.documents(s, d)
-      // materialize the embedding once: both kNN directions consume
-      // both sides, so the inline plan would re-embed the corpus 4×
-      val e = graft.core.Scratch.materialize(
-        Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
-          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-          .select(col("doc_id"), col("lang"),
-            transform(col("vec"), x => x.cast("double")).as("v")),
-        "bitext_emb", d)
-      val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
-      val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
-      Similarity.marginBitextMine(src, tgt, "doc_id", "v", "doc_id", "v",
-          k = 4, minMargin = 1.0)
-        .orderBy(col("src_id"))
-    }),
+    "v_bitext_margin" -> ((s, d) =>
+      // the exact mine at the audited point, shared with
+      // v_bitext_recall's ground-truth band (one kernel run per session)
+      bitextShared(s, d)._3.orderBy(col("src_id"))),
 
     // The ANN-backed miner measuring itself against the exact kernel —
     // the v_recall_report composition for bitext mining: the SAME
@@ -132,26 +189,15 @@ object QualityQueries {
     // ratio is floor-micro quantized — value-level replay.
     "v_bitext_recall" -> ((s, d) => {
       import graft.operators.Similarity
-      val docs = Tables.documents(s, d)
-      val e = graft.core.Scratch.materialize(
-        Similarity.hashedDocEmbedding(docs, "doc_id", "text", dim = 32)
-          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-          .select(col("doc_id"), col("lang"),
-            transform(col("vec"), x => x.cast("double")).as("v")),
-        "bitext_emb", d)
-      val src = e.filter(col("lang") === "zh").select(col("doc_id"), col("v"))
-      val tgt = e.filter(col("lang") === "de").select(col("doc_id"), col("v"))
       // Each mined set is MATERIALIZED before the count/intersection
       // algebra: settingRow references every set 2-3× (count + semi
       // join), and the exact kernel is quadratic by semantics — at
       // sf10 (75k × 70k sides, ~16 min for one evaluation) the lazy
       // plan re-ran it per reference and the audit took hours instead
-      // of minutes. Found by the r14 full sf10 board.
-      val exact = graft.core.Scratch.materialize(
-        Similarity.marginBitextMine(src, tgt,
-            "doc_id", "v", "doc_id", "v", k = 4, minMargin = 1.0)
-          .select(col("src_id"), col("tgt_id")),
-        "bitext_exact", d)
+      // of minutes. Found by the r14 full sf10 board. r16: the exact
+      // kernel run itself is shared with v_bitext_margin (bitextShared).
+      val (src, tgt, exactFull) = bitextShared(s, d)
+      val exact = exactFull.select(col("src_id"), col("tgt_id"))
       val srcCent = src.orderBy(col("doc_id")).limit(8)
         .select(col("doc_id").as("cent_id"), col("v").as("cv"))
       val tgtCent = tgt.orderBy(col("doc_id")).limit(8)
@@ -211,17 +257,14 @@ object QualityQueries {
     // Hard-negative mining: the near-but-not-nearest band of the exact
     // cosine ranking (ranks 4..8) over the hashed embeddings — the
     // negatives that actually teach a contrastive model.
-    "v_hard_negatives" -> ((s, d) => {
-      import graft.operators.Similarity
-      val e = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
-      Similarity.bruteForceTopK(e.filter(col("doc_id") < 20), e,
-        "doc_id", "v", "doc_id", "v", k = 8, rankRound = Some(6))
-        .filter(col("rank") >= 4)
+    "v_hard_negatives" -> ((s, d) =>
+      // the exact mid-rank band, shared with v_hardneg_recall's ground
+      // truth (rank semantics are round-6 + id tie-break, so the band
+      // is identical whichever join side builds — the shared kernel
+      // runs build-side-flipped, the scale-correct form)
+      hardnegShared(s, d)._2
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+        .orderBy(col("query_id"), col("rank"))),
 
     // The ANN-SERVED twin of v_hard_negatives, measuring itself (the
     // v_recall_report discipline): the same mid-rank band (exact ranks
@@ -237,19 +280,10 @@ object QualityQueries {
     // nprobe rides in the row so the calibration itself is oracled.
     "v_hardneg_recall" -> ((s, d) => {
       import graft.operators.Similarity
-      val e = graft.core.Scratch.materialize(
-        Similarity.hashedDocEmbedding(
-            Tables.documents(s, d), "doc_id", "text", dim = 32)
-          .select(col("doc_id"),
-            transform(col("vec"), x => x.cast("double")).as("v")),
-        "hardneg_emb", d)
+      // one exact band per session, shared with v_hard_negatives
+      val (e, band) = hardnegShared(s, d)
       val anchors = e.filter(col("doc_id") < 20)
-      val exact = graft.core.Scratch.materialize(
-        Similarity.bruteForceTopK(anchors, e, "doc_id", "v", "doc_id", "v",
-            k = 8, broadcastCorpus = false, rankRound = Some(6))
-          .filter(col("rank") >= 4)
-          .select(col("query_id"), col("neighbor_id")),
-        "hardneg_exact", d)
+      val exact = band.select(col("query_id"), col("neighbor_id"))
       val n = e.count()
       val nCells = math.min(1024, math.max(1,
         math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -281,9 +315,8 @@ object QualityQueries {
     // oracle replays the full chain.
     "dd_doc_semdedup" -> ((s, d) => {
       import graft.operators.{Dedup, Similarity}
-      val e = Similarity.hashedDocEmbedding(
-          Tables.documents(s, d), "doc_id", "text", dim = 32)
-        .select(col("doc_id"), transform(col("vec"), x => x.cast("double")).as("v"))
+      // the shared materialized embedding (one corpus pass per session)
+      val e = docEmbShared(s, d)
       val cents = e.filter(col("doc_id") < 8)
         .select(col("doc_id").as("cent_id"), col("v").as("cv"))
       Dedup.semDedup(e, "doc_id", "v", cents, "cent_id", "cv", eps = 0.9)

@@ -654,6 +654,17 @@ object TextQueries {
     // permanent dedup hole.
     "e2e_corpus_curation" -> ((s, d) => {
       import graft.core.{TableSpec, TableStore}
+      // dev-only phase timing, same switch as Dedup's
+      val tOn = sys.env.get("SPARK_GRAFT_DEDUP_TIMING").contains("1")
+      def tt[T](label: String)(f: => T): T =
+        if (!tOn) f
+        else {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(
+            f"[e2e-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
       val dir = graft.core.Scratch.queryDir("e2e_curation")
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -667,7 +678,7 @@ object TextQueries {
       // lives wholly inside one doc, so drops never split a group).
       // Returns the number of docs actually fetched (post anti-join).
       def runDrop(tag: String, pred: org.apache.spark.sql.Column,
-          crashBetweenChunk: Int): Long = {
+          crashBetweenChunk: Int): Long = tt(s"drop $tag") {
         val pages = urlLedger(s, d)
           .filter(pred === pmod(pmod(col("cid"), lit(1000000L)), lit(2)))
         // S-stage: canonical-URL dedup (first-fetch-wins), then the
@@ -683,10 +694,20 @@ object TextQueries {
             perDoc.join(store.read(docSpec).select(col("doc_id")),
               Seq("doc_id"), "left_anti")
           else perDoc
-        val n = newDocs.count()
-        val batch0 = newDocs.join(
-          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
-          Seq("doc_id"))
+        // Materialize the fetched batch ONCE per drop (r16): the gate
+        // pass, the score+sig pass and the frontier count all consume
+        // it, and uncached each consumer re-ran the ledger build +
+        // canonicalization + frontier groupBy + docs join. The count
+        // equals the frontier count — every frontier doc_id is a
+        // documents PK by construction (ids are pmod(cid, 1e6) of cids
+        // minted from doc_ids).
+        val batch0 = tt(s"drop $tag: fetch batch write")(
+          graft.core.Scratch.materialize(
+            newDocs.join(
+              Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+              Seq("doc_id")),
+            s"e2e_cur_b0_$tag", d))
+        val n = batch0.count()
         // quality gate (Gopher repetition rule) rides as a STORED flag:
         // rejected docs are remembered, so recovery never re-fetches
         // them; only kept docs enter the dedup index and the output
@@ -698,7 +719,8 @@ object TextQueries {
         // and PERSISTED with the row — every later drop reads them as
         // its index side instead of re-hashing previously ingested
         // text (the incremental-index shape minHashSigTable documents)
-        val batch = graft.core.Scratch.materialize(
+        val batch = tt(s"drop $tag: batch score+sig write")(
+          graft.core.Scratch.materialize(
           batch0.join(gate, Seq("doc_id"))
             .withColumn("__toks", tokens(col("text")))
             .withColumn("__ltoks", tokens(lower(col("text"))))
@@ -708,7 +730,7 @@ object TextQueries {
               tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
               col("keep"), col("__c._1").as("minhash_sig"),
               col("__c._2").as("shingles")),
-          s"e2e_cur_batch_$tag", d)
+          s"e2e_cur_batch_$tag", d))
         // Near-dup pairs for the WHOLE drop, committed BEFORE any doc
         // chunk: within-drop pairs + drop-vs-index pairs cover exactly
         // the pairs this drop adds, and committing them first means a
@@ -728,15 +750,21 @@ object TextQueries {
           numHashes = lr * lb, bands = lb, jaccardThreshold = 0.4)
         val cross = Dedup.minHashPairsBetweenSigs(dedupIn, index, "doc_id",
           numHashes = lr * lb, bands = lb, jaccardThreshold = 0.4)
+        // count() (not isEmpty) fills the persisted cache completely, so
+        // the upsert reads the cache instead of recomputing the pair
+        // pipeline for the partitions isEmpty never touched
         val pairs = within.unionByName(cross).persist()
-        if (!pairs.isEmpty) store.upsert(pairSpec, pairs)
+        val nPairs = tt(s"drop $tag: pairs compute")(pairs.count())
+        tt(s"drop $tag: pairs upsert")(
+          if (nPairs > 0) store.upsert(pairSpec, pairs))
         pairs.unpersist()
         // the reference's bunch-insert batching: docs commit in chunks
         // so a crash preserves partial progress
         // chunk on doc_id div 2 so BOTH parity drops split non-trivially
         (0 until 2).foreach { i =>
           val chunk = batch.filter(pmod(expr("doc_id div 2"), lit(2)) === i)
-          if (!chunk.isEmpty) store.upsert(docSpec, chunk)
+          tt(s"drop $tag: doc chunk $i upsert")(
+            if (!chunk.isEmpty) store.upsert(docSpec, chunk))
           if (i == crashBetweenChunk)
             throw new RuntimeException(
               "injected crash: drop pairs + first doc chunk committed, rest lost")
