@@ -524,9 +524,6 @@ object Dedup {
     val maxHashes = shapes.map { case (r, b) => r * b }.max
     val rs = collapseToReps(docs, idCol, textCol, shingleLen, maxHashes)
     val budget = budgetPairsPerRep * rs.nReps
-    def bandedAt(r: Int, b: Int) =
-      bandsOfSigs(rs.perDoc.select(col("__id"),
-        slice(col("minhash_sig"), 1, r * b).as("minhash_sig")), r * b, b)
     // ONE (size, count) histogram per probed shape: cap, capped mass,
     // and the tier-3 budget cap are all pure functions of it (the r15
     // probe re-aggregated the same banded frame up to three times).
@@ -535,7 +532,11 @@ object Dedup {
     // LAST shape's histogram for the tier-3 budget cap.
     var lastHist: Array[(Long, Long)] = Array.empty
     val probed = shapes.iterator.map { case (r, b) =>
-      val hist = timed(s"probe hist r=$r b=$b")(bucketHistogram(bandedAt(r, b)))
+      // memoized per (rep space, shape): the histogram is budget-
+      // independent, so the walk's probes are shared across every
+      // budget tier a session runs (dd_minhash_budget_mid/_floor and
+      // the shared default all walk the same shapes)
+      val hist = timed(s"probe hist r=$r b=$b")(bandHistOf(rs, r * b, b))
       lastHist = hist
       val cap = autoBucketCapFromHist(hist, minOutlierBucket, outlierGapRatio)
       ((r, b), cap, cappedMassFromHist(hist, cap))
@@ -772,6 +773,28 @@ object Dedup {
   private val repSpaceMemo =
     scala.collection.mutable.Map[String, (Int, RepSpace)]()
 
+  /** Model-sized banding histograms, memoized per (rep space, band
+    * shape): the (bucket size, count) histogram — and the incremental
+    * path's batch-hit mass histogram below — are pure functions of
+    * these; every BUDGET or cap rule is applied to them afterwards,
+    * driver-side. So the budgeted walk's shape probes, the multi
+    * audit's auto-cap derivation, and the incremental index-side cap
+    * all share one banding aggregation per (corpus, shape) instead of
+    * re-running it per query/budget. Keys hold the memoized RepSpace
+    * instances (reference equality via the case class); bounded LRU
+    * like every model cache. */
+  private val bandHistMemo =
+    new graft.core.BoundedMemo[(RepSpace, Int, Int), Array[(Long, Long)]](16)
+  private def bandHistOf(rs: RepSpace, numHashes: Int, bands: Int)
+      : Array[(Long, Long)] =
+    bandHistMemo.getOrElseUpdate((rs, numHashes, bands),
+      bucketHistogram(bandsOfSigs(rs.perDoc.select(col("__id"),
+        slice(col("minhash_sig"), 1, numHashes).as("minhash_sig")),
+        numHashes, bands)))
+  private val massHistMemo =
+    new graft.core.BoundedMemo[(RepSpace, RepSpace, Int, Int, Int),
+      Array[(Long, Long)]](16)
+
   /** Count of equal positions of two equal-length long arrays — the
     * signature-estimate kernel, fused (zip_with/filter/size run
     * interpreted per element; at tens of millions of candidates the
@@ -952,8 +975,11 @@ object Dedup {
     val maxBucketSize = capSpec match {
       case Left(fixed) => fixed
       case Right((minOutlier, gapRatio)) =>
+        // derive from the memoized per-shape histogram (identical to
+        // autoBucketCap(banded0, ...): banded0 IS this shape's banding)
         timed(s"pairs: autoBucketCap nh=$numHashes")(
-          autoBucketCap(banded0, minOutlier, gapRatio))
+          autoBucketCapFromHist(bandHistOf(rs, numHashes, bands),
+            minOutlier, gapRatio))
     }
     val bucketSizes = banded0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
@@ -1427,10 +1453,17 @@ object Dedup {
     val idxDoc = perDocOf(iRs)
     val newDoc = perDocOf(bRs)
     val idxBand0 = bandedOf(idxDoc.select(col("__id"), col("sig")))
+    // r16: the index-side bucket histogram is a pure function of the
+    // rep space and the band shape — callers that differ only in the
+    // BUDGET applied to it (dd_incremental_index vs _budget run the
+    // same corpus at budget 1024 vs 4) re-ran the full banding
+    // aggregation to re-derive the same model-sized array. Session-
+    // memoized like the rep spaces themselves.
+    val idxHist = bandHistOf(iRs, numHashes, bands)
     val gapCap = capSpec match {
       case Left(fixed) => fixed
       case Right((minOutlier, gapRatio)) =>
-        autoBucketCap(idxBand0, minOutlier, gapRatio)
+        autoBucketCapFromHist(idxHist, minOutlier, gapRatio)
     }
     val bucketN = idxBand0.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
@@ -1452,11 +1485,17 @@ object Dedup {
     val maxBucketSize = budgetPairsPerBatchRep match {
       case None => gapCap
       case Some(budget) =>
-        val hits = newBand.select(col("band"), col("band_hash"))
-          .join(bucketN, Seq("band", "band_hash"))
-          .groupBy(col("__n")).agg(count(lit(1)).as("__m"))
-          .orderBy(col("__n")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        // the (bucket size, batch hits) mass histogram is likewise
+        // budget-INDEPENDENT (the budget is applied to it afterwards,
+        // in budgetCapFromMassHist) — memoize it so the probe join
+        // runs once per (index, batch, shape), not once per budget
+        val hits = massHistMemo.getOrElseUpdate(
+          (iRs, bRs, numHashes, bands, gapCap),
+          newBand.select(col("band"), col("band_hash"))
+            .join(bucketN, Seq("band", "band_hash"))
+            .groupBy(col("__n")).agg(count(lit(1)).as("__m"))
+            .orderBy(col("__n")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))))
         math.min(gapCap.toLong,
           budgetCapFromMassHist(hits, budget * nBatchReps).toLong).toInt
     }
@@ -2157,6 +2196,55 @@ object Dedup {
   private val ppSetsMemo =
     new graft.core.BoundedMemo[String, DataFrame](32)
 
+  /** Broadcast payload of [[setsLookup]]: doc ids (sorted) and their
+    * string shingle SETS (already distinct — wordShingleSet builds a
+    * LinkedHashSet), probed by binary search. */
+  private[operators] final class SetsLookup(val ids: Array[Long],
+      val sets: Array[Array[String]]) extends Serializable {
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+  }
+
+  /** Driver-built lookup over a (__id, __sh) string-shingle table —
+    * the [[RepSpace.lookup]] discipline for the exact PPJoin kernels:
+    * their verify step joined two ~KB string arrays onto every
+    * candidate row (the same payload drag §1 measured on the MinHash
+    * family). One column-pruned stats aggregate bounds the payload
+    * (string bytes + per-entry overhead ≤ 1 GiB, long ids); past the
+    * bound the join form below stays. Memoized next to the sets table
+    * so the collect runs once per (corpus, shingleLen) session-wide. */
+  private val ppLookupMemo = new graft.core.BoundedMemo[String,
+    Option[org.apache.spark.broadcast.Broadcast[SetsLookup]]](32)
+  private def setsLookup(sets: DataFrame)
+      : Option[org.apache.spark.broadcast.Broadcast[SetsLookup]] =
+    ppLookupMemo.getOrElseUpdate(graft.core.Scratch.planKey(sets), {
+      if (sets.schema("__id").dataType !=
+          org.apache.spark.sql.types.LongType) None
+      else {
+        val st = sets.agg(
+          sum(expr("aggregate(transform(__sh, x -> length(x) + 24L)," +
+            " 0L, (a, x) -> a + x)"))).head()
+        val bytes = if (st.isNullAt(0)) 0L else st.getLong(0)
+        if (bytes > (1L << 30)) None
+        else {
+          val rows = sets.select(col("__id"), col("__sh")).collect()
+          java.util.Arrays.sort(rows,
+            java.util.Comparator.comparingLong(
+              (r: org.apache.spark.sql.Row) => r.getLong(0)))
+          val n = rows.length
+          val ids = new Array[Long](n)
+          val sh = new Array[Array[String]](n)
+          var i = 0
+          while (i < n) {
+            ids(i) = rows(i).getLong(0)
+            sh(i) = rows(i).getSeq[String](1).toArray
+            i += 1
+          }
+          Some(sets.sparkSession.sparkContext.broadcast(
+            new SetsLookup(ids, sh)))
+        }
+      }
+    })
+
   private[graft] def prefixFilterPairsRaw(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau out of (0, 1]")
@@ -2188,13 +2276,39 @@ object Dedup {
         col("nb") * tau <= col("na") + lit(1e-9) &&
         lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
       .select("id_a", "id_b").distinct()
-    // Exact verification: candidates only — two id-keyed joins.
-    val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
-    val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
-    candidates.join(fa, "id_a").join(fb, "id_b")
-      .withColumn("jaccard", jaccardOfSets(col("__sa"), col("__sb")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Exact verification: candidates only. Candidate-local when the
+    // sets table fits the broadcast-lookup bound (the join form
+    // materialized two ~KB string arrays per candidate row); the probe
+    // runs the SAME HashSet intersection/union arithmetic as
+    // [[jaccardOfSets]], so the pair set and every jaccard value are
+    // bit-identical either way.
+    setsLookup(sets) match {
+      case Some(bl) =>
+        val jac = udf { (ia: Long, ib: Long) =>
+          val l = bl.value
+          val x = l.idx(ia); val y = l.idx(ib)
+          if (x < 0 || y < 0) 0.0
+          else {
+            val a = l.sets(x); val b = l.sets(y)
+            val sa = new java.util.HashSet[String](a.length * 2)
+            a.foreach(sa.add)
+            var inter = 0
+            val union = new java.util.HashSet[String](sa)
+            b.foreach { s => if (sa.contains(s)) inter += 1; union.add(s) }
+            if (union.isEmpty) 0.0 else inter.toDouble / union.size
+          }
+        }
+        candidates.withColumn("jaccard", jac(col("id_a"), col("id_b")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      case None =>
+        val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+        val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+        candidates.join(fa, "id_a").join(fb, "id_b")
+          .withColumn("jaccard", jaccardOfSets(col("__sa"), col("__sb")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** Exact CONTAINMENT threshold join: pairs where
@@ -2241,13 +2355,40 @@ object Dedup {
         lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
           ceilSlack(lit(tau) * col("na")))
       .select("id_a", "id_b").distinct()
-    val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
-    val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
-    candidates.join(fa, "id_a").join(fb, "id_b")
-      .withColumn("containment",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(col("__sa")).cast("double"))
-      .filter(col("containment") >= tau)
-      .select(col("id_a"), col("id_b"), col("containment"))
+    // Candidate-local verify under the same lookup bound; the probe's
+    // |A∩B| count over the (already-distinct) shingle sets equals
+    // size(array_intersect(A, B)) exactly, and |A| = a.length, so the
+    // containment value is bit-identical to the join form.
+    setsLookup(sets) match {
+      case Some(bl) =>
+        val cont = udf { (ia: Long, ib: Long) =>
+          val l = bl.value
+          val x = l.idx(ia); val y = l.idx(ib)
+          if (x < 0 || y < 0) 0.0
+          else {
+            val a = l.sets(x); val b = l.sets(y)
+            if (a.isEmpty) 0.0
+            else {
+              val sb = new java.util.HashSet[String](b.length * 2)
+              b.foreach(sb.add)
+              var inter = 0
+              a.foreach { s => if (sb.contains(s)) inter += 1 }
+              inter.toDouble / a.length
+            }
+          }
+        }
+        candidates.withColumn("containment", cont(col("id_a"), col("id_b")))
+          .filter(col("containment") >= tau)
+          .select(col("id_a"), col("id_b"), col("containment"))
+      case None =>
+        val fa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+        val fb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+        candidates.join(fa, "id_a").join(fb, "id_b")
+          .withColumn("containment",
+            size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+              size(col("__sa")).cast("double"))
+          .filter(col("containment") >= tau)
+          .select(col("id_a"), col("id_b"), col("containment"))
+    }
   }
 }

@@ -673,20 +673,27 @@ object TextQueries {
       val pairSpec = TableSpec("dup_pairs", Seq("id_a", "id_b"))
       val (lr, lb) = Dedup.lshAutoShape(0.4, 0.99, 64)
 
-      // One crawl drop = the ledger slice whose PAGES belong to `pred`
-      // base docs (a cid's doc is cid % 1e6; every canonical group
-      // lives wholly inside one doc, so drops never split a group).
+      // S-stage, ONCE per query (r16): canonical-URL dedup
+      // (first-fetch-wins) then the crawl frontier — one row per doc
+      // with its url mass. Every canonical group lives wholly inside
+      // one doc (a cid's doc is cid % 1e6, shared by all its variant
+      // blocks), so slicing the GROUPED frontier by doc parity is
+      // identical to canonicalizing each parity slice separately —
+      // and the three drops (run1, crash, recovery) were each
+      // re-running the full canonicalize+group chain on their slice.
+      // One ledger snapshot, one frontier, three slices.
+      val frontier = tt("frontier build")(graft.core.Scratch.materialize(
+        graft.operators.UrlOps
+          .dedupByCanonicalUrl(Tables.scatter(urlLedger(s, d)), "url", "cid")
+          .select(pmod(col("keep_id"), lit(1000000L)).as("doc_id"), col("n_urls"))
+          .groupBy("doc_id").agg(sum("n_urls").as("n_urls")),
+        "e2e_cur_frontier", d))
+
+      // One crawl drop = the frontier slice whose docs belong to `pred`.
       // Returns the number of docs actually fetched (post anti-join).
       def runDrop(tag: String, pred: org.apache.spark.sql.Column,
           crashBetweenChunk: Int): Long = tt(s"drop $tag") {
-        val pages = urlLedger(s, d)
-          .filter(pred === pmod(pmod(col("cid"), lit(1000000L)), lit(2)))
-        // S-stage: canonical-URL dedup (first-fetch-wins), then the
-        // crawl frontier — one row per doc with its url mass
-        val perDoc = graft.operators.UrlOps
-          .dedupByCanonicalUrl(Tables.scatter(pages), "url", "cid")
-          .select(pmod(col("keep_id"), lit(1000000L)).as("doc_id"), col("n_urls"))
-          .groupBy("doc_id").agg(sum("n_urls").as("n_urls"))
+        val perDoc = frontier.filter(pred === pmod(col("doc_id"), lit(2)))
         // J4: docs already in the sink are not re-fetched — the
         // idempotence the recovery run rides
         val newDocs =
