@@ -1259,7 +1259,19 @@ object Dedup {
     * are identical (1 GiB sigs / 2 GiB shingles, long ids); one
     * column-pruned stats aggregate decides, so the corpus-sized regime
     * pays one cheap pass and keeps the join staging. */
+  /** Memoized per input plan (r16): within-corpus + cross-index calls
+    * over the same batch frame (the e2e drop shape — within pairs, then
+    * batch×index pairs) otherwise re-ran the stats aggregate and the
+    * collect per call. planKey folds file mtimes, so a rewritten
+    * scratch table mints a fresh entry. */
+  private val sigLookupMemo = new graft.core.BoundedMemo[String,
+    Option[org.apache.spark.broadcast.Broadcast[RepLookup]]](32)
   private def sigTableLookup(sigs: DataFrame)
+      : Option[org.apache.spark.broadcast.Broadcast[RepLookup]] =
+    sigLookupMemo.getOrElseUpdate(graft.core.Scratch.planKey(sigs),
+      sigTableLookupBuild(sigs))
+
+  private def sigTableLookupBuild(sigs: DataFrame)
       : Option[org.apache.spark.broadcast.Broadcast[RepLookup]] = {
     if (sigs.schema("__id").dataType !=
         org.apache.spark.sql.types.LongType) return None

@@ -47,6 +47,18 @@ object TextQueries {
         "mh_pairs", d))
   }
 
+  /** One SimHash signature pass per (session, sfDir) — dd_simhash
+    * returns the table, dd_simhash_pairs bands it (r16). */
+  private val simhashCache =
+    new graft.core.BoundedMemo[(SparkSession, String), DataFrame](8)
+  private def simhashShared(s: SparkSession, d: String): DataFrame = {
+    simhashCache.evictIf((k, _) => k._1.sparkContext.isStopped)
+    simhashCache.getOrElseUpdate((s, d), graft.core.Scratch.materialize(
+      Dedup.simHash(Tables.scatter(Tables.documents(s, d)), "text")
+        .select(col("doc_id"), col("simhash")),
+      "simhash_tbl", d))
+  }
+
   /** The synthesized URL ledger shared by t_url_dedup (batch) and
     * stream_url_ledger (micro-batch fold): one row per (cid, url).
     * Variant blocks ride million-wide id offsets, which the stream
@@ -501,17 +513,20 @@ object TextQueries {
     }),
 
     "dd_simhash" -> ((s, d) =>
-      Dedup.simHash(Tables.scatter(Tables.documents(s, d)), "text")
-        .select(col("doc_id"), col("simhash"))
-        .orderBy(col("doc_id"))),
+      simhashShared(s, d).orderBy(col("doc_id"))),
 
     "dd_simhash_pairs" -> ((s, d) =>
-      // simHashDupPairs returns a persisted pair set (its signature cache
-      // is released internally); route it through scratch so the pin
+      // the banded hamming join over the SHARED simhash table (r16:
+      // dd_simhash returns that table and this query re-ran the
+      // per-word hash pass to rebuild it — one corpus pass serves
+      // both); bandedHammingPairs is the same kernel simHashDupPairs
+      // wraps, at its default cap. Scratch-materialized so the pin
       // doesn't outlive the query.
       graft.core.Scratch.materialize(
-        Dedup.simHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 20, bands = 4),
+        Dedup.bandedHammingPairs(
+          simhashShared(s, d).select(col("doc_id").as("__id"), col("simhash"))
+            .persist(),
+          maxHamming = 20, bands = 4, maxBucketSize = 1000),
         "sh_pairs", d)
         .orderBy(col("id_a"), col("id_b"))),
 

