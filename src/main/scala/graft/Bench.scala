@@ -82,15 +82,29 @@ object Bench {
     println(line)
     // Structured copy for consumers that can't rely on an untruncated
     // stdout capture (sbt prefixes and log tails have eaten the line
-    // before — BENCH_r07.json recorded parsed:null and lost ~64 per-query
-    // timings): ALWAYS write one JSON file, same payload, so the round
-    // record is self-describing regardless of the capture. Default lands
-    // in the repo working dir; override with SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // before — BENCH_r07/r15/r16 all recorded parsed:null because the
+    // ~6 KB line exceeds a 2 KB tail capture): ALWAYS write one JSON
+    // file, same payload, so the round record is self-describing
+    // regardless of the capture. The default filename is stamped with
+    // the SF-dir basename and the core count so that a second run at a
+    // different core count (the driver benches at two) does not clobber
+    // the first; the unstamped BENCH_SELF.json is also kept current for
+    // consumers that look there. Override with SPARK_GRAFT_BENCH_OUT.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val stamped = s"BENCH_SELF_${sfName}_c$cpus.json"
+    val outPaths = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(Seq(_)).getOrElse(Seq(stamped, "BENCH_SELF.json"))
+    outPaths.foreach { outPath =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
+    // Short trailing summary (<200 chars): survives tail-limited captures
+    // that truncate the full line above, so the total/failure count is
+    // always parseable even when the per-query map is not.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"nfailed":${results.count(!_._3)},"sf":"$sfDir","cpus":$cpus,"queries_file":"${outPaths.head}"}""")
     spark.stop()
   }
 }

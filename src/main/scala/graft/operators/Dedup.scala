@@ -1026,71 +1026,187 @@ object Dedup {
         sigEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .filter(col("est") >= estCutoff)
       .select("id_a", "id_b")
-    // Candidate-local est + verify (r16): when the rep tables fit the
-    // documented broadcast bounds, probe the shared [[RepSpace.lookup]]
-    // from inside the UDFs instead of JOINING the arrays onto the
-    // candidate stream — the join form materialized two sigs + two
-    // shingle arrays per candidate row (~10 GB of row writes at sf0.1's
-    // 3.9 M capped candidates; the whole pipeline wall). The est/jac
-    // arithmetic is bit-identical to the join form (same eq-count loop,
-    // same double division, same two-pointer merge), candidates always
-    // resolve (they were banded FROM perDoc), so the pair set — and
-    // every oracle hash — is unchanged.
-    val withSigs = rs.lookup match {
-      case Some(bl) =>
+    // Fused bucket-local candidate+est+verify (r17): when the rep
+    // tables fit the documented broadcast bounds, the per-bucket pair
+    // ENUMERATION, the signature-estimate prefilter and the exact
+    // shingle verify all run in ONE tight loop per uncapped bucket,
+    // probing the shared [[RepSpace.lookup]]. The r16 shape — bucket
+    // self-join → per-candidate est UDF → dropDuplicates → per-pair
+    // verify UDF — materialized every capped candidate as a row and
+    // shuffled every est survivor: measured at sf1-mutated, the
+    // R=0.99 audit point (54×27, cap 7608) enumerates 242 M candidate
+    // rows of which est passes 124 M (51% — the prefilter barely
+    // prunes at cutoff τ−0.25) while only 16 807 pairs verify; the est
+    // UDF invocations, the 124 M-row distinct shuffle, and the 124 M
+    // broadcast-probe verify calls were 52 s of wall for a 17 k-row
+    // answer. Here the candidate stream never becomes rows: buckets
+    // (≤ cap ids each, sorted) flatMap through an iterator that runs
+    // the IDENTICAL est compare (same eq-count loop over the width
+    // prefix, same eq/width ≥ cutoff double compare) and the IDENTICAL
+    // two-pointer jaccard ([[jaccardOfSortedLongs]] arithmetic), so
+    // only verified pairs materialize; duplicates across bands (est
+    // and jaccard are pure functions of the pair, so every bucket
+    // emits the same verdict) collapse in a distinct over the VERIFIED
+    // set instead of the candidate set. Pair set and every jaccard
+    // value are bit-identical to the join form; the shuffle cost drops
+    // from O(capped candidates) to O(reps · bands + verified pairs).
+    // `graft.mh.fusedTail=off` (test seam) forces the classic tail for
+    // differential pinning.
+    val repPairs = (rs.lookup match {
+      case Some(bl) if sys.props.get("graft.mh.fusedTail")
+          .orElse(sys.env.get("SPARK_GRAFT_MH_FUSED_TAIL"))
+          .getOrElse("on") != "off" =>
         val width = numHashes
         val cutoff = estCutoff
-        val estOk = udf { (ia: Long, ib: Long) =>
-          val l = bl.value
-          val x = l.idx(ia); val y = l.idx(ib)
-          x >= 0 && y >= 0 && {
-            val a = l.sigs(x); val b = l.sigs(y)
-            var i = 0
-            var eq = 0
-            val n = math.min(width, math.min(a.length, b.length))
-            while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-            eq.toDouble / width >= cutoff
-          }
-        }
-        candRaw.filter(estOk(col("id_a"), col("id_b")))
-          .dropDuplicates("id_a", "id_b")
-      case None =>
-        if (sigsSmall) estFilter(candRaw).dropDuplicates("id_a", "id_b")
-        else estFilter(candRaw.dropDuplicates("id_a", "id_b"))
-    }
-    // Exact verify with the same staging rule: per-rep shingle sets are
-    // compact (sorted longs — measured 867 MB for 462 k reps at
-    // sf10-mutated), so under a 2 GB bound they ride the broadcast
-    // lookup and the verify is map-only over the survivors; the join
-    // form carried one shingle array per SURVIVOR through a shuffle
-    // (253 M survivors at sf10-mutated — hundreds of GB). The est
-    // survivor stream was deduplicated above, so the map-only tail does
-    // each pair's two-pointer merge exactly once.
-    val repPairs = (rs.lookup match {
-      case Some(bl) =>
-        val jac = udf { (ia: Long, ib: Long) =>
-          val l = bl.value
-          val x = l.idx(ia); val y = l.idx(ib)
-          if (x < 0 || y < 0) 0.0
-          else {
-            // same arithmetic as [[jaccardOfSortedLongs]]
-            val a = l.shs(x); val b = l.shs(y)
-            if (a.isEmpty && b.isEmpty) 0.0
-            else {
-              var i = 0; var j = 0; var inter = 0
-              while (i < a.length && j < b.length) {
-                val u = a(i); val v = b(j)
-                if (u == v) { inter += 1; i += 1; j += 1 }
-                else if (u < v) i += 1
-                else j += 1
-              }
-              val union = a.length + b.length - inter
-              if (union == 0) 0.0 else inter.toDouble / union
+        val tau = jaccardThreshold
+        // The mega-bucket cap rides the same aggregation: bucket size
+        // IS the collected list's size, so the count-groupBy +
+        // semi-join of the classic shape (bucketSizes/banded) folds
+        // into one exchange. Each surviving bucket is then SPLIT into
+        // chunks of ≲2¹⁷ pairs (outer index i strided by chunk count —
+        // a disjoint exact partition of the i<j pair space) and the
+        // chunks round-robin-repartitioned to the session parallelism:
+        // bucket rows are a few KB while their pair loops are C(n,2)
+        // CPU, so AQE's byte-based coalescing otherwise folds the whole
+        // corpus' pair work onto 1-2 post-shuffle partitions (measured
+        // at sf0.1: 23.5 s → 12.8 s for one operating point just by
+        // keeping the exchange wide), and a capped mega-bucket
+        // (C(7608,2) ≈ 29 M pairs) otherwise lands on ONE core.
+        // repartition with an explicit partition count is exempt from
+        // AQE coalescing, and defaultParallelism keeps it
+        // scale-adaptive rather than tuned to this rig.
+        val chunkPairs = 1L << 17
+        val sz = size(col("__ids")).cast("long")
+        val buckets = banded0
+          .groupBy(col("band"), col("band_hash"))
+          .agg(collect_list(col("__id")).as("__ids"))
+          .filter(size(col("__ids")) >= 2 &&
+            size(col("__ids")) <= maxBucketSize)
+          .select(col("__ids"),
+            greatest(lit(1L),
+              (sz * (sz - 1L) / 2L + (chunkPairs - 1L)) / chunkPairs)
+              .cast("int").as("__nc"))
+          .select(col("__ids"), col("__nc"),
+            explode(sequence(lit(0), col("__nc") - 1)).as("__c"))
+          .toDF("_1", "_2", "_3")
+        val sess = buckets.sparkSession
+        import sess.implicits._
+        buckets
+          .repartition(sess.sparkContext.defaultParallelism)
+          .as[(Array[Long], Int, Int)]
+          .flatMap { case (raw, nc, c) =>
+            val l = bl.value
+            val ids = raw.clone()
+            java.util.Arrays.sort(ids)
+            val m = ids.length
+            // Hoist the broadcast lookups once per chunk: the inner
+            // loop would otherwise re-run an O(log reps) binary search
+            // (16 cache-missing probes at sf1m) per CANDIDATE.
+            val asig = new Array[Array[Long]](m)
+            val ash = new Array[Array[Long]](m)
+            var t = 0
+            while (t < m) {
+              val x = l.idx(ids(t))
+              if (x >= 0) { asig(t) = l.sigs(x); ash(t) = l.shs(x) }
+              t += 1
             }
-          }
-        }
-        withSigs.withColumn("jaccard", jac(col("id_a"), col("id_b")))
-      case None =>
+            // Smallest eq count passing the est compare — the integer
+            // form of `eq/width >= cutoff` (finitely many eq values, so
+            // this is EXACTLY the same predicate, enabling early
+            // accept/reject inside the eq loop).
+            var minEq = 0
+            while (minEq.toDouble / width < cutoff && minEq <= width) minEq += 1
+            new scala.collection.AbstractIterator[(Long, Long, Double)] {
+              private var i = c - nc // advance() starts each row at i + nc
+              private var j = m // forces the first advance to move i
+              private var nxt: (Long, Long, Double) = _
+              private var has = false
+              advance()
+              private def advance(): Unit = {
+                has = false
+                while (!has && i < m - 1) {
+                  j += 1
+                  if (j >= m) { i += nc; j = i + 1 }
+                  if (i < m - 1 && j < m && (asig(i) ne null)) {
+                    val b = asig(j)
+                    if (b ne null) {
+                      // est: the same eq/width >= cutoff predicate as
+                      // the classic estOk probe, decided via minEq with
+                      // early accept (eq can only grow) and early
+                      // reject (eq + remaining < minEq can't recover)
+                      val a = asig(i)
+                      var k = 0; var eq = 0
+                      val n = math.min(width, math.min(a.length, b.length))
+                      var pass = minEq == 0 // cutoff 0 admits every pair
+                      var undecided = !pass
+                      while (undecided && k < n) {
+                        if (a(k) == b(k)) {
+                          eq += 1
+                          if (eq >= minEq) { pass = true; undecided = false }
+                        } else if (eq + (n - k - 1) < minEq) undecided = false
+                        k += 1
+                      }
+                      // (a loop that runs out leaves eq < minEq: reject
+                      // — same as eq/width < cutoff in the classic form)
+                      if (pass) {
+                        val sa = ash(i); val sb = ash(j)
+                        val la = sa.length; val lb = sb.length
+                        // length screen: real jac <= min/max and
+                        // correctly-rounded division is monotone, so
+                        // fl(min/max) < tau implies fl(jac) < tau —
+                        // the pair cannot pass the final compare.
+                        val lmin = math.min(la, lb); val lmax = math.max(la, lb)
+                        if (lmax == 0 || lmin.toDouble / lmax >= tau) {
+                          // verify: same arithmetic as
+                          // [[jaccardOfSortedLongs]], with a guarded
+                          // abandon: once inter + min(remaining) sits a
+                          // FULL UNIT below the real-algebra requirement
+                          // tau*(la+lb)/(1+tau), the final fl compare
+                          // cannot pass (fp error is ~1 ulp, the margin
+                          // is 1), so the merge stops scanning.
+                          val needLow = tau * (la + lb) / (1.0 + tau) - 1.0
+                          var p = 0; var q = 0; var inter = 0
+                          var live = true
+                          var guard = 64
+                          while (live && p < la && q < lb) {
+                            val u = sa(p); val v = sb(q)
+                            if (u == v) { inter += 1; p += 1; q += 1 }
+                            else if (u < v) p += 1
+                            else q += 1
+                            guard -= 1
+                            if (guard == 0) {
+                              guard = 64
+                              if ((inter + math.min(la - p, lb - q)).toDouble
+                                  < needLow) live = false
+                            }
+                          }
+                          if (live) {
+                            val union = la + lb - inter
+                            val jac =
+                              if (union == 0) 0.0 else inter.toDouble / union
+                            if (jac >= tau) {
+                              nxt = (ids(i), ids(j), jac); has = true
+                            }
+                          }
+                        }
+                      }
+                    }
+                  }
+                }
+              }
+              def hasNext: Boolean = has
+              def next(): (Long, Long, Double) = { val r = nxt; advance(); r }
+            }
+          }.toDF("id_a", "id_b", "jaccard")
+          .dropDuplicates("id_a", "id_b")
+      case _ =>
+        // Classic staged tail (kept verbatim as the over-bound
+        // fallback): est via sig joins or broadcast-lookup-free
+        // staging, distinct over est survivors, then the shingle-array
+        // verify join.
+        val withSigs =
+          if (sigsSmall) estFilter(candRaw).dropDuplicates("id_a", "id_b")
+          else estFilter(candRaw.dropDuplicates("id_a", "id_b"))
         val shingles = rs.perDoc.select(col("__id"), col("__sh"))
         def shSide(idAs: String, shAs: String) = {
           val s = shingles.select(col("__id").as(idAs), col("__sh").as(shAs))

@@ -261,6 +261,39 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("fused bucket tail is bit-identical to the classic staged tail") {
+    import spark.implicits._
+    // Mixed corpus: a verbatim cohort, near-dup mutations at graded
+    // similarity (some above and some below τ), and unique noise — the
+    // shapes that exercise collapse fan-out, est pruning, and verify.
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight to sleep"
+    val words = base.split(" ")
+    val mutated = (0 until 8).map { k =>
+      words.zipWithIndex.map { case (w, i) =>
+        if (i % 8 < k) s"mut$k$i" else w }.mkString(" ")
+    }
+    val docs = ((1L to 5L).map(i => (i, base)) ++
+      mutated.zipWithIndex.map { case (t, k) => (10L + k, t) } ++
+      (30L to 60L).map(i =>
+        (i, s"zq${i}a xv${i}b mn${i}c pq${i}d rs${i}e tu${i}f wy${i}g kh${i}j")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val fused = rows(Dedup.minHashDupPairs(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 8, jaccardThreshold = 0.35,
+      maxBucketSize = 50))
+    val classic = try {
+      sys.props("graft.mh.fusedTail") = "off"
+      rows(Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 8, jaccardThreshold = 0.35,
+        maxBucketSize = 50))
+    } finally sys.props.remove("graft.mh.fusedTail")
+    assert(fused.nonEmpty && fused == classic,
+      s"fused=${fused.size} classic=${classic.size} " +
+        s"diff=${(fused diff classic) ++ (classic diff fused)}")
+  }
+
   test("autoBucketCap: qualified knee cuts at it; knee-less falls back to absolute gap") {
     import spark.implicits._
     def banded(sizes: Seq[Int]): org.apache.spark.sql.DataFrame =
