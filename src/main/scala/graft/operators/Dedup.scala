@@ -2326,10 +2326,96 @@ object Dedup {
 
   /** Broadcast payload of [[setsLookup]]: doc ids (sorted) and their
     * string shingle SETS (already distinct — wordShingleSet builds a
-    * LinkedHashSet), probed by binary search. */
+    * LinkedHashSet), probed by binary search. Each set is co-sorted
+    * with a 64-bit FNV-1a hash array (r17): the exact per-pair
+    * intersection count runs as a zero-allocation two-pointer merge on
+    * the hashes (string compare only on the ~never-occurring hash
+    * ties) instead of building two java.util.HashSet[String] per pair
+    * (~400 allocations/pair — the GC wall of the verify stage). The
+    * count is EXACTLY |A ∩ B| over the string sets, so every
+    * jaccard/containment value is unchanged. */
   private[operators] final class SetsLookup(val ids: Array[Long],
       val sets: Array[Array[String]]) extends Serializable {
     def idx(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+    /** hashes(i) is sorted ascending; sets(i) is co-sorted by
+      * (hash, string) so equal-hash runs are string-sorted. */
+    val hashes: Array[Array[Long]] = {
+      val out = new Array[Array[Long]](sets.length)
+      var i = 0
+      while (i < sets.length) {
+        val s = sets(i)
+        val idxs = Array.range(0, s.length)
+        val h = s.map(SetsLookup.fnv64)
+        val sorted = idxs.sortBy(k => (h(k), s(k)))
+        val hs = new Array[Long](s.length)
+        val ss = new Array[String](s.length)
+        var k = 0
+        while (k < s.length) { hs(k) = h(sorted(k)); ss(k) = s(sorted(k)); k += 1 }
+        sets(i) = ss
+        out(i) = hs
+        i += 1
+      }
+      out
+    }
+  }
+
+  private[operators] object SetsLookup {
+    /** FNV-1a 64 over chars — a local, deterministic merge key; NOT
+      * part of any result (ties fall back to string equality). */
+    def fnv64(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+    /** Exact |A ∩ B| of two (hash, string)-sorted sets, with an
+      * optional sound abandon: once inter + min(remaining) drops below
+      * `needLow` the caller's final threshold compare cannot pass, so
+      * -1 is returned (callers treat it as "fails the threshold";
+      * needLow carries a full-unit margin below the real-algebra
+      * requirement, dwarfing the ~1 ulp error of the final correctly-
+      * rounded division). Pass needLow <= 0 to disable. */
+    def interCount(ha: Array[Long], sa: Array[String],
+        hb: Array[Long], sb: Array[String], needLow: Double): Int = {
+      val la = ha.length; val lb = hb.length
+      var p = 0; var q = 0; var inter = 0
+      var guard = 64
+      while (p < la && q < lb) {
+        val u = ha(p); val v = hb(q)
+        if (u < v) p += 1
+        else if (u > v) q += 1
+        else {
+          // equal-hash runs: both string-sorted — merge the runs
+          var p2 = p; while (p2 < la && ha(p2) == u) p2 += 1
+          var q2 = q; while (q2 < lb && hb(q2) == u) q2 += 1
+          if (p2 - p == 1 && q2 - q == 1) {
+            if (sa(p) == sb(q)) inter += 1
+          } else {
+            var pp = p; var qq = q
+            while (pp < p2 && qq < q2) {
+              val c = sa(pp).compareTo(sb(qq))
+              if (c == 0) { inter += 1; pp += 1; qq += 1 }
+              else if (c < 0) pp += 1
+              else qq += 1
+            }
+          }
+          p = p2; q = q2
+        }
+        guard -= 1
+        if (guard == 0) {
+          guard = 64
+          if (needLow > 0 &&
+              (inter + math.min(la - p, lb - q)).toDouble < needLow)
+            return -1
+        }
+      }
+      inter
+    }
   }
 
   /** Driver-built lookup over a (__id, __sh) string-shingle table —
@@ -2397,19 +2483,93 @@ object Dedup {
     // alpha = ceil(tau/(1+tau) · (na+nb)). The FIRST shared shingle of
     // any true pair satisfies the bound (all its overlap sits at
     // positions >= ra / >= rb), so per-row pruning never drops a pair.
-    val alpha = ceilSlack(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
-    val candidates = pa.join(pb, Seq("__g"))
-      .filter(col("id_b") > col("id_a") &&
-        col("nb") >= ceilSlack(lit(tau) * col("na")) &&
-        col("nb") * tau <= col("na") + lit(1e-9) &&
-        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
-      .select("id_a", "id_b").distinct()
+    //
+    // Fused posting-list enumeration (r17): the per-gram self-join
+    // materialized every enumerated row BEFORE the filters ran —
+    // measured at sf0.1, 125.9 M rows enumerated for 46.6 M filter
+    // survivors and 7.9 M distinct candidates. Prefix postings are
+    // instead grouped per gram and the i<j loop + ALL filters run in
+    // one iterator (identical double arithmetic: Spark's
+    // ceil(x − 1e-9) over DoubleType is (long) Math.ceil, replicated
+    // verbatim), so rejected enumerations never become rows. Chunked +
+    // repartitioned like the MinHash tail (bytes are a bad proxy for
+    // C(c,2) work under AQE coalescing). Gated on a long id column;
+    // anything else keeps the join form.
+    val fusedOn = sys.props.get("graft.mh.fusedTail")
+      .orElse(sys.env.get("SPARK_GRAFT_MH_FUSED_TAIL"))
+      .getOrElse("on") != "off" &&
+      sets.schema("__id").dataType == org.apache.spark.sql.types.LongType
+    val candidates = if (fusedOn) {
+      val chunkPairs = 1L << 17
+      val sz = size(col("__ps")).cast("long")
+      val postings = prefixes
+        .select(col("__g"), struct(col("__id").as("_1"),
+          col("__n").as("_2"), col("__rk").as("_3")).as("__p"))
+        .groupBy(col("__g")).agg(collect_list(col("__p")).as("__ps"))
+        .filter(size(col("__ps")) >= 2)
+        .select(col("__ps"),
+          greatest(lit(1L),
+            (sz * (sz - 1L) / 2L + (chunkPairs - 1L)) / chunkPairs)
+            .cast("int").as("__nc"))
+        .select(col("__ps"), col("__nc"),
+          explode(sequence(lit(0), col("__nc") - 1)).as("__c"))
+        .toDF("_1", "_2", "_3")
+      val sess = postings.sparkSession
+      import sess.implicits._
+      val tt = tau / (1.0 + tau)
+      postings
+        .repartition(sess.sparkContext.defaultParallelism)
+        .as[(Array[(Long, Int, Int)], Int, Int)]
+        .flatMap { case (raw, nc, c) =>
+          val ps = raw.sortBy(_._1) // ascending id: i<j gives id_a < id_b
+          val m = ps.length
+          new scala.collection.AbstractIterator[(Long, Long)] {
+            private var i = c - nc
+            private var j = m
+            private var nxt: (Long, Long) = _
+            private var has = false
+            advance()
+            private def advance(): Unit = {
+              has = false
+              while (!has && i < m - 1) {
+                j += 1
+                if (j >= m) { i += nc; j = i + 1 }
+                if (i < m - 1 && j < m) {
+                  val (ia, na, ra) = ps(i)
+                  val (ib, nb, rb) = ps(j)
+                  // same predicates as the Column form, same doubles
+                  if (nb >= math.ceil(tau * na - 1e-9).toLong &&
+                      nb * tau <= na + 1e-9 &&
+                      1L + math.min(na - ra, nb - rb) >=
+                        math.ceil(tt * (na + nb) - 1e-9).toLong) {
+                    nxt = (ia, ib); has = true
+                  }
+                }
+              }
+            }
+            def hasNext: Boolean = has
+            def next(): (Long, Long) = { val r = nxt; advance(); r }
+          }
+        }.toDF("id_a", "id_b").distinct()
+    } else {
+      val alpha = ceilSlack(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
+      pa.join(pb, Seq("__g"))
+        .filter(col("id_b") > col("id_a") &&
+          col("nb") >= ceilSlack(lit(tau) * col("na")) &&
+          col("nb") * tau <= col("na") + lit(1e-9) &&
+          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha)
+        .select("id_a", "id_b").distinct()
+    }
     // Exact verification: candidates only. Candidate-local when the
     // sets table fits the broadcast-lookup bound (the join form
     // materialized two ~KB string arrays per candidate row); the probe
-    // runs the SAME HashSet intersection/union arithmetic as
-    // [[jaccardOfSets]], so the pair set and every jaccard value are
-    // bit-identical either way.
+    // counts |A ∩ B| by the zero-allocation sorted-hash merge
+    // ([[SetsLookup.interCount]] — exact string-set intersection), so
+    // the pair set and every jaccard value are bit-identical to
+    // [[jaccardOfSets]] either way. The abandon bound: jac >= tau
+    // needs inter >= tau(la+lb)/(1+tau) in reals; a full-unit margin
+    // below that cannot be crossed by the ~1 ulp error of the final
+    // division.
     setsLookup(sets) match {
       case Some(bl) =>
         val jac = udf { (ia: Long, ib: Long) =>
@@ -2417,13 +2577,23 @@ object Dedup {
           val x = l.idx(ia); val y = l.idx(ib)
           if (x < 0 || y < 0) 0.0
           else {
-            val a = l.sets(x); val b = l.sets(y)
-            val sa = new java.util.HashSet[String](a.length * 2)
-            a.foreach(sa.add)
-            var inter = 0
-            val union = new java.util.HashSet[String](sa)
-            b.foreach { s => if (sa.contains(s)) inter += 1; union.add(s) }
-            if (union.isEmpty) 0.0 else inter.toDouble / union.size
+            val la = l.sets(x).length; val lb = l.sets(y).length
+            val lmin = math.min(la, lb); val lmax = math.max(la, lb)
+            // length screen: real jac <= min/max; correctly-rounded
+            // division is monotone, so fl(min/max) < tau implies
+            // fl(jac) < tau — returning 0.0 (also < tau) is exact
+            // w.r.t. the >= tau filter this feeds.
+            if (lmax == 0 || lmin.toDouble / lmax < tau) 0.0
+            else {
+              val inter = SetsLookup.interCount(
+                l.hashes(x), l.sets(x), l.hashes(y), l.sets(y),
+                tau * (la + lb) / (1.0 + tau) - 1.0)
+              if (inter < 0) 0.0
+              else {
+                val union = la + lb - inter
+                if (union == 0) 0.0 else inter.toDouble / union
+              }
+            }
           }
         }
         candidates.withColumn("jaccard", jac(col("id_a"), col("id_b")))
@@ -2478,15 +2648,83 @@ object Dedup {
     // ceil(tau·|A|); a shared shingle at (ra, rb) caps it at
     // 1 + min(na − ra, nb − rb). The first shared shingle of a true
     // pair meets the cap, so per-row pruning is sound.
-    val candidates = prefixes.join(full, Seq("__g"))
-      .filter(col("id_a") =!= col("id_b") && col("na") <= col("nb") &&
-        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
-          ceilSlack(lit(tau) * col("na")))
-      .select("id_a", "id_b").distinct()
+    //
+    // Fused posting-list enumeration (r17), the asymmetric twin of
+    // [[prefixFilterPairsRaw]]'s: per gram, the A-side prefix postings
+    // and the B-side full postings are collected into ONE tagged list
+    // and the A×B loop + filters run in an iterator, chunked by
+    // striding the A index. Same arithmetic, same emitted pair set.
+    val fusedOn = sys.props.get("graft.mh.fusedTail")
+      .orElse(sys.env.get("SPARK_GRAFT_MH_FUSED_TAIL"))
+      .getOrElse("on") != "off" &&
+      sets.schema("__id").dataType == org.apache.spark.sql.types.LongType
+    val candidates = if (fusedOn) {
+      val chunkPairs = 1L << 17
+      val tagged = prefixes.select(col("__g"), struct(lit(0).as("_1"),
+          col("id_a").as("_2"), col("na").as("_3"), col("ra").as("_4")).as("__p"))
+        .unionByName(full.select(col("__g"), struct(lit(1).as("_1"),
+          col("id_b").as("_2"), col("nb").as("_3"), col("rb").as("_4")).as("__p")))
+      val na0 = size(filter(col("__ps"), p => p.getField("_1") === 0)).cast("long")
+      val nb0 = size(col("__ps")).cast("long") - na0
+      val postings = tagged
+        .groupBy(col("__g")).agg(collect_list(col("__p")).as("__ps"))
+        .select(col("__ps"),
+          greatest(lit(1L), (na0 * nb0 + (chunkPairs - 1L)) / chunkPairs)
+            .cast("int").as("__nc"))
+        .select(col("__ps"), col("__nc"),
+          explode(sequence(lit(0), col("__nc") - 1)).as("__c"))
+        .toDF("_1", "_2", "_3")
+      val sess = postings.sparkSession
+      import sess.implicits._
+      postings
+        .repartition(sess.sparkContext.defaultParallelism)
+        .as[(Array[(Int, Long, Int, Int)], Int, Int)]
+        .flatMap { case (raw, nc, c) =>
+          val as = raw.filter(_._1 == 0)
+          val bs = raw.filter(_._1 == 1)
+          val ma = as.length; val mb = bs.length
+          new scala.collection.AbstractIterator[(Long, Long)] {
+            private var i = c - nc
+            private var j = mb
+            private var nxt: (Long, Long) = _
+            private var has = false
+            advance()
+            private def advance(): Unit = {
+              has = false
+              while (!has && i < ma) {
+                j += 1
+                if (j >= mb) { i += nc; j = 0 }
+                if (i < ma && j < mb) {
+                  val (_, ia, na, ra) = as(i)
+                  val (_, ib, nb, rb) = bs(j)
+                  // same predicates as the Column form, same doubles
+                  if (ia != ib && na <= nb &&
+                      1L + math.min(na - ra, nb - rb) >=
+                        math.ceil(tau * na - 1e-9).toLong) {
+                    nxt = (ia, ib); has = true
+                  }
+                }
+              }
+            }
+            def hasNext: Boolean = has
+            def next(): (Long, Long) = { val r = nxt; advance(); r }
+          }
+        }.toDF("id_a", "id_b").distinct()
+    } else {
+      prefixes.join(full, Seq("__g"))
+        .filter(col("id_a") =!= col("id_b") && col("na") <= col("nb") &&
+          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+            ceilSlack(lit(tau) * col("na")))
+        .select("id_a", "id_b").distinct()
+    }
     // Candidate-local verify under the same lookup bound; the probe's
     // |A∩B| count over the (already-distinct) shingle sets equals
-    // size(array_intersect(A, B)) exactly, and |A| = a.length, so the
-    // containment value is bit-identical to the join form.
+    // size(array_intersect(A, B)) exactly ([[SetsLookup.interCount]] —
+    // exact string-set intersection via the sorted-hash merge), and
+    // |A| = a.length, so the containment value is bit-identical to the
+    // join form. Abandon bound: containment >= tau needs
+    // inter >= tau·la in reals; full-unit margin as in the jaccard
+    // probe.
     setsLookup(sets) match {
       case Some(bl) =>
         val cont = udf { (ia: Long, ib: Long) =>
@@ -2494,14 +2732,19 @@ object Dedup {
           val x = l.idx(ia); val y = l.idx(ib)
           if (x < 0 || y < 0) 0.0
           else {
-            val a = l.sets(x); val b = l.sets(y)
-            if (a.isEmpty) 0.0
+            val la = l.sets(x).length; val lb = l.sets(y).length
+            if (la == 0) 0.0
             else {
-              val sb = new java.util.HashSet[String](b.length * 2)
-              b.foreach(sb.add)
-              var inter = 0
-              a.foreach { s => if (sb.contains(s)) inter += 1 }
-              inter.toDouble / a.length
+              // screen: inter <= min(la, lb), so containment
+              // <= min(la,lb)/la; monotone division as in the jaccard
+              // probe — fl(bound) < tau implies fl(containment) < tau.
+              if (math.min(la, lb).toDouble / la < tau) 0.0
+              else {
+                val inter = SetsLookup.interCount(
+                  l.hashes(x), l.sets(x), l.hashes(y), l.sets(y),
+                  tau * la - 1.0)
+                if (inter < 0) 0.0 else inter.toDouble / la
+              }
             }
           }
         }

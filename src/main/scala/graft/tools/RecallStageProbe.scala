@@ -84,6 +84,14 @@ object RecallStageProbe {
       println(s"[recall-stage] hashedExact enumMass=$enumMass " +
         s"stratified=${self + adjMass} (self=$self adj=$adjMass)")
       gramHist.unpersist()
+      val alpha0 = ceilSlack(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
+      val passPreDistinct = pa.join(pb, Seq("__g"))
+        .filter(col("id_b") > col("id_a") &&
+          col("nb") >= ceilSlack(lit(tau) * col("na")) &&
+          col("nb") * tau <= col("na") + lit(1e-9) &&
+          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alpha0)
+        .count()
+      println(s"[recall-stage] hashedExact filterPass(preDistinct)=$passPreDistinct")
       val alpha = ceilSlack(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
       val candidates = pa.join(pb, Seq("__g"))
         .filter(col("id_b") > col("id_a") &&

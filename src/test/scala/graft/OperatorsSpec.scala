@@ -294,6 +294,40 @@ class OperatorsSpec extends AnyFunSuite with SharedSpark {
         s"diff=${(fused diff classic) ++ (classic diff fused)}")
   }
 
+  test("fused PPJoin posting enumeration is bit-identical to the join form") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val words = base.split(" ")
+    val mutated = (0 until 10).map { k =>
+      words.zipWithIndex.map { case (w, i) =>
+        if (i % 10 < k) s"mm$k$i" else w }.mkString(" ")
+    }
+    // a short doc embedded in a longer one (containment shape) + noise
+    val docs = ((1L to 4L).map(i => (i, base)) ++
+      mutated.zipWithIndex.map { case (t, k) => (10L + k, t) } ++
+      Seq((30L, words.take(6).mkString(" ")),
+        (31L, base + " extra tail words here now")) ++
+      (40L to 70L).map(i =>
+        (i, s"aa${i}x bb${i}y cc${i}z dd${i}w ee${i}v ff${i}u gg${i}t")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    for (tau <- Seq(0.3, 0.5)) {
+      val fusedJ = rows(Dedup.prefixFilterPairs(docs, "doc_id", "text", 2, tau))
+      val fusedC = rows(Dedup.containmentPairs(docs, "doc_id", "text", 2, tau))
+      val (classicJ, classicC) = try {
+        sys.props("graft.mh.fusedTail") = "off"
+        (rows(Dedup.prefixFilterPairs(docs, "doc_id", "text", 2, tau)),
+          rows(Dedup.containmentPairs(docs, "doc_id", "text", 2, tau)))
+      } finally sys.props.remove("graft.mh.fusedTail")
+      assert(fusedJ.nonEmpty && fusedJ == classicJ,
+        s"tau=$tau jaccard diff=${(fusedJ diff classicJ) ++ (classicJ diff fusedJ)}")
+      assert(fusedC.nonEmpty && fusedC == classicC,
+        s"tau=$tau containment diff=${(fusedC diff classicC) ++ (classicC diff fusedC)}")
+    }
+  }
+
   test("autoBucketCap: qualified knee cuts at it; knee-less falls back to absolute gap") {
     import spark.implicits._
     def banded(sizes: Seq[Int]): org.apache.spark.sql.DataFrame =
